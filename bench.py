@@ -1,0 +1,87 @@
+"""Benchmark harness — runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Every query is consumed with a full collect (results are small
+aggregates / top-k by design). Timings include planning + execution,
+excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_spark.registry import all_specs  # noqa: E402
+from etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: the reference-pipeline shapes (scans, multi-joins,
+# aggregations, windows, threshold monitor) + the training-data ops
+# (dedup, minhash, simhash, knn, text stats). Chosen to produce small
+# result sets so collect() measures compute, not driver transfer.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_shop_day_rollup",
+    "j02_star_3way",
+    "j05_correlated_max",
+    "a06_lastn_conditional",
+    "w01_topk_per_group",
+    "s01_tumbling_window",
+    "t01_dashboard_listing",
+    "x01_dedup_exact",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
+    "x05_simhash",
+    "x06_knn_bruteforce",
+    "x13_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="etl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # warm the JVM/codegen path once so per-query times measure the
+    # engine, not first-call initialization
+    specs["q01_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

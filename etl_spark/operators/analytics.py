@@ -1,0 +1,260 @@
+"""Headline analytical queries — the reference's pipeline shapes
+(monitoring projection + threshold, full-refresh transform, dashboard
+rollups) scaled up to TPC-H-style multi-join aggregations. These are
+the bench.py workload.
+
+Scale design: fact tables (lineitem, orders) are never broadcast; all
+dimension lookups are. Aggregations are partial map-side. Money math
+goes through DECIMAL so results are partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("flagship", "agg"),
+)
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — the scaled-up form
+    of the reference's monitoring aggregation (script 33 projection +
+    rows_gt condition, scheduler.db sql_scripts row 33). One scan, one
+    shuffle on a 6-value grouping key, partial aggregation map-side;
+    the shipdate filter pushes into the parquet scan."""
+    li = load(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("flagship", "join", "agg", "sort"),
+)
+def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-K. The
+    customer side is filtered then broadcast; lineitem⋈orders is the
+    only real shuffle. Top-10 runs as TakeOrderedAndProject (no global
+    sort)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("2024-06-15 00:00:00").cast("timestamp_ntz")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. region/nation/supplier/customer
+    all broadcast (each << fact); only lineitem⋈orders shuffles. The
+    region filter prunes before any join. This is the plan shape that
+    must survive 100 TB: one big-table shuffle, everything else
+    map-side."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q06_shop_day_rollup",
+    oracle="""
+        SELECT o_orderpriority AS shop,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        FROM orders
+        GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m-%d')
+    """,
+    tags=("flagship", "agg"),
+)
+def q06_shop_day_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per shop/day — the direct analog of the reference's
+    production monitoring query (script 33: per-店铺/日期 order export)
+    as an aggregate instead of a raw dump."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("shop"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_revenue"),
+        )
+    )
+
+
+@register(
+    "s01_tumbling_window",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "agg"),
+)
+def s01_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T8 upgrade: tumbling-window event aggregation — the batch twin
+    of the Structured Streaming monitor (etl_spark.streaming). Uses
+    F.window so the same expression runs under readStream with a
+    watermark."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "t01_dashboard_listing",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               lo.last_orderdate, lo.last_status, lo.n_orders
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_orderdate,
+                   MAX(o_orderstatus) AS last_status,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ) lo ON c.c_custkey = lo.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ORDER BY c.c_custkey DESC
+        LIMIT 50
+    """,
+    tags=("join", "sort"),
+)
+def t01_dashboard_listing(spark: SparkSession, sf: str) -> DataFrame:
+    """§3.4 dashboard listing: dynamic filter (P7) + latest-status
+    derived join (J4) + dedup + ORDER BY id DESC + page — as ONE plan,
+    replacing the reference's N+1 per-row lookups
+    (web_scheduler.py:4582-4733)."""
+    cust = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    lo = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_orderdate"),
+            F.max("o_orderstatus").alias("last_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        cust.join(lo, cust.c_custkey == lo.o_custkey, "left")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            "last_orderdate", "last_status", "n_orders",
+        )
+        .orderBy(F.desc("c_custkey"))
+        .limit(50)
+    )

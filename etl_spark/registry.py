@@ -1,0 +1,75 @@
+"""Query registry — the single source of truth wiring operator
+implementations to the driver contract (``__spark_entry__.py``).
+
+Each operator family from SURVEY.md §2 registers one or more named
+queries here. A query = a Spark callable ``(spark, sf_dir) ->
+DataFrame`` plus (where SQL-expressible) an equivalent ANSI-SQL oracle
+string that DuckDB runs on the same parquet fixtures. Column names are
+aligned on both sides because the driver's comparator sorts columns by
+name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import etl_spark.operators.relational  # noqa: F401
+    import etl_spark.operators.scalar_functions  # noqa: F401
+    import etl_spark.operators.analytics  # noqa: F401
+    import etl_spark.extensions.dedup  # noqa: F401
+    import etl_spark.extensions.similarity  # noqa: F401
+    import etl_spark.extensions.textstats  # noqa: F401
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+    }

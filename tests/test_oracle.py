@@ -1,0 +1,85 @@
+"""Oracle parity: every registered query with an oracle must match
+DuckDB on the shared parquet fixtures — same row count, same column
+names, same values (order-insensitive). This mirrors the driver's
+CORRECTNESS gate so failures surface locally first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from etl_spark.registry import all_specs
+from etl_spark.tables import TABLES
+
+SPECS = all_specs()
+ORACLE_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is None)
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, colnames):
+    """Sort columns by name, then rows; stringify floats to 9 sig
+    figures so ±1ulp noise can't flip equality (queries are designed
+    to be exact; this is belt-and-braces for the assert message)."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.9g}"
+        return repr(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [colnames[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    drel = con.sql(spec.oracle)
+    drows = drel.fetchall()
+    dcols = list(drel.columns)
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)"
+    )
+    sc, sn = _normalize(srows, scols)
+    dc, dn = _normalize(drows, dcols)
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={sn[mismatches[0]]} duckdb={dn[mismatches[0]]} cols={sc}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = SPECS[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
