@@ -11,10 +11,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from etl_spark.session import get_spark
 
-    s = get_spark(app_name="etl_spark-tests")
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="etl_spark-tests",
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

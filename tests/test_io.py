@@ -1,0 +1,143 @@
+"""M2 IO layer tests: writers (append / truncate-load / auto-create /
+upsert / delete / update), records source, Excel bridge gating,
+landing reader, catalog resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_spark.sources import (
+    append,
+    ensure_table,
+    excel_available,
+    read_landing,
+    records_to_df,
+    truncate_load,
+    upsert,
+)
+from etl_spark.sources.excel import normalize_columns, read_excel, write_report_csv
+from etl_spark.sources.writers import delete_where, update_set
+from etl_spark import catalog as cat
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    """Isolated database per test so managed-table names don't collide."""
+    name = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    yield name
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def _sample(spark, n=5, offset=0):
+    return spark.createDataFrame(
+        [Row(id=i + offset, name=f"n{i + offset}", val=float(i)) for i in range(n)]
+    )
+
+
+def test_auto_create_and_append(spark, db):
+    df = _sample(spark)
+    t = f"{db}.loads"
+    assert ensure_table(df, t) is True
+    assert ensure_table(df, t) is False
+    append(df, t)
+    append(df, t)
+    assert spark.table(t).count() == 10
+
+
+def test_append_aligns_columns_by_name(spark, db):
+    t = f"{db}.aligned"
+    append(_sample(spark), t)
+    shuffled = _sample(spark, offset=100).select("val", "id", "name")
+    append(shuffled, t)
+    got = spark.table(t).filter(F.col("id") == 100).collect()
+    assert got[0]["name"] == "n100"
+
+
+def test_truncate_load_replaces(spark, db):
+    t = f"{db}.fullref"
+    append(_sample(spark, 7), t)
+    truncate_load(_sample(spark, 3, offset=50), t)
+    rows = spark.table(t).collect()
+    assert len(rows) == 3
+    assert all(r.id >= 50 for r in rows)
+
+
+def test_upsert_replaces_matching_keys(spark, db):
+    t = f"{db}.ups"
+    append(_sample(spark, 5), t)  # ids 0..4
+    updates = spark.createDataFrame(
+        [Row(id=3, name="updated", val=99.0), Row(id=10, name="new", val=1.0)]
+    )
+    upsert(updates, t, keys=["id"])
+    got = {r.id: r for r in spark.table(t).collect()}
+    assert len(got) == 6
+    assert got[3]["name"] == "updated"
+    assert got[10]["name"] == "new"
+    assert got[2]["name"] == "n2"
+
+
+def test_delete_where(spark, db):
+    t = f"{db}.dels"
+    append(_sample(spark, 6), t)
+    n = delete_where(spark, t, "id >= 4")
+    assert n == 2
+    assert spark.table(t).count() == 4
+
+
+def test_update_set_computed(spark, db):
+    """The reference's `SET is_active = NOT is_active` computed update
+    (web_scheduler.py:4954-4958)."""
+    t = f"{db}.upd"
+    append(_sample(spark, 4), t)
+    n = update_set(spark, t, {"val": "val * 2", "name": "upper(name)"}, "id < 2")
+    assert n == 2
+    got = {r.id: r for r in spark.table(t).collect()}
+    assert got[0]["val"] == 0.0 and got[1]["val"] == 2.0 and got[1]["name"] == "N1"
+    assert got[2]["val"] == 2.0 and got[2]["name"] == "n2"
+
+
+def test_records_source_infers_and_respects_schema(spark):
+    recs = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    df = records_to_df(spark, recs)
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    typed = records_to_df(spark, recs, schema="a INT, b STRING")
+    assert dict(typed.dtypes)["a"] == "int"
+
+
+def test_landing_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "land.csv")
+    _sample(spark, 4).toPandas().to_csv(p, index=False)
+    df = read_landing(spark, p, fmt="csv")
+    assert df.count() == 4
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+
+
+def test_excel_gating(spark, tmp_path):
+    """openpyxl is absent in this container: the xlsx paths must fail
+    loudly, the CSV report fallback must work."""
+    if excel_available():
+        pytest.skip("openpyxl installed; gating path not applicable")
+    with pytest.raises(RuntimeError, match="openpyxl"):
+        read_excel(spark, str(tmp_path / "x.xlsx"))
+    out = str(tmp_path / "report.csv")
+    n = write_report_csv(_sample(spark, 3), out)
+    assert n == 3
+    with open(out) as fh:
+        assert fh.readline().strip() == "id,name,val"
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([Row(**{"Order Number": 1, "总价/Total": 2.0})])
+    out = normalize_columns(df)
+    assert out.columns == ["order_number", "总价_total"]
+
+
+def test_catalog_resolution(spark, db):
+    append(_sample(spark, 2), f"{db}.findme")
+    sql = "SELECT * FROM wrongdb.findme JOIN other.missing ON 1=1"
+    assert cat.extract_tables(sql) == [("wrongdb", "findme"), ("other", "missing")]
+    resolved = cat.resolve_sql(spark, sql)
+    assert f"{db}.findme" in resolved
+    assert "other.missing" in resolved  # unfound names left alone
