@@ -1,0 +1,167 @@
+"""SQL alerting — threshold-monitoring queries with report export and
+pluggable notification (SURVEY.md §2.10 T8, §3.2).
+
+The reference's alert check (`_check_sql_alert_internal`,
+web_scheduler.py:3116-3613) runs a stored query, evaluates a row-count
+condition (`not_empty` / `rows_gt` / `rows_lt` / `rows_eq` /
+`rows_neq` vs a threshold, :3354-3366), and on trigger exports the
+full result to xlsx (:3615-3718) and emails it (:3720-3796), logging
+every check (:1129-1144).
+
+Improvements over the reference, by construction:
+- ONE materialization: the reference fetches all rows even when only
+  the count matters (anti-pattern, SURVEY.md §4.1); here the DataFrame
+  is cached, counted, and only exported when triggered.
+- the notifier is an interface; tests use the collecting impl, prod
+  wires SMTP outside the engine (side effects never live inside a
+  query plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+CONDITIONS = ("not_empty", "rows_gt", "rows_lt", "rows_eq", "rows_neq")
+
+
+def evaluate_condition(n_rows: int, condition: str, threshold: int = 0) -> bool:
+    """The reference's condition map (web_scheduler.py:3354-3366)."""
+    if condition == "not_empty":
+        return n_rows > 0
+    if condition == "rows_gt":
+        return n_rows > threshold
+    if condition == "rows_lt":
+        return n_rows < threshold
+    if condition == "rows_eq":
+        return n_rows == threshold
+    if condition == "rows_neq":
+        return n_rows != threshold
+    raise ValueError(f"unknown condition {condition!r}; expected one of {CONDITIONS}")
+
+
+class Notifier(Protocol):
+    def send(self, subject: str, body: str, attachment: str | None = None) -> None: ...
+
+
+@dataclass
+class CollectingNotifier:
+    """Test/no-op notifier: records every notification (the S9 sink
+    behind an interface — SURVEY.md §5.2 item 4)."""
+
+    sent: list[dict] = field(default_factory=list)
+
+    def send(self, subject: str, body: str, attachment: str | None = None) -> None:
+        self.sent.append({"subject": subject, "body": body, "attachment": attachment})
+
+
+@dataclass
+class AlertSpec:
+    alert_id: int
+    name: str
+    sql: str
+    condition: str = "not_empty"
+    threshold: int = 0
+    export_path: str | None = None  # csv report on trigger (S8 edge)
+    max_export_rows: int = 100_000
+
+
+@dataclass
+class AlertResult:
+    alert_id: int
+    checked_at: datetime
+    n_rows: int
+    triggered: bool
+    export_path: str | None = None
+    error: str | None = None
+
+
+ALERT_LOG_SCHEMA = (
+    "alert_id INT, alert_name STRING, checked_at TIMESTAMP_NTZ, n_rows BIGINT, "
+    "triggered BOOLEAN, details STRING"
+)
+
+
+class AlertEngine:
+    def __init__(
+        self, spark: SparkSession, notifier: Notifier | None = None, db: str = "etl_meta"
+    ):
+        self.spark = spark
+        self.notifier = notifier or CollectingNotifier()
+        self.db = db
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.alert_logs ({ALERT_LOG_SCHEMA}) USING parquet"
+        )
+
+    def check(self, spec: AlertSpec, now: datetime | None = None) -> AlertResult:
+        """One alert check (§3.2 lifecycle): run → count → condition →
+        (export + notify) → log. The query result is cached so count
+        and export share one execution."""
+        now = now or datetime.now()
+        df: DataFrame | None = None
+        try:
+            df = self.spark.sql(spec.sql).cache()
+            n = df.count()
+            triggered = evaluate_condition(n, spec.condition, spec.threshold)
+            export_path = None
+            if triggered:
+                export_path = self._export(df, spec)
+                self.notifier.send(
+                    subject=f"[alert] {spec.name}",
+                    body=(
+                        f"condition {spec.condition}(threshold={spec.threshold}) met: "
+                        f"{n} rows"
+                    ),
+                    attachment=export_path,
+                )
+            result = AlertResult(spec.alert_id, now, n, triggered, export_path)
+        except Exception as ex:  # noqa: BLE001 — checks must not kill the loop
+            result = AlertResult(spec.alert_id, now, -1, False, error=str(ex)[:500])
+        finally:
+            if df is not None:
+                df.unpersist()
+        self._log(spec, result)
+        return result
+
+    def _export(self, df: DataFrame, spec: AlertSpec) -> str | None:
+        """S8 report export on trigger. xlsx when openpyxl exists,
+        CSV otherwise (web_scheduler.py:3615-3718's role)."""
+        if spec.export_path is None:
+            return None
+        from etl_spark.sources.excel import excel_available, write_excel, write_report_csv
+
+        if spec.export_path.endswith(".xlsx") and excel_available():
+            write_excel(df, spec.export_path, spec.max_export_rows)
+        else:
+            path = (
+                spec.export_path
+                if spec.export_path.endswith(".csv")
+                else spec.export_path.rsplit(".", 1)[0] + ".csv"
+            )
+            write_report_csv(df, path, spec.max_export_rows)
+            return path
+        return spec.export_path
+
+    def _log(self, spec: AlertSpec, r: AlertResult) -> None:
+        """T10 alert audit log (log_sql_alert_execution,
+        web_scheduler.py:1129-1144)."""
+        self.spark.createDataFrame(
+            [
+                (
+                    spec.alert_id,
+                    spec.name,
+                    r.checked_at,
+                    r.n_rows,
+                    r.triggered,
+                    r.error or "",
+                )
+            ],
+            schema=ALERT_LOG_SCHEMA,
+        ).write.mode("append").insertInto(f"{self.db}.alert_logs")
+
+    def alert_logs(self) -> DataFrame:
+        return self.spark.table(f"{self.db}.alert_logs")

@@ -58,6 +58,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.dedup  # noqa: F401
     import etl_spark.extensions.similarity  # noqa: F401
     import etl_spark.extensions.textstats  # noqa: F401
+    import etl_spark.extensions.multimodal  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,10 @@
+"""Structured Streaming layer (SURVEY.md §7.2 M5) — the idiomatic
+upgrade of the reference's 1-second polling loop."""
+
+from etl_spark.streaming.monitor import (
+    stream_events,
+    windowed_event_counts,
+    run_threshold_monitor,
+)
+
+__all__ = ["stream_events", "windowed_event_counts", "run_threshold_monitor"]

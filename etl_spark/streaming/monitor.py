@@ -1,0 +1,117 @@
+"""Streaming threshold monitor — Structured Streaming over the
+`events` table shape.
+
+The reference has no streaming engine: continuous behavior is a
+1-second daemon poll re-running full queries (web_scheduler.py:
+1289-1582, time.sleep(1) at :1556), and alerts re-scan the whole
+source every cadence (T8, :3354-3424). Here the same monitoring
+semantics run incrementally:
+
+- `stream_events`: file-stream source over event parquet drops —
+  each file is processed exactly once (vs. the reference's full
+  re-scan per tick);
+- `windowed_event_counts`: watermarked tumbling-window aggregation —
+  the event-time upgrade the polling loop cannot express (late events
+  are folded into their window until the watermark closes it);
+- `run_threshold_monitor`: `foreachBatch` sink evaluating the T8
+  count-condition per micro-batch and firing the pluggable notifier —
+  the S9 side-effect stays OUTSIDE the query plan.
+
+Scale: state is bounded by the watermark (windows older than the
+delay are evicted); the shuffle is keyed on (window, event_type) —
+the same partial-aggregation plan as the batch twin s01, applied to
+deltas instead of the full table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_spark.alerting import Notifier, evaluate_condition
+
+# the driver fixture's events schema, with ts as raw int64 nanos
+# (see etl_spark.tables.load — Spark's reader refuses nanos natively)
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, path: str, schema: str = EVENTS_DDL) -> DataFrame:
+    """File-stream source over a directory of event parquet files.
+    New files are discovered per micro-batch — the streaming analog of
+    the reference's append-only log tables (SURVEY.md §1.1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(schema).parquet(path)
+    # nanos → TIMESTAMP (ltz): watermarks require TIMESTAMP, not
+    # TIMESTAMP_NTZ; the session TZ is pinned to UTC (session.py) so
+    # wall-clock values match tables.load's NTZ derivation exactly
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "CAST(TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+            "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000) AS TIMESTAMP)"
+        ),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    streaming twin of query s01 (same expressions, incremental
+    execution). Late events within the watermark still land in their
+    event-time window; older ones are dropped deterministically."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_threshold_monitor(
+    stream_df: DataFrame,
+    notifier: Notifier,
+    condition: str = "rows_gt",
+    threshold: int = 0,
+    filter_expr: str = "true",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """T8 as a `foreachBatch` sink: per micro-batch, count rows
+    matching `filter_expr`, evaluate the reference's condition map,
+    notify on trigger. `available_now=True` drains all pending input
+    then stops — the testable/batch-drain mode; pass False for a
+    continuously-running monitor."""
+
+    def _check(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.filter(filter_expr).count()
+        if on_batch is not None:
+            on_batch(batch_id, n)
+        if evaluate_condition(n, condition, threshold):
+            notifier.send(
+                subject="[stream-alert] threshold met",
+                body=f"batch {batch_id}: {n} rows match {filter_expr!r}",
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_check).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,83 @@
+"""M4 alerting tests: condition map, trigger/export/notify/log cycle,
+error capture."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_spark.alerting import (
+    AlertEngine,
+    AlertSpec,
+    CollectingNotifier,
+    evaluate_condition,
+)
+
+
+def test_condition_map():
+    assert evaluate_condition(5, "not_empty")
+    assert not evaluate_condition(0, "not_empty")
+    assert evaluate_condition(5, "rows_gt", 1)
+    assert not evaluate_condition(1, "rows_gt", 1)
+    assert evaluate_condition(0, "rows_lt", 1)
+    assert evaluate_condition(3, "rows_eq", 3)
+    assert evaluate_condition(4, "rows_neq", 3)
+    with pytest.raises(ValueError, match="unknown condition"):
+        evaluate_condition(1, "bogus")
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    db = f"alerts_{abs(hash(str(tmp_path))) % 10**9}"
+    eng = AlertEngine(spark, notifier=CollectingNotifier(), db=db)
+    yield eng
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_triggered_alert_exports_and_notifies(engine, spark, tmp_path):
+    spark.sql("SELECT 1 AS id, 'x' AS v UNION ALL SELECT 2, 'y'").createOrReplaceTempView(
+        "mon_src"
+    )
+    out = str(tmp_path / "alert_report.csv")
+    spec = AlertSpec(
+        alert_id=1,
+        name="rows over threshold",
+        sql="SELECT id AS `订单号`, v AS `店铺` FROM mon_src",
+        condition="rows_gt",
+        threshold=1,
+        export_path=out,
+    )
+    r = engine.check(spec, now=datetime(2024, 1, 1))
+    assert r.triggered and r.n_rows == 2 and r.export_path == out
+    with open(out) as fh:
+        assert fh.readline().strip() == "订单号,店铺"
+    assert len(engine.notifier.sent) == 1
+    assert engine.notifier.sent[0]["attachment"] == out
+    logs = engine.alert_logs().collect()
+    assert len(logs) == 1 and logs[0].triggered and logs[0].n_rows == 2
+
+
+def test_untriggered_alert_skips_sideeffects(engine, spark, tmp_path):
+    spec = AlertSpec(
+        alert_id=2,
+        name="quiet",
+        sql="SELECT 1 AS a WHERE 1 = 0",
+        condition="not_empty",
+        export_path=str(tmp_path / "nope.csv"),
+    )
+    r = engine.check(spec, now=datetime(2024, 1, 1))
+    assert not r.triggered and r.n_rows == 0 and r.export_path is None
+    assert engine.notifier.sent == []
+    assert not (tmp_path / "nope.csv").exists()
+    assert engine.alert_logs().count() == 1  # check still logged (T10)
+
+
+def test_alert_query_error_is_captured(engine):
+    r = engine.check(
+        AlertSpec(alert_id=3, name="broken", sql="SELECT * FROM missing_table_xyz")
+    )
+    assert not r.triggered and r.n_rows == -1
+    assert "missing_table_xyz" in r.error or "TABLE_OR_VIEW" in r.error
+    logs = engine.alert_logs().collect()
+    assert len(logs) == 1 and logs[0].details != ""

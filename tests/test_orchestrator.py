@@ -1,0 +1,146 @@
+"""M3 orchestrator tests: cron math (pure python), scheduling/retry/
+dependency semantics (injected clock, Spark metadata tables)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_spark.orchestrator import Orchestrator, TaskSpec, next_fire
+from etl_spark.orchestrator.cron import CronError
+
+
+# --- cron (no Spark) -------------------------------------------------------
+
+T0 = datetime(2024, 6, 15, 10, 30, 45)  # a Saturday
+
+
+def test_cron_every_5min():
+    assert next_fire("*/5 * * * *", T0) == datetime(2024, 6, 15, 10, 35)
+
+
+def test_cron_hourly_and_daily():
+    assert next_fire("0 * * * *", T0) == datetime(2024, 6, 15, 11, 0)
+    assert next_fire("15 2 * * *", T0) == datetime(2024, 6, 16, 2, 15)
+
+
+def test_cron_dow():
+    # next Monday (dow 1) at 09:00 after Sat Jun 15
+    assert next_fire("0 9 * * 1", T0) == datetime(2024, 6, 17, 9, 0)
+    # Sunday as 7 == Sunday as 0
+    assert next_fire("0 9 * * 7", T0) == next_fire("0 9 * * 0", T0)
+
+
+def test_cron_month_rollover_and_lists():
+    assert next_fire("0 0 1 * *", T0) == datetime(2024, 7, 1, 0, 0)
+    assert next_fire("0 12 * 12 *", T0) == datetime(2024, 12, 1, 12, 0)
+    assert next_fire("10,40 3-5 * * *", T0) == datetime(2024, 6, 16, 3, 10)
+
+
+def test_cron_vixie_dom_dow_or():
+    # both restricted → OR: fires Jun 16 (a Sunday, dow 0) before Jul 1
+    assert next_fire("0 0 1 * 0", T0) == datetime(2024, 6, 16, 0, 0)
+
+
+def test_cron_invalid():
+    for bad in ("* * * *", "61 * * * *", "*/0 * * * *", "a * * * *"):
+        with pytest.raises(CronError):
+            next_fire(bad, T0)
+
+
+# --- orchestrator over Spark ----------------------------------------------
+
+
+@pytest.fixture()
+def orch(spark, tmp_path):
+    db = f"meta_{abs(hash(str(tmp_path))) % 10**9}"
+    o = Orchestrator(spark, db=db)
+    yield o
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _spec(tid, fn, **kw):
+    return TaskSpec(task_id=tid, name=f"task{tid}", fn=fn, **kw)
+
+
+def test_interval_schedule_and_audit_log(orch):
+    ran = []
+    now = datetime(2024, 1, 1, 0, 0, 0)
+    orch.register(_spec(1, lambda s: ran.append(1), interval_seconds=60), now)
+    assert orch.tick(now) == {}  # not due yet
+    t1 = datetime(2024, 1, 1, 0, 1, 0)
+    assert orch.tick(t1) == {1: "success"}
+    assert ran == [1]
+    logs = orch.logs().collect()
+    assert len(logs) == 1 and logs[0].status == "success"
+    # late tick fires once, no backlog (T3)
+    t_late = datetime(2024, 1, 1, 0, 10, 0)
+    assert orch.tick(t_late) == {1: "success"}
+    assert orch.tick(t_late) == {}
+
+
+def test_cron_schedule_with_fallback(orch):
+    now = datetime(2024, 1, 1, 0, 0, 30)
+    orch.register(_spec(2, lambda s: None, cron="*/5 * * * *"), now)
+    orch.register(
+        _spec(3, lambda s: None, cron="not a cron", interval_seconds=120), now
+    )
+    assert orch.tasks[2].next_run == datetime(2024, 1, 1, 0, 5)
+    assert orch.tasks[3].next_run == datetime(2024, 1, 1, 0, 2, 30)
+
+
+def test_failure_retry_then_give_up(orch):
+    calls = []
+
+    def flaky(s):
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    now = datetime(2024, 1, 1, 0, 0, 0)
+    orch.register(
+        _spec(4, flaky, interval_seconds=3600, max_retries=2, retry_delay_seconds=60),
+        now,
+    )
+    assert orch.tick(datetime(2024, 1, 1, 1, 0, 0)) == {4: "failed"}
+    # retry_delay not elapsed → nothing
+    assert orch.tick(datetime(2024, 1, 1, 1, 0, 30)) == {}
+    # retry 1, retry 2, then exhausted
+    assert orch.tick(datetime(2024, 1, 1, 1, 1, 0)) == {4: "failed"}
+    assert orch.tick(datetime(2024, 1, 1, 1, 2, 0)) == {4: "failed"}
+    assert orch.tick(datetime(2024, 1, 1, 1, 3, 0)) == {}
+    assert len(calls) == 3
+    assert orch.consecutive_failures(4) == 3
+
+
+def test_dependency_gate(orch):
+    ran = []
+    now = datetime(2024, 1, 1, 0, 0, 0)
+    orch.register(_spec(10, lambda s: ran.append("up"), interval_seconds=60), now)
+    orch.register(
+        _spec(11, lambda s: ran.append("down"), interval_seconds=60, dependencies=[10]),
+        now,
+    )
+    # dependency never ran → downstream blocked (status-None check)
+    orch.tasks[10].spec.is_active = False
+    t1 = datetime(2024, 1, 1, 0, 1, 0)
+    assert orch.tick(t1) == {11: "blocked"}
+    # upstream succeeds → downstream runs on its next due time
+    orch.tasks[10].spec.is_active = True
+    t2 = datetime(2024, 1, 1, 0, 2, 0)
+    out = orch.tick(t2)
+    assert out[10] == "success"
+    orch.tasks[10].spec.is_active = False  # freeze upstream; gate reads its log
+    t3 = datetime(2024, 1, 1, 0, 3, 0)
+    assert orch.tick(t3)[11] == "success"
+    assert ran == ["up", "down"]
+
+
+def test_run_now_and_inflight_dedup(orch):
+    now = datetime(2024, 1, 1, 0, 0, 0)
+    orch.register(_spec(20, lambda s: None, interval_seconds=3600), now)
+    assert orch.run_task(20, now) == "success"  # T9: ignores schedule
+    orch.tasks[20].executing = True
+    assert orch.run_task(20, now) == "skipped"  # T5
+    orch.tasks[20].executing = False
+    assert orch.latest_statuses()[20] == "success"
