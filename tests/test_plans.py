@@ -1,0 +1,90 @@
+"""Plan-quality regression tests — the 100 TB survival checklist from
+SURVEY.md §4/§7 as assertions over `.explain` output:
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the read schema (ReadSchema),
+- dimension joins broadcast (no sort-merge of a small side),
+- top-k never globally sorts (TakeOrderedAndProject),
+- COUNT(*) reads zero columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def executed_plan_of(spark, sf_dir, name: str) -> str:
+    """Final (post-AQE) physical plan: run the query, then render the
+    executed plan — WholeStageCodegen stages only appear here."""
+    df = SPECS[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical nodes in formatted-explain output via the
+    numbered detail headers '(N) <node>' (each node appears once in
+    the tree and once in details; details are unambiguous)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}(?:\n| )", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p01_eq_filter")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    # projection pruning: only the 4 referenced columns are read
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+        "o_orderstatus:string,o_totalprice:double>" in plan
+    )
+
+
+def test_q05_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_region_revenue")
+    assert "SortMergeJoin" not in plan, "a dimension join fell back to sort-merge"
+    assert node_count(plan, "BroadcastHashJoin") == 5
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter must push into the scan"
+    # exactly one real (non-broadcast) exchange: the final aggregation
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "o01_top10_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "top-k must not shuffle-sort the table"
+
+
+def test_count_reads_no_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a01_count_total")
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j06_semi")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "j02_star_3way", "x01_dedup_exact", "x13_fingerprint"],
+)
+def test_hot_paths_are_codegen(spark, sf_dir, name):
+    """No Python in the per-row path: every one of these plans must be
+    pure whole-stage-codegen (no BatchEvalPython / ArrowEvalPython /
+    FlatMapsInPandas nodes)."""
+    plan = executed_plan_of(spark, sf_dir, name)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in plan
+    # executed plans mark codegen stages with '*(n) ' prefixes
+    assert "*(" in plan, f"no whole-stage-codegen stage in:\n{plan[:500]}"
