@@ -46,6 +46,57 @@ HEADLINE = [
 ]
 
 
+def _etl_bench(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's production pipeline at scale (BASELINE.md
+    derived floors: ingest ≥17k rows/s, end-to-end ≥5.7k rows/s on
+    ~31k rows — here the fact table is lineitem, ~600k rows at sf0.1):
+
+    - etl_ingest_overwrite: truncate-and-load of lineitem into a
+      managed table (S6, atomic overwrite);
+    - etl_pipeline_e2e: ingest → full-refresh INSERT..SELECT transform
+      (script-30 shape) → monitored aliased projection with a
+      rows_gt count condition (script-33 shape).
+    """
+    import tempfile
+    import time as _t
+
+    from etl_spark.sources.writers import truncate_load
+    from etl_spark.tables import load as load_table
+
+    out: dict[str, float] = {}
+    db = f"bench_{abs(hash(tempfile.mkdtemp())) % 10**8}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        t0 = _t.perf_counter()
+        truncate_load(li, f"{db}.stage_lineitem")
+        out["etl_ingest_overwrite"] = round(_t.perf_counter() - t0, 3)
+
+        t0 = _t.perf_counter()
+        truncate_load(li, f"{db}.stage2")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.dwd_daily "
+            f"(day STRING, flag STRING, n BIGINT, revenue DOUBLE) USING parquet"
+        )
+        spark.sql(f"TRUNCATE TABLE {db}.dwd_daily")
+        spark.sql(
+            f"INSERT INTO {db}.dwd_daily "
+            f"SELECT date_format(l_shipdate, 'yyyy-MM-dd') AS day, l_returnflag AS flag, "
+            f"count(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+            f"FROM {db}.stage2 GROUP BY 1, 2"
+        )
+        monitored = spark.sql(
+            f"SELECT day AS `日期`, flag AS `标志`, n AS `订单数`, revenue AS `总价格` "
+            f"FROM {db}.dwd_daily"
+        )
+        n = monitored.count()
+        assert n > 1  # rows_gt 1 condition (the reference's alert 2/3)
+        out["etl_pipeline_e2e"] = round(_t.perf_counter() - t0, 3)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -68,6 +119,7 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
+    timings.update(_etl_bench(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

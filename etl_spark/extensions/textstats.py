@@ -8,7 +8,7 @@ reproduce every value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
@@ -218,4 +218,149 @@ def x14_bow_clusters(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "x17_quality_filter",
+    oracle=f"""
+        SELECT doc_id, keep,
+               CASE WHEN NOT len_ok THEN 'length'
+                    WHEN stop_ratio < 0.01 THEN 'low_stopword'
+                    WHEN mean_tok_len > 12 THEN 'long_tokens'
+                    ELSE '' END AS drop_reason
+        FROM (
+            SELECT doc_id,
+                   (length(text) BETWEEN 50 AND 10000) AS len_ok,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_sql_list(_STOPWORDS)}))) * 1.0
+                     / len(string_split(text, ' ')) AS stop_ratio,
+                   length(replace(text, ' ', '')) * 1.0
+                     / len(string_split(text, ' ')) AS mean_tok_len,
+                   (length(text) BETWEEN 50 AND 10000)
+                     AND len(list_filter(string_split(text, ' '),
+                         t -> t IN ({_sql_list(_STOPWORDS)}))) * 1.0
+                       / len(string_split(text, ' ')) >= 0.01
+                     AND length(replace(text, ' ', '')) * 1.0
+                       / len(string_split(text, ' ')) <= 12 AS keep
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ) t
+    """,
+    tags=("textstats",),
+)
+def x17_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite Gopher/C4-style quality gate: length window, minimum
+    stopword ratio, mean-token-length ceiling — keep/drop with the
+    first failing reason. The whole cascade is one codegen'd
+    projection over the scan; at 100 TB this IS the pre-dedup pass
+    (no shuffle, reads prune to (doc_id, text))."""
+    stoplist = _sql_list(_STOPWORDS)
+    toks = F.split("text", " ")
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({stoplist})))"
+    ) / F.size(toks)
+    mean_tok_len = F.length(F.replace("text", F.lit(" "), F.lit(""))) / F.size(toks)
+    len_ok = F.length("text").between(50, 10000)
+    keep = len_ok & (stop_ratio >= 0.01) & (mean_tok_len <= 12)
+    reason = (
+        F.when(~len_ok, "length")
+        .when(stop_ratio < 0.01, "low_stopword")
+        .when(mean_tok_len > 12, "long_tokens")
+        .otherwise("")
+    )
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", keep.alias("keep"), reason.alias("drop_reason"))
+    )
+
+
+@register(
+    "x18_tfidf_top_terms",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf
+        FROM (
+            SELECT doc_id, tok, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok ASC) AS rn
+            FROM scored
+        ) r WHERE rn <= 3
+    """,
+    tags=("textstats",),
+)
+def x18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms: token explode → tf per (doc, tok)
+    → document frequency → smoothed idf (ln((N+1)/(df+1))) → window
+    top-k with a deterministic tok tiebreak.
+
+    Scale shape: two shuffles (doc,tok) and (tok); the df table is
+    vocabulary-sized (≪ corpus) and broadcasts back onto tf. No UDFs;
+    ln() is IEEE-identical across engines."""
+    docs = load(spark, sf, "documents")
+    n_docs = docs.count()  # scalar, reused as a literal (broadcast by value)
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+@register(
+    "x19_corpus_stats",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("textstats",),
+)
+def x19_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus profile: volume, token stats, char range,
+    unique-content count — the dataset card / dedup-planning query.
+    Single shuffle on lang; the distinct-hash count expands in the
+    same aggregation."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.count_distinct(F.md5("text")).alias("n_unique"),
+        )
     )

@@ -1,0 +1,279 @@
+"""Advanced relational operators — the idiomatic-Spark capability set
+layered above the reference's inventory (SURVEY.md §2.4 note: grouping
+sets/windows "free" in Spark; §2.10's event-time upgrades; the custom
+operator families the task brief names: as-of joins, range joins,
+rollups).
+
+Every operator here is still pure DataFrame API (no UDFs) and every
+oracle is exact, so the DuckDB comparison stays bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+
+@register(
+    "a07_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def a07_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total) in
+    one pass — Spark expands grouping sets inside a single shuffle
+    (partial aggregation per set, map-side)."""
+    return (
+        load(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "a08_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def a08_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct count per group (two-phase partial-distinct
+    expansion under the hood). The approximate variant
+    (approx_count_distinct, HLL++) is benchmarked in tests — approx
+    results are engine-specific so no value oracle is possible."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "w03_lag_lead_delta",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS secs_since_prev,
+               next_type
+        FROM (
+            SELECT user_id, event_id, ts,
+                   LAG(ts)  OVER w AS prev_ts,
+                   LEAD(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ) t
+    """,
+    tags=("window",),
+)
+def w03_lag_lead_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead over per-user event sequences: inter-event gap +
+    next-action lookahead — the sessionization building block. One
+    shuffle on user_id; event_id tiebreak keeps both engines on
+    identical orderings."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST(timestampdiff(SECOND, date_trunc('second', lag(ts) over "
+            "(partition by user_id order by ts asc, event_id asc)), "
+            "date_trunc('second', ts)) AS BIGINT)"
+        ).alias("secs_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "w04_sessionize",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming"),
+)
+def w04_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch window
+    form (lag → new-session flag → prefix-sum session ids). The
+    streaming twin is `session_window` under Structured Streaming;
+    this form is oracle-checkable and shuffles once on user_id.
+
+    Second-truncated gap comparison keeps Spark/DuckDB tie behavior
+    identical on sub-second timestamps."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_sec = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', lag(ts) over "
+        "(partition by user_id order by ts asc, event_id asc)), date_trunc('second', ts))"
+    )
+    marked = load(spark, sf, "events").withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "j08_range_join",
+    oracle="""
+        SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+        FROM orders o
+        JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+                     ('high', 250000.0, 1e12)) AS b(band, lo, hi)
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
+    tags=("join",),
+)
+def j08_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: facts against a banded dimension on
+    BETWEEN predicates. The band table is tiny → broadcast
+    nested-loop with the range predicate — each fact row scans 3
+    bands, no shuffle. At 100 TB this stays a broadcast; a big-big
+    range join would instead bucket both sides by range-aligned keys."""
+    orders = load(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e12)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("band_total"),
+        )
+    )
+
+
+@register(
+    "j09_asof_join",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               last_value(err_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS last_error_ts
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN ts END AS err_ts
+            FROM events
+        ) t
+    """,
+    tags=("join", "window"),
+)
+def j09_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of (backward) join expressed as a carry-forward window:
+    for every event, the timestamp of the user's most recent error at
+    or before it. The classic as-of join (a ⟕ latest b with b.ts ≤
+    a.ts) over a SHARED partition key needs no join at all — union
+    both sides, sort within the key, carry the last non-null marker.
+    One shuffle on user_id, linear scan — vs. the O(n·m) correlated
+    subquery a naive engine runs. (DuckDB's native ASOF JOIN is the
+    same algorithm; the oracle uses the window form so both engines
+    compute identical plans.)"""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_error_ts"),
+    )
+
+
+@register(
+    "f09_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+        FROM events WHERE props IS NOT NULL
+    """,
+    tags=("function",),
+)
+def f09_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction, JVM-side (`get_json_object`) — the S4
+    string-payload edge without any Python json.loads loop."""
+    ev = load(spark, sf, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@register(
+    "f10_explode_unnest",
+    oracle="""
+        SELECT doc_id, pos, tok
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) t
+        WHERE pos < 5
+    """,
+    tags=("function",),
+)
+def f10_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode of a tokenized column (first 5 positions): the 1→N
+    fan-out primitive every shingle/token pipeline builds on.
+    Generated rows never materialize on the driver; the fan-out
+    happens inside the scan stage."""
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("pos") < 5)
+    )
