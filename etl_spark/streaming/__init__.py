@@ -6,5 +6,11 @@ from etl_spark.streaming.monitor import (
     windowed_event_counts,
     run_threshold_monitor,
 )
+from etl_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["stream_events", "windowed_event_counts", "run_threshold_monitor"]
+__all__ = [
+    "stream_events",
+    "windowed_event_counts",
+    "run_threshold_monitor",
+    "sessionize_stream",
+]

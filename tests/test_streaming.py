@@ -111,3 +111,84 @@ def test_threshold_monitor_fires_and_drains_incrementally(
     q3.awaitTermination(120)
     assert sum(n for _, n in batches) == total_errors
     assert len(notifier.sent) == 2
+
+
+def test_stateful_sessionize_across_restarts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState gap-sessionizer: feed the event feed in
+    two time-ordered drops with a query restart between them (state
+    recovered from the checkpoint), and check every CLOSED session
+    matches the batch window computation. Each user's final session
+    stays open in state and must NOT be emitted."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark.streaming import sessionize_stream
+
+    GAP = 1800
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    watch = tmp_path / "sess_in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess")
+    collected = []
+
+    def _drop(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, watch / f"{name}.parquet")
+
+    def _drain():
+        stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(
+            str(watch)
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=GAP)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _drop(ev.filter(F.col("ts") <= F.lit(mid)), "first")
+    _drain()
+    n_after_first = len(collected)
+    _drop(ev.filter(F.col("ts") > F.lit(mid)), "second")
+    _drain()
+    assert len(collected) > n_after_first > 0
+
+    # batch ground truth at µs precision, minus each user's last session
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sid = F.sum(
+        F.when(gap_us.isNull() | (gap_us > GAP * 1_000_000), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wmax = Window.partitionBy("user_id")
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessions.withColumn("max_sid", F.max("sid").over(wmax))
+        .filter("sid < max_sid")
+        .collect()
+    }
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in collected
+    }
+    assert got == want
