@@ -10,10 +10,13 @@ the corpus:
   (inverted index), so only documents sharing a shingle ever meet.
   At 100 TB you additionally ban ultra-frequent shingles (stop-shingle
   cut) to bound bucket sizes; implemented here with a frequency cap.
-- MinHash: k salted-MD5 hash functions, min per doc — one
-  explode+groupBy. LSH: band signatures → bucket join; only bucket
-  collisions are compared (the classic banding scheme from Broder /
-  MMDS ch.3).
+- MinHash: k hash functions from ONE md5 per shingle via the
+  Carter-Wegman family h_i = (h1 + i*h2) mod (2^61-1), with h1/h2
+  drawn from disjoint substrings of the digest (the MMDS ch.3
+  construction) — 8× less hashing than k independent salted digests,
+  which is the dominant cost at corpus scale. LSH: band signatures →
+  bucket join; only bucket collisions are compared (the classic
+  banding scheme from Broder / MMDS ch.3).
 - SimHash: term-frequency-weighted bit votes on a 60-bit token hash,
   16-bit signature here (width is a constant).
 
@@ -37,6 +40,11 @@ _HEX2INT = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
 
 N_MINHASH = 8
 N_BANDS = 4  # bands of 2 rows each over the 8-hash signature
+
+# Carter-Wegman minhash family: h_i = (h1 + i*h2) mod MERSENNE61.
+# h1 is 60 bits (hex chars 1-15), h2 is 56 bits (hex chars 17-30) of
+# the same digest, so h1 + 7*h2 < 2^60 + 2^59 — no BIGINT overflow.
+MERSENNE61 = (1 << 61) - 1
 
 
 def _shingled(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,26 +156,35 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) MinHash signature: for each of k
-    salted hash functions, the min over the doc's shingles. One
-    explode + one groupBy — linear in total shingle count."""
-    sh = _shingled(spark, sf)
+    """(doc_id, mh_0..mh_{k-1}) MinHash signature: one md5 per
+    shingle, k derived hashes via (h1 + i*h2) mod 2^61-1, min per
+    doc. One explode + one groupBy — linear in total shingle count,
+    with hashing cost independent of k."""
+    base = _shingled(spark, sf).withColumn("m", F.md5("shingle")).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").alias("h2"),
+    )
     aggs = [
-        F.min(F.expr(_HEX2INT.format(s=f"concat('{i}|', shingle)"))).alias(f"mh_{i}")
+        F.min((F.col("h1") + i * F.col("h2")) % F.lit(MERSENNE61)).alias(f"mh_{i}")
         for i in range(N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def _duck_minhash_sig() -> str:
     mins = ",\n               ".join(
-        f"MIN(('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) AS mh_{i}"
-        for i in range(N_MINHASH)
+        f"MIN((h1 + {i} * h2) % {MERSENNE61}) AS mh_{i}" for i in range(N_MINHASH)
     )
     return f"""
         SELECT doc_id,
                {mins}
-        FROM ({_DUCK_SHINGLES}) sh
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(shingle), 17, 14))::BIGINT AS h2
+            FROM ({_DUCK_SHINGLES}) sh
+        ) hashed
         GROUP BY doc_id
     """
 
