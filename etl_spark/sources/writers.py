@@ -56,6 +56,30 @@ def truncate_load(df: DataFrame, table: str) -> None:
     df.write.format("parquet").mode("overwrite").saveAsTable(table)
 
 
+def bucketed_save(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    n_buckets: int = 32,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Write a managed table bucketed (and optionally sorted) by
+    ``bucket_keys``: rows are hash-distributed into ``n_buckets``
+    files per partition writer, and the layout is recorded in the
+    catalog. Equi-joins and aggregations on the bucket keys between
+    tables sharing the same bucketing then run with ZERO shuffle —
+    the co-location the reference could never express. At 100 TB this
+    is the difference between an exchange of the whole fact table and
+    none at all; pick n_buckets so each bucket is a few hundred MB.
+    (tests/test_scale.py asserts the no-Exchange plan.)"""
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        n_buckets, *bucket_keys
+    )
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table)
+
+
 def upsert(df: DataFrame, table: str, keys: list[str]) -> None:
     """MERGE-style upsert (`INSERT OR REPLACE INTO`,
     web_scheduler.py:4510-4513): rows in ``df`` replace target rows

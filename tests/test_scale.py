@@ -1,0 +1,98 @@
+"""Scale-path tests: skew salting, skew profiling, bucketed
+co-located joins. These verify the 100 TB toolkit gives IDENTICAL
+results to the naive plans while changing the physical shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.plans import formatted_plan, key_skew_profile, node_count, salted_join
+from etl_spark.sources.writers import bucketed_save
+from etl_spark.tables import load
+
+
+def _same_rows(a, b) -> bool:
+    return a.count() == b.count() and a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, sf_dir, how):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, on=["l_orderkey"], how=how)
+    salted = salted_join(li, orders, on=["l_orderkey"], n_salts=4, how=how)
+    assert "__salt" not in salted.columns
+    assert _same_rows(plain, salted)
+
+
+def test_salted_join_hot_keys_only(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    hot = key_skew_profile(li, ["l_orderkey"], top_n=5).select("l_orderkey")
+    plain = li.join(orders, on=["l_orderkey"], how="inner")
+    salted = salted_join(
+        li, orders, on=["l_orderkey"], n_salts=4, how="inner", hot_keys=hot
+    )
+    assert _same_rows(plain, salted)
+
+
+def test_key_skew_profile_matches_manual_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    prof = key_skew_profile(li, ["l_orderkey"], top_n=3).collect()
+    manual = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "l_orderkey")
+        .limit(3)
+        .collect()
+    )
+    assert prof[0].n_rows == manual[0].n
+    total = li.count()
+    assert prof[0].share == pytest.approx(prof[0].n_rows / total, abs=1e-5)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with zero Exchange nodes — the co-location guarantee that
+    removes the fact-table shuffle at 100 TB."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucketed_save(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    bucketed_save(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the shuffle question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = formatted_plan(joined)
+        assert node_count(plan, "Exchange") == 0, plan
+        assert joined.count() == load(spark, sf_dir, "lineitem").count()
+
+        # the unbucketed twin DOES shuffle both sides
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert node_count(formatted_plan(plain), "Exchange") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_agg_has_no_shuffle(spark, sf_dir):
+    """Aggregation keyed on the bucket column also skips its
+    exchange."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bucketed_save(li, "b_li_agg", ["l_orderkey"], n_buckets=8)
+    try:
+        agg = spark.table("b_li_agg").groupBy("l_orderkey").sum("l_quantity")
+        assert node_count(formatted_plan(agg), "Exchange") == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
