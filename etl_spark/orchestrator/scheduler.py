@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 
 from etl_spark.orchestrator.cron import CronError, next_fire
 
+# T4: monitoring tasks with no schedule at all default to a 5-minute
+# cadence (web_scheduler.py:1483-1494, :1530-1538)
+DEFAULT_MONITOR_INTERVAL_S = 300
+
 LOG_SCHEMA = (
     "task_id INT, task_name STRING, status STRING, execution_time TIMESTAMP_NTZ, "
     "details STRING"
@@ -55,6 +59,9 @@ class TaskSpec:
     max_retries: int = 0
     retry_delay_seconds: int = 0
     is_active: bool = True
+    # monitoring tasks fall back to the T4 default cadence when
+    # neither cron nor interval is configured
+    is_monitor: bool = False
 
 
 @dataclass
@@ -89,6 +96,8 @@ class Orchestrator:
                 pass
         if spec.interval_seconds:
             return now + timedelta(seconds=spec.interval_seconds)
+        if spec.is_monitor:
+            return now + timedelta(seconds=DEFAULT_MONITOR_INTERVAL_S)
         return None
 
     # -- audit log (T10) ---------------------------------------------------

@@ -141,3 +141,102 @@ def test_catalog_resolution(spark, db):
     resolved = cat.resolve_sql(spark, sql)
     assert f"{db}.findme" in resolved
     assert "other.missing" in resolved  # unfound names left alone
+
+
+# ---------- S2: JDBC source/sink configuration ----------
+
+
+def test_jdbc_read_options_partitioned():
+    from etl_spark.sources.jdbc import jdbc_read_options
+
+    opts = jdbc_read_options(
+        url="jdbc:mysql://192.0.2.1:9030/erp_system",
+        table="dwd_sale_shopify_order_di",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["dbtable"] == "dwd_sale_shopify_order_di"
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "0",
+        "1000000",
+        "32",
+    )
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_read_options_validation():
+    import pytest as _pytest
+
+    from etl_spark.sources.jdbc import jdbc_read_options
+
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x", table="t", query="SELECT 1")
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x")
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x", table="t", partition_column="id")
+    with _pytest.raises(ValueError):
+        jdbc_read_options(
+            url="jdbc:x",
+            query="SELECT 1",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=10,
+            num_partitions=2,
+        )
+
+
+def test_jdbc_reader_writer_construct(spark, sf_dir):
+    from etl_spark.sources.jdbc import jdbc_reader, jdbc_writer
+    from etl_spark.tables import load
+
+    reader = jdbc_reader(spark, url="jdbc:postgresql://h/db", query="SELECT 1 AS x")
+    assert reader is not None  # configured; .load() needs a driver jar
+    writer = jdbc_writer(
+        load(spark, sf_dir, "region"),
+        url="jdbc:mysql://h/db",
+        table="t",
+        mode="overwrite",
+        truncate="true",
+    )
+    assert writer is not None
+
+
+# ---------- O4/O5/A8: pagination + preview ----------
+
+
+def test_paginate_math_and_stability(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.pagination import paginate
+    from etl_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    pg = paginate(orders, [F.desc("o_orderdate"), F.asc("o_orderkey")], page=3, per_page=25)
+    assert pg.total == orders.count()
+    assert pg.pages == -(-pg.total // 25)
+    rows = pg.rows.collect()
+    assert len(rows) == 25
+    # page 3 == rows 50..74 of the full stable ordering
+    full = orders.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey")).collect()
+    assert [r.o_orderkey for r in rows] == [r.o_orderkey for r in full[50:75]]
+
+
+def test_paginate_clamps_per_page(spark, sf_dir):
+    from etl_spark.operators.pagination import paginate
+    from etl_spark.tables import load
+
+    pg = paginate(load(spark, sf_dir, "nation"), ["n_nationkey"], per_page=5000)
+    assert pg.per_page == 100  # web_scheduler.py:5239 clamp
+
+
+def test_head_preview(spark, sf_dir):
+    from etl_spark.operators.pagination import head_preview
+    from etl_spark.tables import load
+
+    rows = head_preview(load(spark, sf_dir, "region"), n=3)
+    assert len(rows) == 3
+    assert set(rows[0]) == {"r_regionkey", "r_name"}

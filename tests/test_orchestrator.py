@@ -144,3 +144,80 @@ def test_run_now_and_inflight_dedup(orch):
     assert orch.run_task(20, now) == "skipped"  # T5
     orch.tasks[20].executing = False
     assert orch.latest_statuses()[20] == "success"
+
+
+# ---------- S10/S11: python-script execution + upload store ----------
+
+
+def test_execute_script_captures_output_and_env(tmp_path):
+    from etl_spark.orchestrator.scripts import execute_script
+
+    script = tmp_path / "job.py"
+    script.write_text(
+        "import os, sys\n"
+        "print('rows=' + os.environ.get('N_ROWS', '?'))\n"
+        "sys.stderr.write('warn: x\\n')\n"
+    )
+    r = execute_script(str(script), timeout_s=30, env={"N_ROWS": "31000"})
+    assert r.success and r.returncode == 0 and not r.timed_out
+    assert r.stdout.strip() == "rows=31000"
+    assert "warn: x" in r.stderr
+
+
+def test_execute_script_failure_and_timeout(tmp_path):
+    from etl_spark.orchestrator.scripts import execute_script
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("raise SystemExit(3)\n")
+    r = execute_script(str(bad), timeout_s=30)
+    assert not r.success and r.returncode == 3
+
+    slow = tmp_path / "slow.py"
+    slow.write_text("import time; time.sleep(60)\n")
+    r2 = execute_script(str(slow), timeout_s=2)
+    assert not r2.success and r2.timed_out
+
+
+def test_execute_script_pythonpath_has_script_dir(tmp_path):
+    from etl_spark.orchestrator.scripts import execute_script
+
+    (tmp_path / "sibling.py").write_text("VALUE = 41\n")
+    main = tmp_path / "main.py"
+    main.write_text("import sibling; print(sibling.VALUE + 1)\n")
+    r = execute_script(str(main), timeout_s=30)
+    assert r.success and r.stdout.strip() == "42"
+
+
+def test_store_upload_sanitizes(tmp_path):
+    import pytest as _pytest
+
+    from etl_spark.orchestrator.scripts import sanitize_filename, store_upload
+
+    assert sanitize_filename('we/ird*na?me:"<x>|.py') == "weirdnamex.py"
+    src = tmp_path / "etl?job.py"
+    src.write_text("print('ok')\n")
+    dest = store_upload(str(src), str(tmp_path / "uploads"))
+    assert dest.endswith("etljob.py")
+    with _pytest.raises(ValueError):
+        store_upload(__file__.replace(".py", ".txt"), str(tmp_path / "uploads"))
+
+
+def test_monitor_default_cadence(spark):
+    """T4: a monitoring task with no cron and no interval defaults to
+    the 300 s cadence (web_scheduler.py:1490)."""
+    from datetime import datetime, timedelta
+
+    from etl_spark.orchestrator.scheduler import (
+        DEFAULT_MONITOR_INTERVAL_S,
+        Orchestrator,
+        TaskSpec,
+    )
+
+    orch = Orchestrator(spark, db="etl_meta_t4")
+    now = datetime(2026, 1, 8, 15, 50, 0)
+    orch.register(
+        TaskSpec(task_id=1, name="alert", fn=lambda s: None, is_monitor=True), now
+    )
+    assert orch.tasks[1].next_run == now + timedelta(seconds=DEFAULT_MONITOR_INTERVAL_S)
+    orch.register(TaskSpec(task_id=2, name="plain", fn=lambda s: None), now)
+    assert orch.tasks[2].next_run is None
