@@ -37,12 +37,17 @@ HEADLINE = [
     "w01_topk_per_group",
     "s01_tumbling_window",
     "t01_dashboard_listing",
+    "a07_rollup",
+    "j08_range_join",
     "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
     "x03_minhash_signatures",
     "x04_minhash_lsh_pairs",
     "x05_simhash",
     "x06_knn_bruteforce",
     "x13_fingerprint",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
 ]
 
 

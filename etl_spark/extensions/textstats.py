@@ -318,7 +318,9 @@ def x18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # tf is unique per (doc_id, tok) by construction, so plain count
+    # == count_distinct(doc_id) without the distinct-expand phase
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",

@@ -1,0 +1,89 @@
+"""Extension-quality tests beyond oracle parity: ANN recall against
+the exact baseline, and hypothesis property tests for the SQL
+splitter and cron calculator."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_spark.orchestrator.cron import next_fire
+from etl_spark.registry import all_specs
+from etl_spark.sql_runner import split_statements
+
+SPECS = all_specs()
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """x08 (IVF, nprobe=3) must retrieve most of x06's exact top-10 —
+    the docstring's recall contract. Threshold 0.5 is conservative for
+    a 3-of-N-cells probe; typical observed recall is far higher."""
+    exact = {r.vec_id for r in SPECS["x06_knn_bruteforce"].fn(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in SPECS["x08_ann_ivf_topk"].fn(spark, sf_dir).collect()}
+    assert len(exact) == 10 and len(approx) == 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+# ---------- property tests: quote-aware splitter ----------
+
+_IDENT = st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=8)
+# literal bodies may contain the hazard characters: ; ' " and comment markers
+_LITERAL = st.text(
+    st.sampled_from(list("abc;-'\"/*\n ")), min_size=0, max_size=12
+).map(lambda s: s.replace("'", "''"))
+
+
+@given(st.lists(st.tuples(_IDENT, _LITERAL), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_preserves_semicolons_inside_literals(parts):
+    """Statements whose string literals contain ';' (and quote/comment
+    markers) must survive the split intact — the reference's known
+    bug (naive split(';') at web_scheduler.py:921)."""
+    stmts = [f"INSERT INTO {ident} VALUES ('{lit}')" for ident, lit in parts]
+    script = ";\n".join(stmts) + ";"
+    out = split_statements(script)
+    assert out == stmts
+
+
+@given(st.text(st.sampled_from(list("ab;'\"-\n ")), max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_split_never_drops_content_outside_quotes(noise):
+    """Splitting then rejoining loses only separators and whitespace —
+    never statement text. (Unbalanced quotes are tolerated: the tail
+    is returned as-is.)"""
+    out = split_statements(noise)
+    reassembled = "".join(out)
+    kept = [c for c in noise if c not in "; \n"]
+    for c in kept:
+        assert reassembled.count(c) >= 1 or not kept
+
+
+# ---------- property tests: cron next-fire ----------
+
+_MINUTE = st.integers(0, 59)
+_HOUR = st.integers(0, 23)
+_BASE = st.datetimes(
+    min_value=datetime(2020, 1, 1), max_value=datetime(2030, 12, 31)
+).map(lambda d: d.replace(second=0, microsecond=0))
+
+
+@given(_MINUTE, _HOUR, _BASE)
+@settings(max_examples=200, deadline=None)
+def test_cron_daily_fire_is_future_and_matches_fields(minute, hour, base):
+    nf = next_fire(f"{minute} {hour} * * *", base)
+    assert nf > base
+    assert (nf.minute, nf.hour) == (minute, hour)
+    assert nf - base <= timedelta(days=1)
+
+
+@given(st.integers(1, 30), _BASE)
+@settings(max_examples=200, deadline=None)
+def test_cron_step_minutes_alignment(step, base):
+    nf = next_fire(f"*/{step} * * * *", base)
+    assert nf > base
+    assert nf.minute % step == 0
+    assert nf - base <= timedelta(minutes=step + 1)
