@@ -366,3 +366,48 @@ def x19_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct(F.md5("text")).alias("n_unique"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer approximation: contraction suffixes,
+# space-prefixed letter/digit runs, punctuation runs, whitespace runs.
+# ASCII classes keep Java-regex (Spark) and RE2 (DuckDB) semantics
+# bit-identical (verified in tests).
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# the pattern's leading apostrophe must be doubled inside a SQL literal
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "x20_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                        t -> NOT regexp_matches(t, '^\\s+$'))) AS INT) AS n_bpe,
+               CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_ws,
+               ROUND(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                        t -> NOT regexp_matches(t, '^\\s+$'))) * 1.0
+                     / len(string_split_regex(text, '\\s+')), 4) AS bpe_per_word
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''
+    """,
+    tags=("textstats",),
+)
+def x20_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (contractions / letter runs / digit runs / punct runs), counting
+    non-whitespace pieces — the budget estimator for LLM training
+    corpora, next to the plain whitespace count. Pure codegen'd
+    regexp_extract_all + array filter; no UDF, no shuffle."""
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    n_bpe = F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$")))
+    n_ws = F.size(F.split("text", r"\s+"))
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            n_bpe.alias("n_bpe"),
+            n_ws.alias("n_ws"),
+            F.round(n_bpe / n_ws, 4).alias("bpe_per_word"),
+        )
+    )

@@ -258,3 +258,48 @@ def t01_dashboard_listing(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("c_custkey"))
         .limit(50)
     )
+
+
+@register(
+    "s02_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR date_diff('us', LAG(ts) OVER w, ts) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def s02_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE gap-session operator (`session_window`, the
+    same primitive Structured Streaming uses for streaming sessions)
+    cross-checked against an independent engine's window-chain
+    derivation. Semantics under test: a session spans
+    [first, last + gap); an event exactly `gap` after the last one
+    opens a NEW session (>= boundary). last_event_ts is recovered as
+    window.end - gap. One shuffle on user_id."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES")).alias("last_event_ts"),
+            "n_events",
+        )
+    )
