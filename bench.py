@@ -29,8 +29,10 @@ from etl_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
+    "q04_priority_exists",
     "q05_region_revenue",
     "q06_shop_day_rollup",
+    "q10_returned_items",
     "j02_star_3way",
     "j05_correlated_max",
     "a06_lastn_conditional",

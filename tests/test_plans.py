@@ -88,3 +88,40 @@ def test_hot_paths_are_codegen(spark, sf_dir, name):
         assert bad not in plan
     # executed plans mark codegen stages with '*(n) ' prefixes
     assert "*(" in plan, f"no whole-stage-codegen stage in:\n{plan[:500]}"
+
+
+def test_range_join_broadcasts_band_table(spark, sf_dir):
+    """j08: the 3-row band dimension must broadcast (nested-loop with
+    the range predicate), never shuffle the fact side for the join."""
+    plan = plan_of(spark, sf_dir, "j08_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # single real exchange: the final groupBy(band)
+    assert node_count(plan, "Exchange") == 1
+
+
+@pytest.mark.parametrize("name", ["x17_quality_filter", "x20_bpe_token_count"])
+def test_scan_local_textops_never_shuffle(spark, sf_dir, name):
+    """Quality gate and token counting are pure per-row projections —
+    their plans must contain zero exchanges (at 100 TB they run at
+    scan speed, embarrassingly parallel)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert node_count(plan, "Exchange") == 0, plan
+    assert "ReadSchema: struct<doc_id" in plan  # column pruning to (doc_id, text)
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """j09: the as-of carry-forward form is one shuffle on user_id —
+    no join node at all."""
+    plan = plan_of(spark, sf_dir, "j09_asof_join")
+    assert node_count(plan, "Exchange") == 1
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join_node not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """x04: candidate generation must be an equi-join on band keys,
+    never a cartesian/nested-loop over the corpus."""
+    plan = plan_of(spark, sf_dir, "x04_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

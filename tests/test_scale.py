@@ -96,3 +96,44 @@ def test_bucketed_agg_has_no_shuffle(spark, sf_dir):
         assert node_count(formatted_plan(agg), "Exchange") == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_partitioned_table_prunes_and_dynamic_overwrite(spark, sf_dir):
+    """Partition pruning: a filter on the partition column appears as
+    a PartitionFilter (directory-level skip), and dynamic overwrite
+    replaces only the partitions present in the incoming frame."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.plans import formatted_plan
+    from etl_spark.sources.writers import partitioned_save
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    partitioned_save(orders, "p_orders", ["order_month"])
+    try:
+        months = [r.order_month for r in
+                  spark.table("p_orders").select("order_month").distinct().collect()]
+        target = sorted(months)[0]
+        q = spark.table("p_orders").filter(F.col("order_month") == target)
+        plan = formatted_plan(q)
+        assert "PartitionFilters" in plan and "order_month" in plan
+        n_before = q.count()
+        assert n_before > 0
+
+        # dynamic overwrite: rewrite ONLY the target month with 1 row
+        # (from the source frame — overwriting a table from itself is
+        # illegal, as in any engine with lazy plans)
+        one = orders.filter(F.col("order_month") == target).limit(1)
+        partitioned_save(one, "p_orders", ["order_month"])
+        assert (
+            spark.table("p_orders").filter(F.col("order_month") == target).count() == 1
+        )
+        # other partitions untouched
+        other = sorted(months)[1]
+        assert (
+            spark.table("p_orders").filter(F.col("order_month") == other).count()
+            == orders.filter(F.col("order_month") == other).count()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS p_orders")
