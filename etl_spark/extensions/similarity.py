@@ -150,3 +150,66 @@ def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---- cosine LSH (random hyperplanes, Charikar '02) ----
+#
+# Hyperplane components are DETERMINISTIC pseudo-randoms derived from
+# md5("p_d") at module import — both engines receive the identical
+# constants, so the oracle is exact. 8 planes → 8-bit signature →
+# 256 buckets; vectors sharing a bucket are near-dup candidates with
+# P[same bit] = 1 - angle/pi per plane.
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    import hashlib
+
+    comps = []
+    for d in range(_EMB_DIM):
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        comps.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+    return comps
+
+
+_PLANES = [_plane(p) for p in range(_N_PLANES)]
+
+
+def _duck_cosine_lsh() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_PLANES[p]!r}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+        SELECT vec_id, label, CAST({bits} AS INT) AS bucket
+        FROM embeddings
+    """
+
+
+@register(
+    "x21_cosine_lsh_buckets",
+    oracle=_duck_cosine_lsh(),
+    tags=("similarity", "dedup"),
+)
+def x21_cosine_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH signatures for embedding near-dup /
+    blocked ANN: sign of the dot product against 8 fixed hyperplanes
+    packs into an 8-bit bucket id. Candidate pairs then come from a
+    bucket equi-join (like x04's band join) instead of an O(n²)
+    cross — the scale path when brute-force cosine (x06) stops
+    fitting. All codegen'd array math; the planes are plan constants
+    (zero hashing at runtime)."""
+    emb = load(spark, sf, "embeddings")
+    bucket = None
+    for p in range(_N_PLANES):
+        arr = F.array(*[F.lit(c) for c in _PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", "label", bucket.cast("int").alias("bucket"))

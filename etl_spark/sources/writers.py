@@ -74,9 +74,17 @@ def partitioned_save(
     dynamic partition overwrite — only the partitions present in
     ``df`` are replaced (saveAsTable(overwrite) drops the whole
     table, dynamic mode notwithstanding). insertInto is positional,
-    so columns are aligned to the table schema first."""
+    so columns are aligned to the table schema first.
+
+    The frame is repartitioned on the partition columns before the
+    write: without it every shuffle task writes a file into every
+    hive partition (tasks × partitions tiny files — the classic
+    small-files explosion); with it each partition is written by one
+    task. For a skewed giant partition, add a secondary salt column
+    to the repartition."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = df.repartition(*partition_cols)
     if spark.catalog.tableExists(table):
         df.select(*spark.table(table).columns).write.insertInto(
             table, overwrite=(mode == "overwrite")

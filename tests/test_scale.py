@@ -137,3 +137,51 @@ def test_partitioned_table_prunes_and_dynamic_overwrite(spark, sf_dir):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS p_orders")
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    """The script-30 upgrade: a delta touching one month refreshes
+    exactly that partition, and the table equals a from-scratch
+    rebuild of the updated source."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.incremental import refresh_rollup
+
+    def build(df):
+        return (
+            df.groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
+    orders = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)  # initial load
+    late = orders.filter(F.col("o_orderkey") % 10 == 0).filter(
+        F.date_format("o_orderdate", "yyyy-MM") == "1996-03"
+    )  # late-arriving rows, all in one month
+    assert late.count() > 0
+
+    try:
+        n = refresh_rollup(spark, base, "dwd_rollup", "month", build)
+        assert n == base.select(
+            F.date_format("o_orderdate", "yyyy-MM")
+        ).distinct().count()
+
+        updated_source = base.unionByName(late)
+        n2 = refresh_rollup(
+            spark, updated_source, "dwd_rollup", "month", build, delta=late
+        )
+        assert n2 == 1  # only 1996-03 rewritten
+
+        got = spark.table("dwd_rollup")
+        want = build(updated_source)
+        assert _same_rows(got.select(*want.columns), want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_rollup")
