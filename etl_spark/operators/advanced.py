@@ -277,3 +277,27 @@ def f10_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
         .filter(F.col("pos") < 5)
     )
+
+
+@register(
+    "x22_approx_aggs",
+    oracle=None,  # HLL++/KLL sketches are engine-specific — tolerance
+    # vs the exact values is asserted in tests/test_extensions.py
+    tags=("agg",),
+)
+def x22_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB substitutes for exact
+    distinct/percentile when the key cardinality no longer fits a
+    hash table: HLL++ (approx_count_distinct, rsd 2%) and a
+    quantile sketch (approx_percentile). Both are single-pass,
+    mergeable partial aggregates — constant memory per partition, one
+    shuffle of sketch bytes instead of raw keys."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -87,3 +87,31 @@ def test_cron_step_minutes_alignment(step, base):
     assert nf > base
     assert nf.minute % step == 0
     assert nf - base <= timedelta(minutes=step + 1)
+
+
+def test_approx_aggs_within_tolerance(spark, sf_dir):
+    """x22: HLL++ distinct within its 2% rsd envelope (5% assert
+    margin), approx median within 2% of the exact median."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.tables import load
+
+    approx = {
+        r.o_orderstatus: r
+        for r in SPECS["x22_approx_aggs"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for status, e in exact.items():
+        a = approx[status]
+        assert abs(a.approx_customers - e.n_customers) / e.n_customers < 0.05
+        assert abs(a.approx_median_price - e.median_price) / e.median_price < 0.02
