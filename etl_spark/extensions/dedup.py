@@ -9,7 +9,10 @@ the corpus:
 - n-gram Jaccard: explode shingles → self-join on the *shingle*
   (inverted index), so only documents sharing a shingle ever meet.
   At 100 TB you additionally ban ultra-frequent shingles (stop-shingle
-  cut) to bound bucket sizes; implemented here with a frequency cap.
+  cut) to bound bucket fan-out — candidates come from the capped
+  index while the Jaccard itself stays exact over full shingle sets
+  (the cut is a candidate-generation lever, not a definition change;
+  x02 here is the exact uncapped form).
 - MinHash: k hash functions from ONE md5 per shingle via the
   Carter-Wegman family h_i = (h1 + i*h2) mod (2^61-1), with h1/h2
   drawn from disjoint substrings of the digest (the MMDS ch.3

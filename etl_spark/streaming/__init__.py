@@ -2,6 +2,7 @@
 upgrade of the reference's 1-second polling loop."""
 
 from etl_spark.streaming.monitor import (
+    dedup_stream,
     stream_events,
     windowed_event_counts,
     run_threshold_monitor,
@@ -9,6 +10,7 @@ from etl_spark.streaming.monitor import (
 from etl_spark.streaming.stateful import sessionize_stream
 
 __all__ = [
+    "dedup_stream",
     "stream_events",
     "windowed_event_counts",
     "run_threshold_monitor",

@@ -115,3 +115,17 @@ def run_threshold_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup: `dropDuplicates` scoped
+    by a watermark — re-delivered events (at-least-once sources,
+    replayed files, retried producers) are dropped if their key was
+    seen within the watermark horizon. State holds one entry per key
+    per horizon, evicted as event time advances — bounded memory, the
+    property the reference's re-scan-everything loop lacks. This is
+    the ingestion front door of a training-data pipeline (every
+    crawler delivers duplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)

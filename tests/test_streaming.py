@@ -192,3 +192,33 @@ def test_stateful_sessionize_across_restarts(spark, sf_dir, tmp_path):
         (r.user_id, r.session_start, r.session_end, r.n_events) for r in collected
     }
     assert got == want
+
+
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, event_dir, tmp_path):
+    """The same event file delivered twice (at-least-once source):
+    dedup_stream emits each event_id exactly once."""
+    from etl_spark.streaming import dedup_stream, stream_events
+
+    seen: list = []
+
+    def _drain():
+        q = (
+            dedup_stream(stream_events(spark, str(event_dir)), ["event_id"])
+            .writeStream.foreachBatch(
+                lambda bdf, bid: seen.extend(r.event_id for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _drain()
+    n_events = load(spark, sf_dir, "events").count()
+    assert len(seen) == len(set(seen)) == n_events
+
+    # redeliver the identical file → nothing new emitted
+    shutil.copy(f"{sf_dir}/events.parquet", event_dir / "redelivered.parquet")
+    _drain()
+    assert len(seen) == n_events, "re-delivered events must be dropped"
