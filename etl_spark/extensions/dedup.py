@@ -340,3 +340,94 @@ def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
     )
     return bitsum.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+# stop-shingle cap for candidate generation (x23): shingles present in
+# more than CAP documents are banned from the inverted index — they
+# generate O(freq²) candidate pairs while carrying almost no signal.
+STOP_SHINGLE_CAP = 5
+
+
+@register(
+    "x23_jaccard_capped_pairs",
+    oracle=f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        freq AS (
+            SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM sh GROUP BY shingle
+        ),
+        index_sh AS (
+            SELECT sh.doc_id, sh.shingle
+            FROM sh JOIN freq USING (shingle)
+            WHERE freq.n_docs <= {STOP_SHINGLE_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM index_sh a JOIN index_sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT s.doc_a, s.doc_b,
+               ROUND(s.n_shared * 1.0
+                     / (sa.n_sh + sb.n_sh - s.n_shared), 4) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.doc_a = sa.doc_id
+        JOIN sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def x23_jaccard_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard with a stop-shingle cut — the 100 TB form of
+    x02. Candidate pairs come only from shingles shared by ≤ CAP
+    documents (a shingle in f docs spawns O(f²) pairs; banning the
+    ultra-frequent tail bounds the inverted-index fan-out). The
+    Jaccard itself is then computed EXACTLY over the full shingle
+    sets of each surviving pair, so scores are identical to x02 —
+    only pairs whose overlap is exclusively stop-shingles are lost,
+    and those are precisely the boilerplate matches the cut exists to
+    ignore. Deterministic, so the oracle reproduces it exactly."""
+    sh = _shingled(spark, sf)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    index_sh = (
+        sh.join(freq.filter(F.col("n_docs") <= STOP_SHINGLE_CAP).select("shingle"), "shingle")
+    )
+    a = index_sh.alias("a")
+    b = index_sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("fb_doc"), F.col("shingle").alias("sh_b"))
+    shared = (
+        cand.join(fa, "doc_a")
+        .join(fb, (F.col("doc_b") == F.col("fb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
