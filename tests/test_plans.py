@@ -125,3 +125,12 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x04_minhash_lsh_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_owns_runtime_replanning(spark, sf_dir):
+    """Session defaults must leave AQE active: the executed plan is
+    adaptive and small shuffle partitions are runtime-coalesced (the
+    main defense against static misestimates at scale)."""
+    plan = executed_plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan
