@@ -32,7 +32,11 @@ HEADLINE = [
     "q04_priority_exists",
     "q05_region_revenue",
     "q06_shop_day_rollup",
+    "q07_nation_volume",
     "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "j02_star_3way",
     "j05_correlated_max",
     "a06_lastn_conditional",

@@ -388,3 +388,204 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q07_nation_volume",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q07_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade flow between
+    a nation pair, by shipment year. The same dimension table (nation)
+    joins twice under different roles — supplier side and customer
+    side — which is exactly the multi-role lookup the reference's
+    procedural N+1 loops simulate (web_scheduler.py:4669-4688). Both
+    nation copies and supplier/customer broadcast; the disjunctive
+    pair filter runs after the broadcasts, pre-aggregation, so only
+    lineitem⋈orders shuffles. Reference parity: SURVEY §2.3 J2/J6."""
+    supp = load(spark, sf, "supplier")
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+        SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                        ELSE 0 END)
+                    / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one month's
+    revenue attributable to promo-typed parts — a conditional
+    aggregate over a fact⋈dim join, the declarative form of the
+    reference's filtered-count pattern (SURVEY §2.4 A2/A6). The
+    one-month shipdate range pushes into the lineitem scan (reads
+    ~1/80th of the table); part broadcasts; the whole query is one
+    map-side join plus a single-row global aggregate — no shuffle of
+    fact data at any scale."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    part = load(spark, sf, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo_rev) / F.sum(rev))
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    tags=("flagship", "join", "agg", "subquery", "sort"),
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, with their customers — an
+    IN-subquery over a grouped HAVING, i.e. the reference's
+    existence-guard pattern (SURVEY §2.3 J7) driven by an aggregate
+    instead of a COUNT probe. Spark plan: the HAVING aggregate reuses
+    lineitem's l_orderkey shuffle partitioning for the semi-join
+    (same key → no extra exchange under AQE); customer broadcasts;
+    top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 21)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a three-branch OR of
+    conjunctive brand/size/quantity predicates spanning both join
+    sides — the stress case for the reference's dynamic WHERE builder
+    (SURVEY §2.2 P7) when branches are OR-ed rather than AND-ed.
+    Catalyst splits the disjunction: the common-factor single-side
+    predicates (derivable quantity/size bounds) push into each scan,
+    the cross-side residual evaluates post-join. part broadcasts, so
+    the whole query is scan → broadcast-join → single-row agg with no
+    fact shuffle."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        joined.filter(
+            branch("Brand#12", 15, 1, 21)
+            | branch("Brand#23", 25, 10, 30)
+            | branch("Brand#7", 35, 20, 40)
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+    )

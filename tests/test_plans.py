@@ -134,3 +134,22 @@ def test_aqe_owns_runtime_replanning(spark, sf_dir):
     plan = executed_plan_of(spark, sf_dir, "q01_pricing_summary")
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_q19_disjunctive_bounds_push_into_scans(spark, sf_dir):
+    """Catalyst must factor single-side bounds out of the OR and push
+    them into both scans (the derivable l_quantity/p_size envelopes),
+    and the part side must broadcast — no fact shuffle at all."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,40" in plan
+    assert node_count(plan, "Exchange") <= 1  # single-row final agg only
+
+
+def test_q18_having_semijoin_no_dim_sortmerge(spark, sf_dir):
+    """The HAVING-driven semi-join keys on l_orderkey both times; the
+    customer lookup must broadcast rather than sort-merge."""
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
