@@ -153,3 +153,13 @@ def test_q18_having_semijoin_no_dim_sortmerge(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q18_large_orders")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q07_dual_role_dim_single_fact_shuffle(spark, sf_dir):
+    """nation joins twice (supplier-side and customer-side role); both
+    copies plus supplier/customer must broadcast, leaving the group-by
+    as the only real exchange."""
+    plan = plan_of(spark, sf_dir, "q07_nation_volume")
+    assert "SortMergeJoin" not in plan
+    assert node_count(plan, "BroadcastHashJoin") == 5
+    assert node_count(plan, "Exchange") == 1
