@@ -309,10 +309,12 @@ def x18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     top-k with a deterministic tok tiebreak.
 
     Scale shape: two shuffles (doc,tok) and (tok); the df table is
-    vocabulary-sized (≪ corpus) and broadcasts back onto tf. No UDFs;
-    ln() is IEEE-identical across engines."""
+    vocabulary-sized (≪ corpus) and broadcasts back onto tf. N is a
+    1-row broadcast aggregate INSIDE the plan — no separate driver
+    count() job per invocation. No UDFs; ln() is IEEE-identical
+    across engines."""
     docs = load(spark, sf, "documents")
-    n_docs = docs.count()  # scalar, reused as a literal (broadcast by value)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # in-plan scalar
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -321,12 +323,16 @@ def x18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # tf is unique per (doc_id, tok) by construction, so plain count
     # == count_distinct(doc_id) without the distinct-expand phase
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (

@@ -40,6 +40,13 @@ def _parse_field(spec: str, lo: int, hi: int, dow: bool = False) -> frozenset[in
         except ValueError as ex:
             raise CronError(f"bad field {part!r}") from ex
         if dow:  # 7 == Sunday == 0
+            # vixie cron allows ranges ENDING at 7 ("5-7" = Fri,Sat,Sun):
+            # walk the raw 0-7 range and fold 7 onto 0
+            if b == 7 and a < 7:
+                if not 0 <= a <= 7:
+                    raise CronError(f"value out of range in {spec!r}")
+                out.update(v % 7 for v in range(a, 8, step))
+                continue
             a, b = (0 if a == 7 else a), (0 if b == 7 else b)
             if a == 0 and b == 0 and part not in ("*",):
                 out.add(0)

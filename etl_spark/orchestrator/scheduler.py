@@ -20,10 +20,11 @@ managed Parquet table, and the gate/retry decisions are the SURVEY
 relational layer. `now` is always passed in, so tests never sleep; the
 1-second daemon loop is `run_loop`, a thin wrapper around `tick`.
 
-Scale note: one tick issues exactly two small Spark jobs (latest-status
-window + consecutive-failure count) regardless of task count — the
-reference's per-task N+1 SELECTs (:1327-1369) collapse into set-based
-queries over the whole log table.
+Scale note: one tick issues exactly ONE small Spark job — a single
+window pass (`tick_snapshot`) yielding latest status, consecutive
+failures, and last execution time per task — regardless of task
+count. The reference's per-task N+1 SELECTs (:1327-1369) collapse
+into one set-based query over the whole log table.
 """
 
 from __future__ import annotations
@@ -151,6 +152,44 @@ class Orchestrator:
             n += 1
         return n
 
+    def tick_snapshot(
+        self, lookback: int = 50
+    ) -> dict[int, tuple[str, int, datetime | None]]:
+        """The tick's ENTIRE log-derived state in one window query —
+        {task_id: (latest_status, consecutive_failures,
+        last_execution_time)}. Latest status is the rn=1 row;
+        consecutive failures = (first non-failed rn) - 1, or the full
+        lookback depth when every recent run failed. One Spark job per
+        tick regardless of task count (the r1 version re-ran a
+        per-task consecutive_failures job for each retry-eligible
+        task)."""
+        w = Window.partitionBy("task_id").orderBy(F.desc("execution_time"))
+        rows = (
+            self.logs()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= lookback)
+            .groupBy("task_id")
+            .agg(
+                F.max(
+                    F.when(F.col("rn") == 1, F.col("status"))
+                ).alias("latest_status"),
+                F.max("execution_time").alias("last_time"),
+                F.coalesce(
+                    F.min(
+                        F.when(F.col("status") != "failed", F.col("rn"))
+                    )
+                    - 1,
+                    F.count(F.lit(1)),
+                )
+                .cast("int")
+                .alias("consec_failures"),
+            )
+            .collect()
+        )
+        return {
+            r.task_id: (r.latest_status, r.consec_failures, r.last_time) for r in rows
+        }
+
     def can_execute(self, task_id: int, latest: dict[int, str] | None = None) -> bool:
         """T7 dependency gate: every dependency's latest run succeeded
         (A7 bool_and shape, web_scheduler.py:1231-1286). A dependency
@@ -186,19 +225,20 @@ class Orchestrator:
         """One scheduler pass (the :1289-1582 loop body). Returns
         {task_id: outcome} for every task acted on this tick."""
         outcomes: dict[int, str] = {}
-        latest = self.latest_statuses()
+        snap = self.tick_snapshot()
+        latest = {tid: s[0] for tid, s in snap.items()}
         for tid, state in self.tasks.items():
             spec = state.spec
             if not spec.is_active or state.executing:
                 continue
+            latest_status, consec, last_t = snap.get(tid, (None, 0, None))
             # T6 retry path: failed last run, retries remaining → rerun
             # after retry_delay, independent of the regular schedule
             if (
-                latest.get(tid) == "failed"
+                latest_status == "failed"
                 and spec.max_retries > 0
-                and 0 < self.consecutive_failures(tid) <= spec.max_retries
+                and 0 < consec <= spec.max_retries
             ):
-                last_t = self._last_execution_time(tid)
                 if last_t is not None and (now - last_t).total_seconds() >= (
                     spec.retry_delay_seconds
                 ):

@@ -119,6 +119,40 @@ def bucketed_save(
     writer.saveAsTable(table)
 
 
+def _partition_columns(spark: SparkSession, table: str) -> list[str]:
+    """Partition columns of a catalog table ([] when unpartitioned)."""
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
+def _sql_literal(v: object) -> str:
+    if v is None:
+        # hive convention: NULL partition values land in the default
+        # partition; addressable by its sentinel name
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _partition_predicate(touched: list, pcols: list[str]):
+    """OR-of-conjunctions predicate over partition columns — Catalyst
+    folds it into PartitionFilters so only touched partition
+    DIRECTORIES are listed/read."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def one(row):
+        return reduce(
+            lambda acc, c: acc & (F.col(c).eqNullSafe(F.lit(row[c]))), pcols, F.lit(True)
+        )
+
+    return reduce(lambda acc, r: acc | one(r), touched, F.lit(False))
+
+
 def upsert(df: DataFrame, table: str, keys: list[str]) -> None:
     """MERGE-style upsert (`INSERT OR REPLACE INTO`,
     web_scheduler.py:4510-4513): rows in ``df`` replace target rows
@@ -126,30 +160,76 @@ def upsert(df: DataFrame, table: str, keys: list[str]) -> None:
 
     Parquet has no row-level MERGE, so: target ANTI-JOIN df on keys
     (keep unmatched) UNION df, then overwrite. One shuffle on the key
-    columns. The write is staged through a checkpoint-free local
-    collect-to-new-plan because Spark cannot overwrite a table it is
-    reading from lazily."""
+    columns.
+
+    **Partition-scoped** (the 100 TB shape): when the table is
+    partitioned, only partitions that actually contain matched keys or
+    receive new rows are rewritten — the touched-partition set is
+    computed from a column-pruned scan (keys + partition cols only),
+    the merge runs over the pruned partitions, and the commit is a
+    dynamic-partition overwrite. A 1-row MERGE into one partition of a
+    10k-partition table rewrites exactly one partition, not the table.
+    Partitions whose rows all moved elsewhere are dropped explicitly
+    (dynamic overwrite only replaces partitions present in the
+    output). Unpartitioned tables fall back to the full staged
+    rewrite. On Delta/Iceberg this whole function is `MERGE INTO`."""
     spark = df.sparkSession
     if ensure_table(df, table):
         df.write.format("parquet").mode("append").saveAsTable(table)
         return
     target = spark.table(table)
-    merged = target.join(df.select(*keys), on=keys, how="left_anti").unionByName(
-        df.select(*target.columns)
-    )
-    # materialize before overwriting the table we just read
-    _overwrite_self(merged, table)
+    pcols = _partition_columns(spark, table)
+    if pcols:
+        # partitions holding an old version of a merged key (the scan
+        # reads only key + partition columns), plus partitions the new
+        # rows land in
+        touched = (
+            target.join(df.select(*keys).distinct(), on=keys, how="left_semi")
+            .select(*pcols)
+            .unionByName(df.select(*pcols))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        affected = target.filter(_partition_predicate(touched, pcols))
+        merged = affected.join(df.select(*keys), on=keys, how="left_anti").unionByName(
+            df.select(*target.columns)
+        )
+        _overwrite_partitions(merged, table, pcols, touched)
+    else:
+        merged = target.join(df.select(*keys), on=keys, how="left_anti").unionByName(
+            df.select(*target.columns)
+        )
+        _overwrite_self(merged, table)
 
 
 def delete_where(spark: SparkSession, table: str, condition: str) -> int:
     """§2.9 keyed DELETE (`DELETE FROM t WHERE ...`,
-    web_scheduler.py:4982): keep rows NOT matching, overwrite.
-    Returns number of deleted rows."""
+    web_scheduler.py:4982). SQL DELETE semantics: only rows where the
+    predicate evaluates to TRUE are removed — NULL-valued predicates
+    KEEP the row (a bare `NOT (cond)` would silently delete them).
+    Returns number of deleted rows.
+
+    Partition-scoped like `upsert`: only partitions containing a
+    to-be-deleted row are rewritten; partitions emptied entirely are
+    dropped via partition DDL."""
+    from pyspark.sql import functions as F
+
     target = spark.table(table)
-    before = target.count()
-    kept = target.filter(f"NOT ({condition})")
-    _overwrite_self(kept, table)
-    return before - spark.table(table).count()
+    cond_true = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    n_deleted = target.filter(cond_true).count()
+    if n_deleted == 0:
+        return 0
+    pcols = _partition_columns(spark, table)
+    if pcols:
+        touched = target.filter(cond_true).select(*pcols).distinct().collect()
+        kept = target.filter(_partition_predicate(touched, pcols)).filter(~cond_true)
+        _overwrite_partitions(kept, table, pcols, touched)
+    else:
+        kept = target.filter(~cond_true)
+        _overwrite_self(kept, table)
+    return n_deleted
 
 
 def update_set(
@@ -158,22 +238,50 @@ def update_set(
     """§2.9 UPDATE ... SET (dynamic SET-list builder,
     web_scheduler.py:2624-2675; computed update `SET is_active = NOT
     is_active` :4954-4958). ``assignments`` maps column -> SQL
-    expression evaluated on matching rows. Returns rows updated."""
+    expression evaluated on rows where ``condition`` is TRUE (NULL
+    predicates leave the row untouched, per SQL). Returns rows
+    updated.
+
+    Partition-scoped when the table is partitioned AND no assignment
+    targets a partition column (rows can't migrate partitions); else
+    full staged rewrite."""
     from pyspark.sql import functions as F
 
     target = spark.table(table)
-    cond = F.expr(condition)
+    cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     n = target.filter(cond).count()
-    updated = target.select(
-        *[
-            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in target.columns
-        ]
-    )
-    _overwrite_self(updated, table)
+    if n == 0:
+        return 0
+    pcols = _partition_columns(spark, table)
+
+    def apply_set(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+
+    if pcols and not (set(assignments) & set(pcols)):
+        touched = target.filter(cond).select(*pcols).distinct().collect()
+        updated = apply_set(target.filter(_partition_predicate(touched, pcols)))
+        _overwrite_partitions(updated, table, pcols, touched)
+    else:
+        _overwrite_self(apply_set(target), table)
     return n
+
+
+def _staging_name(table: str) -> str:
+    """Collision-proof staging table, qualified into the TARGET's
+    database (an unqualified name would land in the current database;
+    a hash(table)-derived one collides across concurrent DML runs)."""
+    import uuid
+
+    db, _, name = table.rpartition(".")
+    stage = f"__stage_{name}_{uuid.uuid4().hex[:12]}"
+    return f"{db}.{stage}" if db else stage
 
 
 def _overwrite_self(df: DataFrame, table: str) -> None:
@@ -185,9 +293,48 @@ def _overwrite_self(df: DataFrame, table: str) -> None:
     because the lazy plan would otherwise read partially-deleted
     files mid-overwrite."""
     spark = df.sparkSession
-    staging = f"__stage_{abs(hash(table)) % 10**8}"
+    staging = _staging_name(table)
     df.write.format("parquet").mode("overwrite").saveAsTable(staging)
     try:
         spark.table(staging).write.format("parquet").mode("overwrite").saveAsTable(table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+
+def _overwrite_partitions(
+    df: DataFrame, table: str, pcols: list[str], touched: list
+) -> None:
+    """Commit ``df`` (the post-DML contents of the ``touched``
+    partitions) into ``table``, replacing ONLY those partitions:
+
+    1. stage ``df`` (it reads from ``table`` — same self-read hazard
+       as `_overwrite_self`, but the staged volume is just the
+       affected partitions, not the table);
+    2. dynamic-partition-overwrite insertInto — partitions present in
+       the staged output are atomically swapped, all others untouched;
+    3. touched partitions ABSENT from the output (every row deleted /
+       moved away) are dropped via ALTER TABLE ... DROP PARTITION,
+       since dynamic overwrite cannot express "replace with nothing".
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staging = _staging_name(table)
+    df.write.format("parquet").mode("overwrite").saveAsTable(staging)
+    try:
+        staged = spark.table(staging)
+        # repartition by partition cols so each output partition is
+        # written by one task (no small-files explosion), then align
+        # columns positionally for insertInto
+        cols = spark.table(table).columns
+        staged.repartition(*pcols).select(*cols).write.insertInto(table, overwrite=True)
+        remaining = {
+            tuple(r) for r in staged.select(*pcols).distinct().collect()
+        }
+        for row in touched:
+            if tuple(row) not in remaining:
+                spec = ", ".join(
+                    f"{c} = {_sql_literal(row[c])}" for c in pcols
+                )
+                spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -120,12 +120,17 @@ def run_threshold_monitor(
 def dedup_stream(
     events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
 ) -> DataFrame:
-    """Exactly-once-per-key streaming dedup: `dropDuplicates` scoped
-    by a watermark — re-delivered events (at-least-once sources,
-    replayed files, retried producers) are dropped if their key was
-    seen within the watermark horizon. State holds one entry per key
-    per horizon, evicted as event time advances — bounded memory, the
-    property the reference's re-scan-everything loop lacks. This is
-    the ingestion front door of a training-data pipeline (every
-    crawler delivers duplicates)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
+    """Exactly-once-per-key streaming dedup via
+    `dropDuplicatesWithinWatermark` — re-delivered events
+    (at-least-once sources, replayed files, retried producers) are
+    dropped if their key was seen within the watermark horizon.
+
+    `dropDuplicates(keys)` only evicts state when the event-time
+    column is itself one of the keys; for key sets like
+    ``["event_id"]`` the watermark is ignored and state grows without
+    bound. The WithinWatermark variant ties eviction to the watermark
+    regardless of the key set, so state is one entry per key per
+    horizon — bounded memory, the property the reference's
+    re-scan-everything loop lacks. This is the ingestion front door of
+    a training-data pipeline (every crawler delivers duplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -240,3 +240,122 @@ def test_head_preview(spark, sf_dir):
     rows = head_preview(load(spark, sf_dir, "region"), n=3)
     assert len(rows) == 3
     assert set(rows[0]) == {"r_regionkey", "r_name"}
+
+
+# ---- partition-scoped DML (VERDICT r1 fix #2) -------------------------
+
+
+def _table_files(spark, table):
+    """{relative_path: mtime} for every data file of a managed table."""
+    import os
+
+    loc = next(
+        r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r.col_name.strip() == "Location"
+    ).removeprefix("file:")
+    out = {}
+    for root, _, files in os.walk(loc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, loc)] = os.path.getmtime(p)
+    return out
+
+
+def _part_table(spark, db, name="pdml"):
+    from etl_spark.sources.writers import partitioned_save
+
+    t = f"{db}.{name}"
+    df = spark.createDataFrame(
+        [Row(id=i, day=f"d{i % 3}", val=float(i)) for i in range(12)]
+    )
+    partitioned_save(df, t, ["day"])
+    return t
+
+
+def test_upsert_partitioned_rewrites_only_touched_partition(spark, db):
+    t = _part_table(spark, db)
+    before = _table_files(spark, t)
+    delta = spark.createDataFrame([Row(id=0, day="d0", val=999.0)])
+    upsert(delta, t, keys=["id"])
+    after = _table_files(spark, t)
+    untouched_before = {p: m for p, m in before.items() if "day=d0" not in p}
+    untouched_after = {p: m for p, m in after.items() if "day=d0" not in p}
+    # d1/d2 partitions: identical files, identical mtimes — never rewritten
+    assert untouched_before == untouched_after
+    # d0 was rewritten
+    assert {p for p in before if "day=d0" in p} != {p for p in after if "day=d0" in p}
+    got = {r.id: r for r in spark.table(t).collect()}
+    assert len(got) == 12 and got[0]["val"] == 999.0 and got[1]["val"] == 1.0
+
+
+def test_upsert_partitioned_key_moves_partition(spark, db):
+    """A merged key whose new row lands in a DIFFERENT partition must
+    vanish from the old one (both partitions are touched)."""
+    t = _part_table(spark, db)
+    delta = spark.createDataFrame([Row(id=3, day="d2", val=42.0)])  # was day=d0
+    upsert(delta, t, keys=["id"])
+    rows = spark.table(t).filter("id = 3").collect()
+    assert len(rows) == 1 and rows[0]["day"] == "d2" and rows[0]["val"] == 42.0
+    assert spark.table(t).count() == 12
+
+
+def test_delete_where_partitioned_scoped_and_drops_empty(spark, db):
+    t = _part_table(spark, db)
+    before = _table_files(spark, t)
+    n = delete_where(spark, t, "day = 'd2'")  # empties the whole partition
+    assert n == 4
+    after = _table_files(spark, t)
+    kept_before = {p: m for p, m in before.items() if "day=d2" not in p}
+    kept_after = {p: m for p, m in after.items() if "day=d2" not in p}
+    assert kept_before == kept_after  # d0/d1 untouched on disk
+    assert spark.table(t).count() == 8
+    assert not any("day=d2" in p for p in after)
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+    assert parts == {"day=d0", "day=d1"}
+
+
+def test_delete_where_null_predicate_keeps_row(spark, db):
+    """SQL DELETE semantics: a NULL predicate is not TRUE — the row
+    stays (ADVICE r1: bare NOT(cond) deleted NULL rows)."""
+    t = f"{db}.delnull"
+    spark.createDataFrame(
+        [Row(id=1, val=5.0), Row(id=2, val=None), Row(id=3, val=20.0)],
+        schema="id INT, val DOUBLE",
+    ).write.saveAsTable(t)
+    n = delete_where(spark, t, "val > 10")
+    assert n == 1
+    ids = {r.id for r in spark.table(t).collect()}
+    assert ids == {1, 2}  # NULL-val row survives
+
+
+def test_update_set_partitioned_scoped(spark, db):
+    t = _part_table(spark, db)
+    before = _table_files(spark, t)
+    n = update_set(spark, t, {"val": "val + 100"}, "day = 'd1'")
+    assert n == 4
+    after = _table_files(spark, t)
+    kept_before = {p: m for p, m in before.items() if "day=d1" not in p}
+    kept_after = {p: m for p, m in after.items() if "day=d1" not in p}
+    assert kept_before == kept_after
+    assert spark.table(t).filter("day = 'd1'").agg(F.min("val")).collect()[0][0] >= 100.0
+    assert spark.table(t).filter("day = 'd0'").agg(F.max("val")).collect()[0][0] < 100.0
+
+
+def test_update_set_partition_column_falls_back_to_full_rewrite(spark, db):
+    t = _part_table(spark, db)
+    n = update_set(spark, t, {"day": "'d9'"}, "id = 0")
+    assert n == 1
+    assert spark.table(t).filter("day = 'd9'").count() == 1
+    assert spark.table(t).count() == 12
+
+
+def test_staging_name_qualified_and_unique():
+    from etl_spark.sources.writers import _staging_name
+
+    a = _staging_name("mydb.tbl")
+    b = _staging_name("mydb.tbl")
+    assert a != b  # collision-proof across concurrent runs
+    assert a.startswith("mydb.__stage_tbl_")
+    assert _staging_name("bare").startswith("__stage_bare_")

