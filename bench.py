@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -108,6 +110,61 @@ def _etl_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 20) -> dict:
+    """Dedup/LSH operators at ``replicas``× the fixture corpus
+    (VERDICT r1 next-step #4 — the driver fixtures stop at 5k docs).
+
+    The scaled corpus is ``replicas`` token-shifted copies: every token
+    in replica r gets an ``·r`` suffix, so shingle/token space is
+    DISJOINT across replicas (a genuinely r×-diverse corpus, not one
+    hot duplicate cluster) while each replica preserves the original
+    near-dup structure. Work therefore scales ~linearly for the
+    bounded operators (x23/x04/x21) — which is exactly the property
+    being measured. Embeddings are replicated with offset ids
+    (signature computation is linear; bucket structure repeats)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.registry import all_specs
+
+    out: dict = {"replicas": replicas}
+    tmp = tempfile.mkdtemp(prefix="dedup_scale_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    scaled_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(split(text, ' '), t -> concat(t, '·', rep))"),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled_docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "label",
+        "embedding",
+    ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    out["n_docs"] = spark.read.parquet(f"{tmp}/documents.parquet").count()
+    out["n_vecs"] = spark.read.parquet(f"{tmp}/embeddings.parquet").count()
+
+    specs = all_specs()
+    for name in ("x23_jaccard_capped_pairs", "x04_minhash_lsh_pairs", "x21_cosine_lsh_buckets"):
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, tmp).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -125,22 +182,28 @@ def main() -> None:
     specs["q01_pricing_summary"].fn(spark, sf_dir).collect()
     specs["x17_quality_filter"].fn(spark, sf_dir).collect()
 
-    # best-of-2 per query: a single co-tenant CPU spike or GC stall
-    # otherwise lands entirely on whichever query it hits (observed
-    # 40x outliers on an idle-looking host); min-of-2 reports the
-    # engine's repeatable cost
+    # 3 runs per query: "value" stays best-of (a single co-tenant CPU
+    # spike or GC stall otherwise lands entirely on whichever query it
+    # hits — observed 40x outliers on an idle-looking host), and the
+    # median-of-3 is reported alongside so round-over-round comparisons
+    # aren't best-case-vs-best-case (VERDICT r1 bench-honesty note)
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             assert rows is not None
-        timings[name] = round(best, 3)
-    timings.update(_etl_bench(spark, sf_dir))
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
+    etl = _etl_bench(spark, sf_dir)
+    timings.update(etl)
+    medians.update(etl)  # single-shot writes: same number in both views
     total = round(sum(timings.values()), 3)
+    scale = _dedup_scale_bench(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -148,6 +211,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "scale20x": scale,
                 "sf": sf_val,
             }
         )

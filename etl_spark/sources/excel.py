@@ -8,9 +8,11 @@ path (SURVEY.md §7.4). The scale path is `read_landing`: CSV/Parquet
 landing files read with `spark.read`, schema-inferred or explicit,
 fully distributed.
 
-openpyxl is not installed in this container, so the xlsx paths are
-gated behind `excel_available()` and raise a clear error when the
-engine is missing; tests exercise the landing path plus the gating.
+The WRITE path needs no xlsx engine: `write_excel` emits styled OOXML
+directly through `etl_spark.sources.xlsx_writer` (stdlib zip+XML).
+The READ path still requires openpyxl (absent in this container) and
+stays gated behind `excel_available()` with a clear error; tests
+exercise the landing path, the styled writer, and the read gating.
 """
 
 from __future__ import annotations
@@ -51,18 +53,27 @@ def read_excel(
 
 
 def write_excel(df: DataFrame, path: str, max_rows: int = 1_048_576) -> int:
-    """S8 Excel report sink (result rows → styled .xlsx,
-    web_scheduler.py:3615-3718). Collects via Arrow `toPandas` — the
-    row clamp guards the driver; reports are human-scale by definition.
-    Returns rows written."""
-    if not excel_available():
-        raise RuntimeError(
-            "No xlsx engine (openpyxl) installed — use write_report_csv() "
-            "or install openpyxl for xlsx reports"
-        )
+    """S8 Excel report sink (result rows → STYLED .xlsx,
+    web_scheduler.py:3615-3718): content-sized column widths, date
+    number_format on datetime cells, multi-pattern re-parse of text
+    dates, bold header — via the stdlib OOXML writer
+    (`etl_spark.sources.xlsx_writer`), so no openpyxl dependency.
+    Collects via Arrow `toPandas` — the row clamp guards the driver;
+    reports are human-scale by definition. Returns rows written."""
+    from etl_spark.sources.xlsx_writer import write_xlsx
+
     pdf = df.limit(max_rows).toPandas()
-    pdf.to_excel(path, index=False)
-    return len(pdf)
+    rows = [
+        [None if _is_na(v) else v for v in rec]
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
+    return write_xlsx(list(pdf.columns), rows, path)
+
+
+def _is_na(v: object) -> bool:
+    import pandas as pd
+
+    return v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v))
 
 
 def write_report_csv(df: DataFrame, path: str, max_rows: int = 1_048_576) -> int:

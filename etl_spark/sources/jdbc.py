@@ -18,10 +18,12 @@ reference has no analog for:
   the reference's hand-rolled `executemany` batching
   (web_scheduler.py:4418).
 
-This container ships no JDBC driver jars, so these builders are
-exercised as configuration (options dict correctness) in tests;
-against a real cluster the same objects `.load()`/`.save()`
-unchanged. Timeouts mirror the reference's 30 s connect budget
+The path is exercised END-TO-END against embedded Apache Derby
+(`derby-*.jar` ships on Spark's own classpath): write → partitioned
+read → filter pushdown, see `tests/test_io.py::test_jdbc_roundtrip_derby`.
+Against MySQL/PostgreSQL the only delta is the driver jar on the
+executor classpath and the url/driver pair — every option here is
+engine-neutral. Timeouts mirror the reference's 30 s connect budget
 (web_scheduler.py:913-914).
 """
 
