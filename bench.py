@@ -110,7 +110,7 @@ def _etl_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 20) -> dict:
+def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
     """Dedup/LSH operators at ``replicas``× the fixture corpus
     (VERDICT r1 next-step #4 — the driver fixtures stop at 5k docs).
 
@@ -213,7 +213,7 @@ def main() -> None:
                 "queries": timings,
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
-                "scale20x": scale,
+                "scale10x": scale,
                 "sf": sf_val,
             }
         )

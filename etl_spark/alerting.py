@@ -59,6 +59,54 @@ class CollectingNotifier:
 
 
 @dataclass
+class SMTPNotifier:
+    """Concrete S9 email sink (web_scheduler.py:3720-3796 parity):
+    MIME multipart message — text body + optional file attachment —
+    over SMTP with optional STARTTLS + login. The reference hardcodes
+    `smtplib.SMTP(host, port)`; here the transport factory is
+    injectable so tests exercise the full message build + send
+    sequence without a live server (the default factory IS
+    `smtplib.SMTP`, used as a context manager exactly like the
+    reference's try/finally quit)."""
+
+    host: str
+    port: int = 25
+    sender: str = "etl-alerts@localhost"
+    recipients: tuple[str, ...] = ()
+    username: str | None = None
+    password: str | None = None
+    use_tls: bool = False
+    smtp_factory: object | None = None  # (host, port) -> SMTP-like ctx manager
+
+    def send(self, subject: str, body: str, attachment: str | None = None) -> None:
+        import os
+        import smtplib
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        msg["Subject"] = subject
+        msg["From"] = self.sender
+        msg["To"] = ", ".join(self.recipients)
+        msg.set_content(body)
+        if attachment is not None:
+            with open(attachment, "rb") as fh:
+                data = fh.read()
+            msg.add_attachment(
+                data,
+                maintype="application",
+                subtype="octet-stream",
+                filename=os.path.basename(attachment),
+            )
+        factory = self.smtp_factory or smtplib.SMTP
+        with factory(self.host, self.port) as smtp:  # type: ignore[operator]
+            if self.use_tls:
+                smtp.starttls()
+            if self.username:
+                smtp.login(self.username, self.password or "")
+            smtp.send_message(msg)
+
+
+@dataclass
 class AlertSpec:
     alert_id: int
     name: str

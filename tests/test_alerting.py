@@ -81,3 +81,59 @@ def test_alert_query_error_is_captured(engine):
     assert "missing_table_xyz" in r.error or "TABLE_OR_VIEW" in r.error
     logs = engine.alert_logs().collect()
     assert len(logs) == 1 and logs[0].details != ""
+
+
+def test_smtp_notifier_message_build(tmp_path):
+    """SMTPNotifier (S9 concrete sink, web_scheduler.py:3720-3796):
+    full MIME build + TLS + login + send against an injected
+    transport — the only unexercised line against a real server is
+    the socket connect."""
+    from etl_spark.alerting import SMTPNotifier
+
+    sessions = []
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            self.host, self.port = host, port
+            self.calls = []
+            sessions.append(self)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self.calls.append(("quit",))
+
+        def starttls(self):
+            self.calls.append(("starttls",))
+
+        def login(self, u, p):
+            self.calls.append(("login", u, p))
+
+        def send_message(self, msg):
+            self.calls.append(("send", msg))
+
+    att = tmp_path / "report.xlsx"
+    att.write_bytes(b"PK\x03\x04fake")
+    n = SMTPNotifier(
+        host="mail.example.com",
+        port=587,
+        sender="etl@example.com",
+        recipients=("a@example.com", "b@example.com"),
+        username="u",
+        password="p",
+        use_tls=True,
+        smtp_factory=FakeSMTP,
+    )
+    n.send("alert: rows_gt", "5 rows matched", attachment=str(att))
+
+    (s,) = sessions
+    assert (s.host, s.port) == ("mail.example.com", 587)
+    kinds = [c[0] for c in s.calls]
+    assert kinds == ["starttls", "login", "send", "quit"]
+    msg = next(c[1] for c in s.calls if c[0] == "send")
+    assert msg["Subject"] == "alert: rows_gt"
+    assert msg["To"] == "a@example.com, b@example.com"
+    parts = list(msg.iter_attachments())
+    assert len(parts) == 1 and parts[0].get_filename() == "report.xlsx"
+    assert parts[0].get_payload(decode=True) == b"PK\x03\x04fake"
