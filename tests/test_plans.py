@@ -173,3 +173,22 @@ def test_blocked_neardup_no_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x24_blocked_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q08_single_exchange_all_dims_broadcast(spark, sf_dir):
+    """q08 (widest join in the suite, 8 tables): every dimension
+    broadcasts — the ONLY exchange is the lineitem⋈orders fact join.
+    The 100 TB shape: one shuffle of fact data, seven map-side joins."""
+    plan = plan_of(spark, sf_dir, "q08_market_share")
+    assert node_count(plan, "Exchange") == 1, plan
+    assert node_count(plan, "BroadcastHashJoin") == 7
+    assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_q21_decorrelated_without_self_joins(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS pair must run as ONE per-order
+    aggregate (3 exchanges total: per-order agg, orderkey join, final
+    groupBy) — never as two lineitem⋈lineitem self-join exchanges."""
+    plan = plan_of(spark, sf_dir, "q21_sole_returned_supplier")
+    assert node_count(plan, "Exchange") <= 3, plan
+    assert "CartesianProduct" not in plan
