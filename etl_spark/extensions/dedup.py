@@ -133,27 +133,42 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     shingle index: explode → self-join on shingle → count shared →
     |A∩B| / (|A|+|B|−|A∩B|). Only docs sharing ≥1 shingle are ever
     paired — never an O(n²) cross join. At 100 TB, add a
-    frequency-capped stop-shingle filter to bound bucket fan-out."""
+    frequency-capped stop-shingle filter to bound bucket fan-out (x23).
+
+    Two plan refinements over the naive index join (output identical):
+    - the shingle-set SIZE rides on the index rows (one window count
+      — same doc_id shuffle the sizes aggregate needed anyway), so
+      the two post-aggregation size joins disappear;
+    - the LENGTH FILTER prunes size-incompatible pairs BEFORE the
+      shared-count aggregation: J(A,B) ≤ min/max of the set sizes, so
+      J ≥ 0.5 requires 2·min ≥ max — any pair failing that can never
+      reach the threshold (prefix-filter family, Xiao et al. '08).
+      Pruning happens join-side, shrinking the aggregation's shuffle."""
+    from pyspark.sql import Window
+
     sh = _shingled(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    w = Window.partitionBy("doc_id")
+    shw = sh.withColumn("n_sh", F.count(F.lit(1)).over(w))
+    a = shw.alias("a")
+    b = shw.alias("b")
     shared = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.least("a.n_sh", "b.n_sh") >= F.greatest("a.n_sh", "b.n_sh")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        shared.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -413,21 +428,28 @@ def x23_jaccard_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # length filter BEFORE the exact re-score (same pruning rule as
+    # x02: J ≥ 0.5 needs 2·min(|A|,|B|) ≥ max) — candidates that can
+    # never pass the threshold don't enter the full-shingle-set join,
+    # which is the expensive stage here
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cand = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
+    )
     fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     fb = sh.select(F.col("doc_id").alias("fb_doc"), F.col("shingle").alias("sh_b"))
     shared = (
         cand.join(fa, "doc_a")
         .join(fb, (F.col("doc_b") == F.col("fb_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        shared.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
