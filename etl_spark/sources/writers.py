@@ -47,6 +47,7 @@ def append(df: DataFrame, table: str) -> None:
     created = ensure_table(df, table)
     target_cols = df.sparkSession.table(table).columns if not created else df.columns
     df.select(*target_cols).write.format("parquet").mode("append").saveAsTable(table)
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def truncate_load(df: DataFrame, table: str) -> None:
@@ -54,6 +55,7 @@ def truncate_load(df: DataFrame, table: str) -> None:
     commit instead of the reference's DELETE-then-append window
     (uploads/excel_to_db.py:70-74)."""
     df.write.format("parquet").mode("overwrite").saveAsTable(table)
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def partitioned_save(
@@ -297,6 +299,10 @@ def _overwrite_self(df: DataFrame, table: str) -> None:
     df.write.format("parquet").mode("overwrite").saveAsTable(staging)
     try:
         spark.table(staging).write.format("parquet").mode("overwrite").saveAsTable(table)
+        # any cached plan/file-listing for the table now points at
+        # replaced files — refresh so OTHER sessions/plans (e.g. the
+        # main session after a foreachBatch clone ran this DML) reread
+        spark.catalog.refreshTable(table)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
 
@@ -336,5 +342,6 @@ def _overwrite_partitions(
                     f"{c} = {_sql_literal(row[c])}" for c in pcols
                 )
                 spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})")
+        spark.catalog.refreshTable(table)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -8,6 +8,7 @@ from etl_spark.streaming.monitor import (
     run_threshold_monitor,
 )
 from etl_spark.streaming.stateful import sessionize_stream
+from etl_spark.streaming.sinks import interval_join, run_append_sink, run_merge_sink
 
 __all__ = [
     "dedup_stream",
@@ -15,4 +16,7 @@ __all__ = [
     "windowed_event_counts",
     "run_threshold_monitor",
     "sessionize_stream",
+    "interval_join",
+    "run_append_sink",
+    "run_merge_sink",
 ]
