@@ -248,3 +248,64 @@ def test_stop_shingle_cap_bounds_candidate_fanout(spark, tmp_path):
         for r in all_specs()["x23_jaccard_capped_pairs"].fn(spark, sf).collect()
     }
     assert (900, 901) in got
+
+
+def test_compact_unpartitioned_reduces_files(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from etl_spark.maintenance import compact_table, file_inventory
+
+    t = "compact_flat"
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(1000)])
+    df.repartition(24).write.mode("overwrite").saveAsTable(t)
+    before = sum(len(v) for v in file_inventory(spark, t).values())
+    assert before >= 24
+    res = compact_table(spark, t, target_file_mb=128)
+    assert res["files_before"] == before
+    assert res["files_after"] <= 2  # tiny table → ~1 file
+    assert spark.table(t).count() == 1000
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_compact_partitioned_touches_only_fragmented_partitions(spark, tmp_path):
+    """Partition d0 is fragmented (many small appends — the streaming
+    ingest pattern); d1 is already one file. Compaction must rewrite
+    d0 and leave d1's files byte-identical."""
+    from pyspark.sql import Row
+
+    from etl_spark.maintenance import compact_table, file_inventory
+    from etl_spark.sources.writers import partitioned_save
+
+    t = "compact_part"
+    base = spark.createDataFrame(
+        [Row(id=i, day="d1", v=float(i)) for i in range(50)]
+    )
+    partitioned_save(base, t, ["day"])
+    # fragment d0 with 6 small appends
+    for k in range(6):
+        spark.createDataFrame(
+            [Row(id=1000 + 10 * k + j, day="d0", v=1.0) for j in range(5)]
+        ).select("id", "v", "day").write.mode("append").insertInto(t)
+    inv0 = file_inventory(spark, t)
+    assert len(inv0["day=d0"]) >= 6
+    d1_before = sorted(inv0["day=d1"])
+
+    res = compact_table(spark, t, target_file_mb=64)
+    assert res["partitions_compacted"] == 1
+    inv1 = file_inventory(spark, t)
+    assert len(inv1["day=d0"]) == 1
+    assert sorted(inv1["day=d1"]) == d1_before  # untouched, same files+sizes
+    assert spark.table(t).filter("day = 'd0'").count() == 30
+    assert spark.table(t).count() == 80
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_analyze_table_records_stats(spark, sf_dir):
+    from etl_spark.maintenance import analyze_table
+    from etl_spark.tables import load
+
+    t = "an_nation"
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(t)
+    stats = analyze_table(spark, t, columns=["n_nationkey", "n_name"])
+    assert stats["statistics"] and "rows" in stats["statistics"]
+    spark.sql(f"DROP TABLE {t}")
