@@ -106,6 +106,11 @@ def read_landing(
         return reader.options(**options).json(path)
     if fmt == "parquet":
         return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
+    if fmt == "text":
+        # one string column per line — the raw-documents ingest edge
+        return reader.options(**options).text(path)
     raise ValueError(f"unsupported landing format {fmt!r}")
 
 

@@ -495,3 +495,19 @@ def test_xlsx_reparse_only_full_date_columns():
     out2 = reparse_date_columns(["d", "s"], rows2)
     assert out2[0][0] == dt.datetime(2024, 6, 15)
     assert out2[1][0] == dt.datetime(2024, 7, 1)  # %Y%m%d pattern
+
+
+def test_landing_orc_and_text(spark, tmp_path):
+    base = _sample(spark, 6)
+    orc_dir = str(tmp_path / "orc_land")
+    base.write.orc(orc_dir)
+    got = read_landing(spark, orc_dir, fmt="orc")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in base.collect()
+    )
+
+    txt = tmp_path / "lines.txt"
+    txt.write_text("alpha\nbeta\ngamma\n")
+    lines = read_landing(spark, str(txt), fmt="text")
+    assert lines.columns == ["value"]
+    assert {r.value for r in lines.collect()} == {"alpha", "beta", "gamma"}

@@ -309,3 +309,45 @@ def test_analyze_table_records_stats(spark, sf_dir):
     stats = analyze_table(spark, t, columns=["n_nationkey", "n_name"])
     assert stats["statistics"] and "rows" in stats["statistics"]
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_sorted_save_tightens_file_ranges(spark, sf_dir):
+    """sorted_save: each output file covers a disjoint sort-key range
+    (tight min/max stats ⇒ row-group/file skipping for pushed
+    filters). Verified by reading each file's key span directly."""
+    import pyarrow.parquet as pq
+
+    from etl_spark.maintenance import file_inventory, table_location
+    from etl_spark.sources.writers import sorted_save
+    from etl_spark.tables import load
+
+    t = "sorted_orders"
+    sorted_save(load(spark, sf_dir, "orders"), t, ["o_orderdate"], n_files=4)
+    loc = table_location(spark, t)
+    inv = file_inventory(spark, t)
+    spans = []
+    import os
+
+    for rel, files in inv.items():
+        for f, _sz in files:
+            md = pq.read_metadata(os.path.join(loc, rel, f) if rel else os.path.join(loc, f))
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            col_idx = names.index("o_orderdate")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) == 4
+    spans.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min  # disjoint (boundary rows may share a date)
+    # a date filter still pushes into the scan
+    plan = (
+        spark.table(t)
+        .filter("o_orderdate >= '2000-01-01'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    spark.sql(f"DROP TABLE {t}")
