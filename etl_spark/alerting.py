@@ -176,23 +176,23 @@ class AlertEngine:
         return result
 
     def _export(self, df: DataFrame, spec: AlertSpec) -> str | None:
-        """S8 report export on trigger. xlsx when openpyxl exists,
-        CSV otherwise (web_scheduler.py:3615-3718's role)."""
+        """S8 report export on trigger (web_scheduler.py:3615-3718's
+        role): .xlsx paths get the STYLED workbook (stdlib OOXML
+        writer — no engine dependency), anything else a CSV."""
         if spec.export_path is None:
             return None
-        from etl_spark.sources.excel import excel_available, write_excel, write_report_csv
+        from etl_spark.sources.excel import write_excel, write_report_csv
 
-        if spec.export_path.endswith(".xlsx") and excel_available():
+        if spec.export_path.endswith(".xlsx"):
             write_excel(df, spec.export_path, spec.max_export_rows)
-        else:
-            path = (
-                spec.export_path
-                if spec.export_path.endswith(".csv")
-                else spec.export_path.rsplit(".", 1)[0] + ".csv"
-            )
-            write_report_csv(df, path, spec.max_export_rows)
-            return path
-        return spec.export_path
+            return spec.export_path
+        path = (
+            spec.export_path
+            if spec.export_path.endswith(".csv")
+            else spec.export_path.rsplit(".", 1)[0] + ".csv"
+        )
+        write_report_csv(df, path, spec.max_export_rows)
+        return path
 
     def _log(self, spec: AlertSpec, r: AlertResult) -> None:
         """T10 alert audit log (log_sql_alert_execution,

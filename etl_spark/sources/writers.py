@@ -50,6 +50,43 @@ def append(df: DataFrame, table: str) -> None:
     df.sparkSession.catalog.refreshTable(table)
 
 
+def append_evolve(df: DataFrame, table: str) -> list[str]:
+    """S5 append with SCHEMA EVOLUTION: columns present in ``df`` but
+    not in the table are added via `ALTER TABLE ... ADD COLUMNS`
+    (a metadata-only DDL — existing parquet files simply read the new
+    columns as NULL), then the append aligns by name with missing
+    table-columns filled NULL. Returns the column names added.
+
+    This is the upload-edge behavior the reference approximates by
+    recreating tables when an Excel gains a column
+    (uploads/excel_to_db.py auto-create path) — here it is an O(1)
+    catalog operation, never a data rewrite."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if ensure_table(df, table):
+        df.write.format("parquet").mode("append").saveAsTable(table)
+        spark.catalog.refreshTable(table)
+        return []
+    existing = {f.name: f.dataType.simpleString() for f in spark.table(table).schema}
+    new_fields = [f for f in df.schema if f.name not in existing]
+    if new_fields:
+        cols_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols_ddl})")
+    target_cols = spark.table(table).columns
+    aligned = df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).cast(existing[c]).alias(c)
+            for c in target_cols
+        ]
+    )
+    aligned.write.format("parquet").mode("append").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    return [f.name for f in new_fields]
+
+
 def truncate_load(df: DataFrame, table: str) -> None:
     """S6 truncate-and-load full refresh, atomically: one overwrite
     commit instead of the reference's DELETE-then-append window

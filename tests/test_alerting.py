@@ -137,3 +137,24 @@ def test_smtp_notifier_message_build(tmp_path):
     parts = list(msg.iter_attachments())
     assert len(parts) == 1 and parts[0].get_filename() == "report.xlsx"
     assert parts[0].get_payload(decode=True) == b"PK\x03\x04fake"
+
+
+def test_alert_export_xlsx_styled(engine, spark, sf_dir, tmp_path):
+    """.xlsx export paths now produce the styled workbook without any
+    xlsx engine installed (stdlib OOXML writer)."""
+    import zipfile
+
+    out = str(tmp_path / "alert_report.xlsx")
+    spec = AlertSpec(
+        alert_id=99,
+        name="xlsx-export",
+        sql=f"SELECT * FROM parquet.`{sf_dir}/region.parquet`",
+        condition="not_empty",
+        export_path=out,
+    )
+    res = engine.check(spec)
+    assert res.triggered and res.export_path == out
+    with zipfile.ZipFile(out) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+        assert b"customWidth" in z.read("xl/worksheets/sheet1.xml")
+    assert engine.notifier.sent[0]["attachment"] == out

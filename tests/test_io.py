@@ -511,3 +511,33 @@ def test_landing_orc_and_text(spark, tmp_path):
     lines = read_landing(spark, str(txt), fmt="text")
     assert lines.columns == ["value"]
     assert {r.value for r in lines.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_append_evolve_adds_columns_without_rewrite(spark, db):
+    """append_evolve: new df columns become ALTER TABLE ADD COLUMNS
+    (metadata-only — pre-existing files stay byte-identical and read
+    NULL for the new column); missing df columns land as NULL."""
+    from etl_spark.sources.writers import append_evolve
+
+    t = f"{db}.evolve"
+    append(_sample(spark, 3), t)  # id, name, val
+    before_files = _table_files(spark, t)
+
+    extended = spark.createDataFrame(
+        [Row(id=10, name="x", val=1.0, tag="new-col")]
+    )
+    added = append_evolve(extended, t)
+    assert added == ["tag"]
+    after_files = _table_files(spark, t)
+    # old files untouched (metadata-only evolution), one new file
+    assert set(before_files) <= set(after_files)
+    assert all(after_files[p] == m for p, m in before_files.items())
+
+    got = {r.id: r for r in spark.table(t).collect()}
+    assert got[10]["tag"] == "new-col"
+    assert got[0]["tag"] is None  # old rows read NULL
+
+    # narrower frame appends with NULL fill
+    append_evolve(spark.createDataFrame([Row(id=20, name="y")]), t)
+    got = {r.id: r for r in spark.table(t).collect()}
+    assert got[20]["val"] is None and got[20]["tag"] is None
