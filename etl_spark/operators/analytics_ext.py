@@ -1,0 +1,437 @@
+"""Round-2 TPC-H widening — the remaining shapes the fixture schema
+can express (q02/q09/q11 need partsupp, q12 needs l_shipmode /
+l_commitdate / l_receiptdate; those columns don't exist in the
+fixtures, so those queries cannot be faithfully oracle-checked).
+q16/q20/q21 are adapted to lineitem as the part↔supplier association
+with the same plan shapes.
+
+Registered in a separate module from operators/analytics.py so the
+driver's correctness snapshot (first 50 in registration order — see
+registry._ensure_loaded) verifies these never-driver-checked queries
+ahead of the families already green in CORRECTNESS_r01.json.
+
+Same conventions as analytics.py: dims broadcast, money through
+DECIMAL, ratio divisions as DOUBLE over exact decimal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l.l_discount AS DECIMAL(18,2)) ELSE 0 END)
+                    AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS mkt_share
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY EXTRACT(year FROM o.o_orderdate)
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    regional revenue for a part type, by order year — the widest join
+    in the suite (8 tables, nation in two roles). Plan: every
+    dimension broadcasts (part filtered before the join, region→n1
+    pre-joined driver-side-free), so the ONLY exchange is
+    lineitem⋈orders on orderkey; the share is a conditional aggregate
+    over the same decimal revenue expression as q01/q07."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    part = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            # divide as DOUBLES (both sums are exact decimals, so the
+            # doubles — and the IEEE quotient — are engine-identical;
+            # decimal÷decimal would truncate to Spark's scale-6 rule)
+            (F.sum(nation_rev).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+    tags=("join", "agg", "outer"),
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    with the filter INSIDE the join condition (so zero-order customers
+    survive with count 0 — the outer-join-with-predicate subtlety the
+    reference's WHERE-based joins get wrong), then a two-level
+    aggregate. Plan: orders pre-filtered then shuffled on custkey
+    once; the second groupBy is over ≤ a few hundred distinct counts —
+    AQE coalesces it to almost nothing."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max (ALL maxima on ties — equality against a scalar
+    subquery, not LIMIT 1). Plan: one shuffle on suppkey for the
+    revenue aggregate; the max is a 1-row broadcast joined back
+    against the (already computed, reused) revenue frame; supplier
+    dim broadcasts. Both engines compute the identical decimal sum,
+    so the double equality is exact."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load(spark, sf, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes), adapted:
+    lineitem is the part↔supplier association (fixtures carry no
+    partsupp) and the NOT-IN exclusion list is negative-balance
+    suppliers. Plan: part filters broadcast; the exclusion is a
+    broadcast ANTI join (never a per-row subquery); count_distinct
+    shuffles once on the part-attribute key with the distinct expand
+    map-side."""
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH agg AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+                 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN agg a  ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+          AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * a.cnt < a.sum_qty
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20%% of their part's average. The correlated
+    AVG subquery is decorrelated into a per-part aggregate joined
+    back; the comparison `qty < 0.2 * avg` is algebraically rewritten
+    division-free as `5*qty*cnt < sum` so it is EXACT decimal
+    arithmetic in both engines (no double-rounding at the boundary).
+    Plan: one shuffle on partkey for the aggregate; the brand/type
+    filter prunes the probe side before the join."""
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(agg, li.l_partkey == F.col("a_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("decimal(18,2)") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_promo_shippers",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_type = 'PROMO'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l.l_suppkey
+            HAVING SUM(l.l_quantity) > 100
+        )
+    """,
+    tags=("join", "agg", "subquery", "semi"),
+)
+def q20_promo_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with significant volume of a part
+    class), adapted to lineitem as the association: suppliers who
+    shipped > 100 units of PROMO parts in 1996. The IN-subquery is a
+    HAVING aggregate semi-joined to supplier. Plan: the year filter
+    pushes into the lineitem scan, part broadcasts, one shuffle on
+    suppkey for the HAVING aggregate, then a broadcast LEFT SEMI into
+    the supplier dim (qualifying-supplier set ≪ supplier table)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    qual = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf, "supplier")
+    return supp.join(
+        F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_sole_returned_supplier",
+    oracle="""
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 25
+    """,
+    tags=("join", "agg", "subquery", "anti", "sort"),
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), with
+    l_returnflag='R' standing in for the missing receipt-late dates:
+    suppliers whose line was returned on a multi-supplier 'F' order
+    where NO other supplier's line was returned.
+
+    The correlated EXISTS / NOT-EXISTS pair decorrelates into ONE
+    per-order aggregate: n_supp = distinct suppliers in the order
+    (EXISTS other-supplier ⟺ n_supp > 1) and n_r_supp = distinct
+    suppliers with a returned line (NOT EXISTS other returned
+    supplier, given l1 is returned ⟺ n_r_supp = 1). One extra
+    shuffle on orderkey replaces TWO self-joins of the fact table —
+    at 100 TB that's the difference between one aggregation pass and
+    two lineitem⋈lineitem exchanges. TakeOrdered(25) finishes it."""
+    li = load(spark, sf, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    orders_f = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey)
+        .join(per_order, l1.l_orderkey == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+        WITH bal AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c, bal
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * bal.cnt > bal.sum_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c.c_nationkey
+    """,
+    tags=("agg", "subquery", "anti"),
+)
+def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers with no RECENT order (none since 2000 — every
+    fixture customer has ordered at least once, so the classic
+    never-ordered form is vacuously empty), grouped by nation
+    (fixtures have no phone column — nationkey plays the country-code
+    role).
+    The scalar AVG subquery is division-free (`bal*cnt > sum`, exact
+    decimal — same trick as q17); the NOT EXISTS is an ANTI join
+    against the orders custkey set. Plan: 1-row broadcast for the
+    average, shuffle anti-join on custkey (orders side reduced to its
+    distinct keys map-side), tiny groupBy."""
+    cust = load(spark, sf, "customer")
+    bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    orders = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(bal))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt")
+            > F.col("sum_bal")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
