@@ -1,0 +1,83 @@
+"""Data-quality constraint and snapshot-diff tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_spark.quality import (
+    check_constraints,
+    duplicate_keys,
+    fk_violations,
+    snapshot_diff,
+)
+from etl_spark.tables import load
+
+
+def test_check_constraints_single_pass(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    out = check_constraints(
+        li,
+        {
+            "qty_positive": "l_quantity > 0",
+            "discount_range": "l_discount BETWEEN 0 AND 1",
+            "impossible": "l_quantity < 0",
+            "key_not_null": "l_orderkey IS NOT NULL",
+        },
+    )
+    assert out["qty_positive"] == 0
+    assert out["discount_range"] == 0
+    assert out["key_not_null"] == 0
+    assert out["impossible"] == li.count()
+
+
+def test_check_constraints_null_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [Row(v=5.0), Row(v=None), Row(v=-1.0)], schema="v DOUBLE"
+    )
+    out = check_constraints(df, {"v_pos": "v > 0"})
+    assert out["v_pos"] == 2  # NULL is not provably positive
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c")]
+    )
+    dups = duplicate_keys(df, ["k"]).collect()
+    assert [(r.k, r.n_rows) for r in dups] == [(1, 2)]
+
+
+def test_fk_violations_against_fixture_dims(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    # fixture integrity: every customer nation exists
+    assert fk_violations(cust, nation, {"c_nationkey": "n_nationkey"}).isEmpty()
+    # break it: remove one nation
+    broken = nation.filter("n_nationkey <> 0")
+    bad = fk_violations(cust, broken, {"c_nationkey": "n_nationkey"})
+    assert bad.count() == cust.filter("c_nationkey = 0").count() > 0
+    # NULL FK is not a violation
+    df = spark.createDataFrame([Row(c_nationkey=None)], "c_nationkey INT")
+    assert fk_violations(df, nation, {"c_nationkey": "n_nationkey"}).isEmpty()
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b=1.0),
+            Row(id=2, a="y", b=2.0),
+            Row(id=3, a="z", b=None),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=2, a="y", b=2.5),   # changed: b
+            Row(id=3, a="z", b=None),  # unchanged (NULL-safe compare)
+            Row(id=4, a="w", b=4.0),   # added
+        ]
+    )
+    got = {r.id: (r.change, sorted(r.changed_cols)) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        1: ("removed", []),
+        2: ("changed", ["b"]),
+        4: ("added", []),
+    }
