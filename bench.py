@@ -39,6 +39,8 @@ HEADLINE = [
     "q14_promo_effect",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q08_market_share",
+    "q21_sole_returned_supplier",
     "j02_star_3way",
     "j05_correlated_max",
     "a06_lastn_conditional",
@@ -56,6 +58,7 @@ HEADLINE = [
     "x13_fingerprint",
     "x17_quality_filter",
     "x18_tfidf_top_terms",
+    "x24_blocked_neardup",
 ]
 
 
