@@ -114,9 +114,51 @@ def x07_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _duck_ivf_topk() -> str:
+    return """
+        WITH q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        sums AS (
+            SELECT label, pos,
+                   SUM(CAST(v AS DECIMAL(30,10))) AS s
+            FROM (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings
+            ) t
+            GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT label,
+                   list(CAST(s AS DOUBLE) ORDER BY pos) AS sumvec
+            FROM sums GROUP BY label
+        ),
+        probe AS (
+            SELECT label
+            FROM cent, q
+            ORDER BY list_dot_product(cent.sumvec, q.qe::DOUBLE[])
+                     / sqrt(list_dot_product(cent.sumvec, cent.sumvec)) DESC,
+                     label ASC
+            LIMIT 3
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4)
+                 AS cosine
+        FROM embeddings e
+        JOIN probe USING (label), q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 @register(
     "x08_ann_ivf_topk",
-    oracle=None,  # algorithmic recall choice (IVF nprobe pruning) — rows-only check
+    oracle=_duck_ivf_topk(),
     tags=("similarity",),
 )
 def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -125,25 +167,45 @@ def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     rank centroids by similarity to the query, search only the
     nprobe=3 best cells.
 
+    ORACLE-EXACT despite being an ANN algorithm: cosine is
+    scale-invariant, so ranking cells by the centroid (mean vector)
+    equals ranking by the component-wise SUM vector — and the sums
+    are computed in DECIMAL, which is exactly associative, so both
+    engines derive the IDENTICAL quantizer no matter how the
+    aggregation partitions. (A float mean would make near-tied cells
+    order-nondeterministic.) A label tiebreak pins ties.
+
     Scale: the centroid table is tiny (broadcast); the corpus scan is
     pruned to nprobe/nlist of the data. On a real deployment the cell
     id is the table's partition column so pruning happens at file
-    level. Approximate ⇒ no SQL oracle; recall is asserted in tests
-    against x06."""
+    level. Recall vs the exact x06 is additionally asserted in
+    tests."""
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
 
-    # element-wise mean per label: posexplode → avg per (label, pos) → re-assemble
+    # exact decimal component sums per label: posexplode → sum per
+    # (label, pos) → re-assemble in pos order as the "sum vector"
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.expr("transform(pc, s -> s.c)").alias("centroid"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("s").cast("double").alias("c")))
+            ).alias("pc")
+        )
+        .select("label", F.expr("transform(pc, s -> s.c)").alias("sumvec"))
     )
-    cent_scored = _with_cosine(cent.crossJoin(F.broadcast(q)), "centroid", "qe")
-    probe = cent_scored.orderBy(F.desc("cosine")).limit(3).select("label")
+    cent_q = cent.crossJoin(F.broadcast(q))
+    cent_scored = cent_q.withColumn(
+        "cscore",
+        F.expr(_DOT.format(a="sumvec", b="qe"))
+        / F.sqrt(F.expr(_DOT.format(a="sumvec", b="sumvec"))),
+    )
+    probe = (
+        cent_scored.orderBy(F.desc("cscore"), F.asc("label")).limit(3).select("label")
+    )
 
     pruned = emb.join(F.broadcast(probe), "label").filter(F.col("vec_id") != 0)
     scored = _with_cosine(pruned.crossJoin(F.broadcast(q)), "embedding", "qe")
