@@ -252,14 +252,21 @@ def _duck_cosine_lsh() -> str:
     """
 
 
-# banded variant for x24: 16 planes = 4 bands × 4 planes. A pair is a
-# candidate when ALL 4 bits agree in ANY band (the classic LSH OR-of-
-# ANDs construction): P[candidate] = 1-(1-(1-θ/π)^4)^4 — ≈0.96 at
-# cosine 0.9, ≈0.50 at the 0.4 threshold. Deterministic planes ⇒ the
-# DuckDB oracle reproduces the EXACT candidate set, so x24 is fully
-# hash-checkable despite being an approximate algorithm.
+# banded variant for x24: 32 planes = 4 bands × 8 planes. A pair is a
+# candidate when ALL 8 bits agree in ANY band (the classic LSH OR-of-
+# ANDs construction): P[candidate] = 1-(1-(1-θ/π)^8)^4 — ≈0.76 at
+# cosine 0.9, ≈0.90 at 0.95, ≈0.10 at the 0.4 floor. Deterministic
+# planes ⇒ the DuckDB oracle reproduces the EXACT candidate set, so
+# x24 is fully hash-checkable despite being an approximate algorithm.
+#
+# TUNING RULE (the part that must move with corpus size): expected
+# bucket occupancy is n / 2^width per band, and candidate volume per
+# band is ~Σ C(bucket, 2) — QUADRATIC in occupancy. Hold occupancy
+# roughly constant by setting width ≈ log2(n / target_bucket_size);
+# 8 bits suits the 10^4–10^5 fixture range, 100 TB corpora want
+# 16-20 bits (and more bands to buy recall back).
 _N_BANDS = 4
-_BAND_WIDTH = 4
+_BAND_WIDTH = 8
 _BAND_PLANES = [_plane(p) for p in range(_N_BANDS * _BAND_WIDTH)]
 
 
