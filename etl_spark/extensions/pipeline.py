@@ -1,0 +1,207 @@
+"""Training-data pipeline curation operators: decontamination,
+repetition quality signals, deterministic sampling.
+
+These are the corpus-level jobs between "crawl" and "train" that the
+reference (a per-table ETL scheduler) has no analog for:
+
+- x25 decontamination: remove train documents that leak benchmark
+  (eval) content — the train↔eval n-gram overlap join. The eval
+  corpus is benchmark-sized, so its shingle set broadcasts; the scan
+  over training data is one pass (no self-join).
+- x26 repetition stats: Gopher-style within-document repetition
+  signals (duplicate-token fraction, duplicate-2-gram fraction, most-
+  frequent-2-gram fraction) — the standard "remove boilerplate/spam"
+  quality gates (Rae et al. '21 §A1.1).
+- x27 deterministic stratified sampling: per-language rates applied
+  via a content-stable hash (md5(doc_id) mod 1000), NOT rand() —
+  reproducible across runs/engines, re-runnable on a growing corpus
+  without resampling old rows, and exactly oracle-checkable. This is
+  how real data mixes are cut (a seed-dependent Bernoulli sample
+  can't be audited later).
+
+All shapes stay linear: one scan + (for x26) one (doc, gram) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.extensions.dedup import _DUCK_SHINGLES, _shingled
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+EVAL_SOURCE = "src0"  # the fixture source standing in for a benchmark
+MIN_SHARED_SHINGLES = 2
+
+
+@register(
+    "x25_decontaminate",
+    oracle=f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        tagged AS (
+            SELECT sh.doc_id, sh.shingle, d.source
+            FROM sh JOIN documents d USING (doc_id)
+        ),
+        eval_sh AS (
+            SELECT DISTINCT shingle FROM tagged WHERE source = '{EVAL_SOURCE}'
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared
+        FROM tagged t JOIN eval_sh e USING (shingle)
+        WHERE t.source <> '{EVAL_SOURCE}'
+        GROUP BY t.doc_id
+        HAVING COUNT(DISTINCT t.shingle) >= {MIN_SHARED_SHINGLES}
+    """,
+    tags=("pipeline", "dedup"),
+)
+def x25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training documents (source ≠
+    '{src0}') sharing ≥ 2 distinct word-3-gram shingles with the eval
+    corpus (source = 'src0') — the docs that must be DROPPED before
+    training so eval stays meaningful (the n-gram overlap rule used
+    for GPT-3/Gopher/Llama decontamination).
+
+    Plan: the eval shingle set is benchmark-sized → broadcast; the
+    training side is one scan + explode, candidate hits aggregate per
+    doc. Never a doc×doc join — contamination is doc↔CORPUS."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    sh = _shingled(spark, sf).join(docs, "doc_id")
+    eval_sh = (
+        sh.filter(F.col("source") == EVAL_SOURCE).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+    )
+
+
+@register(
+    "x26_repetition_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS t
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> concat(t[i], ' ', t[i + 1]))) AS g
+            FROM toks
+        ),
+        gram_counts AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, g
+        ),
+        gram_stats AS (
+            SELECT doc_id,
+                   SUM(c) AS n_grams,
+                   COUNT(*) AS n_distinct,
+                   MAX(c) AS top_c
+            FROM gram_counts GROUP BY doc_id
+        ),
+        tok_stats AS (
+            SELECT doc_id,
+                   len(t) AS n_tok,
+                   len(list_distinct(t)) AS n_tok_distinct
+            FROM toks
+        )
+        SELECT g.doc_id,
+               ROUND(1.0 - ts.n_tok_distinct * 1.0 / ts.n_tok, 6) AS dup_token_frac,
+               ROUND(1.0 - g.n_distinct * 1.0 / g.n_grams, 6) AS dup_2gram_frac,
+               ROUND(g.top_c * 1.0 / g.n_grams, 6) AS top_2gram_frac
+        FROM gram_stats g JOIN tok_stats ts USING (doc_id)
+    """,
+    tags=("pipeline", "textstats"),
+)
+def x26_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae '21
+    §A1.1): duplicate-token fraction, duplicate-2-gram fraction, and
+    the mass of the single most frequent 2-gram. High values = spam /
+    keyword-stuffed / template pages — the first quality cut of a web
+    corpus. Token-level stats are pure array expressions (scan-local);
+    the 2-gram mode needs one (doc, gram) shuffle."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+        ).alias("g"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    tok_stats = docs.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_tok_distinct"),
+    )
+    return gram_stats.join(tok_stats, "doc_id").select(
+        "doc_id",
+        F.round(1.0 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(F.col("top_c") / F.col("n_grams"), 6).alias("top_2gram_frac"),
+    )
+
+
+# per-language keep rates in permille — the "data mix" recipe
+SAMPLE_RATES_PERMILLE = {"en": 500, "zh": 1000, "de": 250, "es": 250, "fr": 250}
+DEFAULT_RATE_PERMILLE = 100
+
+
+def _duck_hash_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}"
+        for lang, rate in SAMPLE_RATES_PERMILLE.items()
+    )
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+              < (CASE {cases} ELSE {DEFAULT_RATE_PERMILLE} END)
+    """
+
+
+@register(
+    "x27_hash_sample",
+    oracle=_duck_hash_sample(),
+    tags=("pipeline",),
+)
+def x27_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: keep a doc
+    iff md5(doc_id) mod 1000 falls under its language's permille rate.
+    Content-stable hashing (never rand()/sampleBy) means the sample
+    is reproducible, auditable, and INCREMENTAL — re-running on a
+    grown corpus keeps every previously-kept row and samples only the
+    new ones at the same rates. Scan-local, no shuffle."""
+    rate = F.lit(DEFAULT_RATE_PERMILLE)
+    for lang, r in SAMPLE_RATES_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000"
+    )
+    return (
+        load(spark, sf, "documents")
+        .filter(bucket < rate)
+        .select("doc_id", "lang")
+    )

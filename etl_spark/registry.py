@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.similarity  # noqa: F401
     import etl_spark.extensions.textstats  # noqa: F401
     import etl_spark.extensions.multimodal  # noqa: F401
+    import etl_spark.extensions.pipeline  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
     import etl_spark.operators.relational  # noqa: F401
