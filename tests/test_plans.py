@@ -192,3 +192,19 @@ def test_q21_decorrelated_without_self_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q21_sole_returned_supplier")
     assert node_count(plan, "Exchange") <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_scan_local(spark, sf_dir):
+    """x27 deterministic sampling is a pure per-row filter — zero
+    exchanges; at 100 TB it runs at scan speed."""
+    plan = plan_of(spark, sf_dir, "x27_hash_sample")
+    assert node_count(plan, "Exchange") == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """x25: the eval-corpus shingle set must be the BROADCAST side
+    (benchmark-sized); the training corpus is never self-joined."""
+    plan = plan_of(spark, sf_dir, "x25_decontaminate")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
