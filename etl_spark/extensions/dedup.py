@@ -411,37 +411,44 @@ def x23_jaccard_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sets of each surviving pair, so scores are identical to x02 —
     only pairs whose overlap is exclusively stop-shingles are lost,
     and those are precisely the boilerplate matches the cut exists to
-    ignore. Deterministic, so the oracle reproduces it exactly."""
+    ignore. Deterministic, so the oracle reproduces it exactly.
+
+    Plan shape: shingle frequency AND doc set size ride on the index
+    rows via two window counts over ONE shared subtree — every
+    downstream consumer (both index sides, both re-score sides)
+    derives from the identical exchange, which AQE deduplicates with
+    ReusedExchange instead of re-running the scan+explode per
+    consumer. The x02 length filter sits inside the candidate join."""
+    from pyspark.sql import Window
+
     sh = _shingled(spark, sf)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    index_sh = (
-        sh.join(freq.filter(F.col("n_docs") <= STOP_SHINGLE_CAP).select("shingle"), "shingle")
-    )
-    a = index_sh.alias("a")
-    b = index_sh.alias("b")
+    shw = sh.withColumn(
+        "shfreq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+
+    idx = shw.filter(F.col("shfreq") <= STOP_SHINGLE_CAP)
+    a = idx.alias("a")
+    b = idx.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # x02's length filter, applied at candidate time: J ≥ 0.5
+            # needs 2·min(|A|,|B|) ≥ max — prunes before the exact
+            # re-score, the expensive stage here
+            & (2 * F.least("a.n_sh", "b.n_sh") >= F.greatest("a.n_sh", "b.n_sh")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
-    # length filter BEFORE the exact re-score (same pruning rule as
-    # x02: J ≥ 0.5 needs 2·min(|A|,|B|) ≥ max) — candidates that can
-    # never pass the threshold don't enter the full-shingle-set join,
-    # which is the expensive stage here
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    cand = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
-    )
-    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    fb = sh.select(F.col("doc_id").alias("fb_doc"), F.col("shingle").alias("sh_b"))
+    fa = shw.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    fb = shw.select(F.col("doc_id").alias("fb_doc"), F.col("shingle").alias("sh_b"))
     shared = (
         cand.join(fa, "doc_a")
         .join(fb, (F.col("doc_b") == F.col("fb_doc")) & (F.col("sh_a") == F.col("sh_b")))
