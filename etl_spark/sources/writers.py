@@ -353,19 +353,44 @@ def _staging_name(table: str) -> str:
     return f"{db}.{stage}" if db else stage
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
+    """(num_buckets, bucket_cols, sort_cols) of a catalog table —
+    (0, [], []) when unbucketed. Parsed from DESCRIBE FORMATTED."""
+    rows = {r.col_name.strip(): r.data_type for r in
+            spark.sql(f"DESCRIBE FORMATTED {table}").collect()}
+    n = rows.get("Num Buckets")
+    if not n:
+        return 0, [], []
+
+    def cols(v: str | None) -> list[str]:
+        v = (v or "").strip().strip("[]")
+        return [c.strip().strip("`") for c in v.split(",") if c.strip()]
+
+    return int(n), cols(rows.get("Bucket Columns")), cols(rows.get("Sort Columns"))
+
+
 def _overwrite_self(df: DataFrame, table: str) -> None:
     """Overwrite ``table`` with a plan that reads from it: stage the
-    rows into a temp table, then overwrite from the staged copy.
+    rows into a temp table, then overwrite from the staged copy —
+    PRESERVING the table's bucketing/sort layout (a plain overwrite
+    would silently drop the bucket spec, and with it every
+    zero-shuffle join downstream).
 
     On Delta/Iceberg this whole helper disappears (native DML with
     snapshot isolation); parquet managed tables need the staging hop
     because the lazy plan would otherwise read partially-deleted
     files mid-overwrite."""
     spark = df.sparkSession
+    n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
     staging = _staging_name(table)
     df.write.format("parquet").mode("overwrite").saveAsTable(staging)
     try:
-        spark.table(staging).write.format("parquet").mode("overwrite").saveAsTable(table)
+        writer = spark.table(staging).write.format("parquet").mode("overwrite")
+        if n_buckets:
+            writer = writer.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
         # any cached plan/file-listing for the table now points at
         # replaced files — refresh so OTHER sessions/plans (e.g. the
         # main session after a foreachBatch clone ran this DML) reread

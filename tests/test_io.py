@@ -566,3 +566,24 @@ def test_upsert_partition_key_in_merge_key_skips_target_scan(spark, db, monkeypa
     got = {r.id: r for r in spark.table(t).filter("day = 'd1'").collect()}
     assert got[1]["val"] == 777.0 and len(got) == 4
     assert spark.table(t).count() == 12
+
+
+def test_dml_preserves_bucketing(spark, db):
+    """upsert/delete on a BUCKETED table must keep the bucket spec —
+    a plain overwrite would silently drop it (and every zero-shuffle
+    join downstream with it)."""
+    from etl_spark.sources.writers import _bucket_spec, bucketed_save
+
+    t = f"{db}.bkt"
+    df = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(100)])
+    bucketed_save(df, t, ["id"], n_buckets=4, sort_keys=["id"])
+    assert _bucket_spec(spark, t) == (4, ["id"], ["id"])
+
+    upsert(spark.createDataFrame([Row(id=5, v="upd")]), t, keys=["id"])
+    assert _bucket_spec(spark, t) == (4, ["id"], ["id"])
+    assert spark.table(t).filter("id = 5").collect()[0].v == "upd"
+
+    n = delete_where(spark, t, "id >= 90")
+    assert n == 10
+    assert _bucket_spec(spark, t) == (4, ["id"], ["id"])
+    assert spark.table(t).count() == 90
