@@ -44,10 +44,18 @@ def append(df: DataFrame, table: str) -> None:
     """S5 batch-insert append. Auto-creates on first write (S7).
     Column order is aligned by name (`unionByName` semantics) — the
     reference aligns by explicit column list (web_scheduler.py:4413)."""
+    spark = df.sparkSession
     created = ensure_table(df, table)
-    target_cols = df.sparkSession.table(table).columns if not created else df.columns
-    df.select(*target_cols).write.format("parquet").mode("append").saveAsTable(table)
-    df.sparkSession.catalog.refreshTable(table)
+    target_cols = spark.table(table).columns if not created else df.columns
+    writer = df.select(*target_cols).write.format("parquet").mode("append")
+    if not created:
+        n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
+        if n_buckets:  # appends must match the table's bucket layout
+            writer = writer.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    spark.catalog.refreshTable(table)
 
 
 def append_evolve(df: DataFrame, table: str) -> list[str]:
@@ -90,9 +98,18 @@ def append_evolve(df: DataFrame, table: str) -> list[str]:
 def truncate_load(df: DataFrame, table: str) -> None:
     """S6 truncate-and-load full refresh, atomically: one overwrite
     commit instead of the reference's DELETE-then-append window
-    (uploads/excel_to_db.py:70-74)."""
-    df.write.format("parquet").mode("overwrite").saveAsTable(table)
-    df.sparkSession.catalog.refreshTable(table)
+    (uploads/excel_to_db.py:70-74). An existing table's bucket/sort
+    layout survives the refresh."""
+    spark = df.sparkSession
+    writer = df.write.format("parquet").mode("overwrite")
+    if spark.catalog.tableExists(table):
+        n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
+        if n_buckets:
+            writer = writer.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    spark.catalog.refreshTable(table)
 
 
 def partitioned_save(

@@ -587,3 +587,20 @@ def test_dml_preserves_bucketing(spark, db):
     assert n == 10
     assert _bucket_spec(spark, t) == (4, ["id"], ["id"])
     assert spark.table(t).count() == 90
+
+
+def test_append_and_truncate_load_preserve_bucketing(spark, db):
+    from etl_spark.sources.writers import _bucket_spec, bucketed_save
+
+    t = f"{db}.bkt2"
+    bucketed_save(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(50)]),
+        t, ["id"], n_buckets=4,
+    )
+    append(spark.createDataFrame([Row(id=100, v=1.0)]), t)
+    assert _bucket_spec(spark, t)[:2] == (4, ["id"])
+    assert spark.table(t).count() == 51
+
+    truncate_load(spark.createDataFrame([Row(id=7, v=7.0)]), t)
+    assert _bucket_spec(spark, t)[:2] == (4, ["id"])
+    assert spark.table(t).count() == 1
