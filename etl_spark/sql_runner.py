@@ -92,9 +92,22 @@ def split_statements(script: str) -> list[str]:
 def classify(stmt: str) -> str:
     """'rows' for result-returning statements, 'exec' otherwise —
     the reference's prefix test (web_scheduler.py:931), extended to
-    CTE/SHOW/EXPLAIN forms it misclassifies."""
-    head = stmt.lstrip().upper()
-    return "rows" if head.startswith(_ROWS_PREFIXES) else "exec"
+    CTE/SHOW/EXPLAIN forms it misclassifies. Leading comments and
+    redundant parens are skipped before the prefix test (a statement
+    like '-- note\\nSELECT ...' is still a SELECT)."""
+    head = stmt.lstrip()
+    while True:
+        if head.startswith("--"):
+            nl = head.find("\n")
+            head = head[nl + 1:].lstrip() if nl != -1 else ""
+        elif head.startswith("/*"):
+            end = head.find("*/")
+            head = head[end + 2:].lstrip() if end != -1 else ""
+        elif head.startswith("("):
+            head = head[1:].lstrip()
+        else:
+            break
+    return "rows" if head.upper().startswith(_ROWS_PREFIXES) else "exec"
 
 
 @dataclass

@@ -79,3 +79,14 @@ def test_run_script_continue_on_error(spark, db):
     results = run_script(spark, "SELECT * FROM missing_t; SELECT 42 AS x", stop_on_error=False)
     assert len(results) == 2
     assert results[1].df.collect()[0]["x"] == 42
+
+
+def test_classify_skips_leading_comments_and_parens():
+    from etl_spark.sql_runner import classify
+
+    assert classify("-- note\nSELECT 1") == "rows"
+    assert classify("/* block */ SELECT 1") == "rows"
+    assert classify("(SELECT 1)") == "rows"
+    assert classify("WITH t AS (SELECT 1) SELECT * FROM t") == "rows"
+    assert classify("-- only a comment") == "exec"
+    assert classify("/* c */ INSERT INTO t VALUES (1)") == "exec"
