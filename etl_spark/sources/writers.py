@@ -215,12 +215,24 @@ def _sql_literal(v: object) -> str:
 
 
 def _partition_predicate(touched: list, pcols: list[str]):
-    """OR-of-conjunctions predicate over partition columns — Catalyst
-    folds it into PartitionFilters so only touched partition
-    DIRECTORIES are listed/read."""
+    """Predicate selecting the ``touched`` partitions — Catalyst folds
+    it into PartitionFilters so only those partition DIRECTORIES are
+    listed/read. Single partition column → one IN list (compact even
+    for thousands of touched partitions); composite keys → an
+    OR-of-conjunctions chain (fine for typical delta sizes; a
+    many-thousand-partition delta is effectively a full rewrite
+    anyway)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
+
+    if len(pcols) == 1:
+        c = pcols[0]
+        vals = [r[c] for r in touched if r[c] is not None]
+        pred = F.col(c).isin(vals) if vals else F.lit(False)
+        if len(vals) != len(touched):  # a NULL partition was touched
+            pred = pred | F.col(c).isNull()
+        return pred
 
     def one(row):
         return reduce(
