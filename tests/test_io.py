@@ -604,3 +604,36 @@ def test_append_and_truncate_load_preserve_bucketing(spark, db):
     truncate_load(spark.createDataFrame([Row(id=7, v=7.0)]), t)
     assert _bucket_spec(spark, t)[:2] == (4, ["id"])
     assert spark.table(t).count() == 1
+
+
+def test_write_excel_empty_result(spark, tmp_path):
+    import zipfile
+
+    from etl_spark.sources.excel import write_excel
+
+    out = str(tmp_path / "empty.xlsx")
+    df = spark.createDataFrame([], "a INT, b STRING")
+    assert write_excel(df, out) == 0
+    with zipfile.ZipFile(out) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml")
+    assert b"<row r=\"1\">" in sheet and b"<row r=\"2\">" not in sheet
+
+
+def test_jdbc_query_form_roundtrip(spark, tmp_path):
+    """S2 query-form scan: pushdown-style arbitrary SQL shipped to the
+    remote (the reference's ad-hoc SELECT over a live connection)."""
+    from etl_spark.sources.jdbc import jdbc_reader, jdbc_writer
+
+    url = f"jdbc:derby:{tmp_path}/jq;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([Row(id=i, grp=i % 2) for i in range(10)])
+    jdbc_writer(df, mode="overwrite", url=url, table="t_q", **driver).save()
+    # Spark's JDBC writer quotes identifiers (case-sensitive in
+    # Derby), so hand-written query-form SQL must quote them too
+    agg = jdbc_reader(
+        spark,
+        url=url,
+        query='SELECT "grp", COUNT(*) AS n FROM "t_q" GROUP BY "grp"',
+        **driver,
+    ).load()
+    assert sorted(tuple(r) for r in agg.collect()) == [(0, 5), (1, 5)]

@@ -280,3 +280,9 @@ def test_tick_snapshot_matches_per_task_queries(orch):
     assert status == "failed"
     assert consec == orch.consecutive_failures(7) == 2
     assert last_t == datetime(2024, 6, 15, 12, 3)
+
+
+def test_cron_leap_day():
+    # Feb 29 only exists in leap years: from mid-2024 (leap), the next
+    # Feb 29 fire is 2028
+    assert next_fire("0 0 29 2 *", T0) == datetime(2028, 2, 29, 0, 0)

@@ -81,3 +81,11 @@ def test_snapshot_diff(spark):
         2: ("changed", ["b"]),
         4: ("added", []),
     }
+
+
+def test_check_constraints_edges(spark):
+    from pyspark.sql import Row
+
+    assert check_constraints(spark.range(3), {}) == {}
+    empty = spark.createDataFrame([], "v INT")
+    assert check_constraints(empty, {"pos": "v > 0"}) == {"pos": 0}
