@@ -628,12 +628,13 @@ def test_jdbc_query_form_roundtrip(spark, tmp_path):
     driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     df = spark.createDataFrame([Row(id=i, grp=i % 2) for i in range(10)])
     jdbc_writer(df, mode="overwrite", url=url, table="t_q", **driver).save()
-    # Spark's JDBC writer quotes identifiers (case-sensitive in
-    # Derby), so hand-written query-form SQL must quote them too
+    # Spark's JDBC writer quotes COLUMN identifiers (stored lowercase,
+    # case-sensitive in Derby) but passes the table name through
+    # unquoted — hand-written query-form SQL must match that mix
     agg = jdbc_reader(
         spark,
         url=url,
-        query='SELECT "grp", COUNT(*) AS n FROM "t_q" GROUP BY "grp"',
+        query='SELECT "grp", COUNT(*) AS n FROM t_q GROUP BY "grp"',
         **driver,
     ).load()
     assert sorted(tuple(r) for r in agg.collect()) == [(0, 5), (1, 5)]
