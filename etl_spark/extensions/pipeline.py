@@ -205,3 +205,65 @@ def x27_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(bucket < rate)
         .select("doc_id", "lang")
     )
+
+
+SEQ_LEN = 2048  # token budget per packed training sequence
+
+
+@register(
+    "x28_sequence_pack",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, lang, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sized
+        )
+        SELECT lang,
+               (cum - n_tok) // {SEQ_LEN} AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM placed
+        GROUP BY lang, (cum - n_tok) // {SEQ_LEN}
+    """,
+    tags=("pipeline",),
+)
+def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing — the step between curation and
+    training: assign whole documents, in deterministic doc_id order,
+    to fixed token-budget chunks (a doc starts in the chunk its
+    cumulative-token PREFIX falls in; docs are never split). Returns
+    per-chunk packing stats (doc count, token fill).
+
+    Scale shape: the running sum partitions by ``lang`` (the
+    stream/shard key), so no global single-partition window — each
+    language packs in parallel, which is how real packing runs
+    anyway (per-shard, offsets composed two-phase across shards).
+    Deterministic ordering ⇒ exact oracle."""
+    from pyspark.sql import Window
+
+    sized = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn("cum", F.sum("n_tok").over(w))
+    # integer division on BOTH sides: DuckDB's double->bigint CAST
+    # rounds-to-nearest while Spark truncates, so a float quotient
+    # would split chunks differently at the .5 boundary
+    chunk = F.expr(f"(cum - n_tok) DIV {SEQ_LEN}")
+    return (
+        placed.groupBy("lang", chunk.alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
