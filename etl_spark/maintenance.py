@@ -101,14 +101,20 @@ def compact_table(
         }
 
     # partitioned: pick partitions worth compacting
+    from urllib.parse import unquote
+
     needs = []
     for rel, files in inv.items():
         if not rel:
             continue
         small = [sz for _, sz in files if sz < target // 2]
         if len(files) >= min_files and len(small) >= min_files:
-            # 'day=d0/sub=x' → {'day': 'd0', 'sub': 'x'}
-            spec = dict(part.split("=", 1) for part in rel.split(os.sep))
+            # 'day=d0/sub=a%20b' → {'day': 'd0', 'sub': 'a b'} — hive
+            # URL-encodes special chars in partition directory names
+            spec = {
+                k: unquote(v)
+                for k, v in (part.split("=", 1) for part in rel.split(os.sep))
+            }
             needs.append(spec)
     if not needs:
         return {
@@ -116,19 +122,17 @@ def compact_table(
             "files_before": files_before,
             "files_after": files_before,
         }
-    # typed partition values: compare as strings against the hive path
-    # encoding by selecting the matching rows via string-cast equality
+    # compare with literals cast to the COLUMN's type (a cast on the
+    # partition column itself would defeat partition pruning)
     from pyspark.sql import functions as F
 
-    rows = [
-        {c: spec[c] for c in pcols}
-        for spec in needs
-    ]
+    ptypes = {f.name: f.dataType for f in df.schema.fields if f.name in pcols}
+    rows = [{c: spec[c] for c in pcols} for spec in needs]
     pred = None
     for spec in rows:
         one = F.lit(True)
         for c in pcols:
-            one = one & (F.col(c).cast("string") == F.lit(spec[c]))
+            one = one & (F.col(c) == F.lit(spec[c]).cast(ptypes[c]))
         pred = one if pred is None else (pred | one)
     affected = df.filter(pred)
     touched = affected.select(*pcols).distinct().collect()

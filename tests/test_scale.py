@@ -351,3 +351,33 @@ def test_sorted_save_tightens_file_ranges(spark, sf_dir):
     )
     assert "PushedFilters" in plan and "o_orderdate" in plan
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_compact_partitioned_int_and_encoded_values(spark, tmp_path):
+    """Compaction must handle NON-string partition columns (typed
+    literal comparison — a cast on the column would defeat pruning)
+    and hive URL-encoded partition values (e.g. spaces)."""
+    from pyspark.sql import Row
+
+    from etl_spark.maintenance import compact_table, file_inventory
+    from etl_spark.sources.writers import partitioned_save
+
+    t = "compact_typed"
+    base = spark.createDataFrame(
+        [Row(id=i, bucket=7, name="a b", v=float(i)) for i in range(20)]
+    )
+    partitioned_save(base, t, ["bucket", "name"])
+    for k in range(4):  # fragment the (7, 'a b') partition
+        spark.createDataFrame(
+            [Row(id=100 + k, v=1.0, bucket=7, name="a b")]
+        ).select("id", "v", "bucket", "name").write.mode("append").insertInto(t)
+    inv = file_inventory(spark, t)
+    (pkey,) = [k for k in inv if k]
+    assert "bucket=7" in pkey and "name=a" in pkey  # space survives the path
+    assert len(inv[pkey]) >= 5
+
+    res = compact_table(spark, t, target_file_mb=64)
+    assert res["partitions_compacted"] == 1
+    assert len(file_inventory(spark, t)[pkey]) == 1
+    assert spark.table(t).count() == 24
+    spark.sql(f"DROP TABLE {t}")
