@@ -125,12 +125,16 @@ _STYLES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 
 def _cell_xml(ref: str, v: object) -> str:
+    import decimal
+
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return ""
     if _is_datetime(v):
         return f'<c r="{ref}" s="1"><v>{_excel_serial(v)!r}</v></c>'
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, decimal.Decimal):  # Spark DecimalType money columns
+        return f'<c r="{ref}"><v>{v}</v></c>'
     if isinstance(v, (int, float)):
         return f'<c r="{ref}"><v>{v!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'

@@ -638,3 +638,22 @@ def test_jdbc_query_form_roundtrip(spark, tmp_path):
         **driver,
     ).load()
     assert sorted(tuple(r) for r in agg.collect()) == [(0, 5), (1, 5)]
+
+
+def test_write_excel_decimal_cells_are_numbers(spark, tmp_path):
+    """Spark DecimalType (money columns) must land as NUMBER cells,
+    not inline text."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from etl_spark.sources.excel import write_excel
+
+    out = str(tmp_path / "dec.xlsx")
+    df = spark.sql("SELECT CAST(12.34 AS DECIMAL(18,2)) AS amount")
+    assert write_excel(df, out) == 1
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(out) as z:
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    cell = {c.get("r"): c for c in sheet.findall(".//m:row/m:c", ns)}["A2"]
+    assert cell.get("t") is None  # numeric, not inlineStr
+    assert cell.find("m:v", ns).text == "12.34"
