@@ -57,7 +57,7 @@ MIN_SHARED_SHINGLES = 2
 )
 def x25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training documents (source ≠
-    '{src0}') sharing ≥ 2 distinct word-3-gram shingles with the eval
+    'src0') sharing ≥ 2 distinct word-3-gram shingles with the eval
     corpus (source = 'src0') — the docs that must be DROPPED before
     training so eval stays meaningful (the n-gram overlap rule used
     for GPT-3/Gopher/Llama decontamination).
