@@ -301,3 +301,67 @@ def x22_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "a09_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                 AS qty_o,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                 AS qty_f,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def a09_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: one column per l_linestatus value, quantity totals per
+    returnflag — the crosstab report every BI layer ends up needing.
+    The value list is EXPLICIT (['O','F']): with it, pivot is a single
+    conditional aggregation (one shuffle, map-side partials); without
+    it Spark must first run a distinct-values job. Decimal sums keep
+    the totals partitioning-invariant."""
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    pivoted = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec).alias("qty"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O_qty").cast("double").alias("qty_o"),
+        F.col("F_qty").cast("double").alias("qty_f"),
+        (F.coalesce("O_cnt", F.lit(0)) + F.coalesce("F_cnt", F.lit(0))).alias(
+            "n_rows"
+        ),
+    )
+
+
+@register(
+    "a10_unpivot",
+    oracle="""
+        SELECT p_partkey, 'retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+    """,
+    tags=("pivot",),
+)
+def a10_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT via stack(): wide metric columns → long (metric, value)
+    rows — the inverse reshape (feeding generic metric pipelines /
+    chart layers). Pure projection: stack is codegen'd, zero shuffle,
+    output is exactly n_rows × n_metrics."""
+    return load(spark, sf, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
+        "'size', CAST(p_size AS DOUBLE)) AS (metric, value)",
+    )
