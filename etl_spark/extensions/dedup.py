@@ -460,3 +460,98 @@ def x23_jaccard_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
         shared.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# Connected components over the near-dup pair graph (x29). Iteration
+# cap is a safety net only: hash-to-min converges in graph-diameter
+# rounds, and dup clusters are near-cliques (diameter 2-3); the loop
+# exits on the first round with no label change.
+MAX_CC_ITERS = 25
+
+
+@register(
+    "x29_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_duck_lsh_pairs()}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        verts AS (
+            SELECT DISTINCT s AS doc_id FROM edges
+        ),
+        reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+        )
+        SELECT doc_id,
+               CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+               (doc_id = MIN(lbl)) AS is_canonical
+        FROM reach
+        GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs — the step that turns
+    pairwise similarity into keep/drop decisions. Edges are the x04
+    MinHash-LSH pairs (est. Jaccard >= 0.5); each connected component
+    is one duplicate cluster; cluster_id = min doc_id in the
+    component; the canonical (kept) document is the one whose id IS
+    the cluster id. Docs in no pair are untouched (not emitted).
+
+    Algorithm: hash-to-min label propagation — label(v) starts as v,
+    each round becomes min(label(v), min label over neighbors), until
+    a round changes nothing. Per round: one shuffle keyed on the edge
+    dst (neighbor-min aggregate) + one on doc_id (label join) — both
+    tiny relative to the corpus since only docs IN a dup pair
+    participate. Convergence needs diameter rounds (2-3 for dup
+    near-cliques; alternating star contractions give O(log n) on
+    adversarial chains — Kiveris et al. '14 — not needed here).
+    Convergence test: labels only ever DECREASE, so an unchanged
+    decimal-exact label sum <=> a fixpoint — one cheap aggregate per
+    round instead of a change-detection join. localCheckpoint each
+    round truncates the lineage (at cluster scale, use a durable
+    checkpoint dir instead). The result is deterministic, so the
+    DuckDB recursive-CTE transitive closure reproduces it exactly."""
+    pairs = x04_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )

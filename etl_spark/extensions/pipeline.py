@@ -267,3 +267,62 @@ def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+CHUNK_TOKENS = 32  # context-window slice per chunk
+CHUNK_STRIDE = 24  # stride between chunk starts (overlap = 8 tokens)
+
+
+@register(
+    "x30_chunk_docs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               (start - 1) // {CHUNK_STRIDE} AS chunk_id,
+               CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' '))
+                   AS chunk_hash
+        FROM starts
+    """,
+    tags=("pipeline",),
+)
+def x30_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking — split each document into
+    overlapping fixed-token windows (size 32, stride 24), the
+    standard prep for context-window training and embedding
+    indexing. Emits (doc_id, chunk_id, n_tokens, chunk_hash); the
+    md5 keeps the verified result compact while pinning the exact
+    chunk CONTENT, not just its boundaries.
+
+    Scale shape: pure scan-local explode — zero shuffles, no state;
+    chunk count per doc is ceil(n_tok / stride), so output volume is
+    ~(1 + overlap/stride)x the corpus and each task chunks only its
+    own input split. Trailing windows shorter than the chunk size
+    are kept (the last partial context still trains)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = docs.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(f"sequence(1, size(t), {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    sl = F.expr(f"slice(t, start, {CHUNK_TOKENS})")
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {CHUNK_STRIDE}").alias("chunk_id"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    )
