@@ -345,12 +345,26 @@ def x24_blocked_neardup(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.array(*[band_sig(b) for b in range(_N_BANDS)])).alias("bs"),
     ).select("vec_id", "bs.band", "bs.sig")
 
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    # Candidate pairs by GROUPING each (band, sig) bucket and expanding
+    # C(occupancy, 2) pairs bucket-locally, instead of a sigs⋈sigs
+    # self-join: the signature expression (32 hyperplane dots/row) is
+    # then evaluated and codegen-compiled ONCE, and the one shuffle is
+    # keyed on the signature — same candidate set, half the scan work.
+    # Safe because the tuning rule above bounds bucket occupancy, so
+    # the collected id list and its quadratic expansion stay small.
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expand = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS vec_a, y AS vec_b))))"
+    )
     cand = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
 
