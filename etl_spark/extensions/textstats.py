@@ -417,3 +417,67 @@ def x20_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
             F.round(n_bpe / n_ws, 4).alias("bpe_per_word"),
         )
     )
+
+
+@register(
+    "x31_quality_percentile_gate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> len(t) > 3))
+                     * 1.0 / len(string_split(text, ' ')) AS score
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ),
+        ranked AS (
+            SELECT doc_id, lang, score,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, doc_id) AS pr
+            FROM scored
+        )
+        SELECT doc_id, lang,
+               ROUND(score, 4) AS score,
+               ROUND(pr, 4) AS pr
+        FROM ranked
+        WHERE pr <= 0.25
+    """,
+    tags=("textstats", "pipeline"),
+)
+def x31_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """RELATIVE quality gate: keep each language's top quartile by
+    long-token ratio (the x11 signal) — the distribution-aware form
+    of x17's absolute threshold, which is how real corpus curation
+    sets per-language budgets (an absolute cutoff tuned on English
+    over- or under-prunes other languages).
+
+    percent_rank partitions by lang, orders by (score DESC, doc_id):
+    the explicit tiebreak makes the rank — and therefore the kept
+    set — fully deterministic, so the oracle is exact. One shuffle
+    keyed on lang; at 100 TB the per-language partitions are what a
+    real mix pipeline shards by anyway (skewed giant languages split
+    fine: percent_rank needs a sort within lang, which Spark does
+    with range-partitioned external sort, not a single task). The
+    scale alternative for a fixed cutoff — approx_percentile to get
+    the threshold, then a scan-local filter — trades exactness for
+    one pass and is the right call when the gate feeds a filter, not
+    a report."""
+    from pyspark.sql import Window
+
+    toks = F.split("text", " ")
+    score = F.expr("size(filter(split(text, ' '), t -> length(t) > 3))") / F.size(toks)
+    scored = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "lang", score.alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.25)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("score", 4).alias("score"),
+            F.round("pr", 4).alias("pr"),
+        )
+    )

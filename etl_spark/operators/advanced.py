@@ -365,3 +365,47 @@ def a10_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
         "'size', CAST(p_size AS DOUBLE)) AS (metric, value)",
     )
+
+
+@register(
+    "w05_ntile_quartiles",
+    oracle="""
+        WITH tiled AS (
+            SELECT c_mktsegment,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS tile,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT c_mktsegment, tile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM tiled
+        GROUP BY c_mktsegment, tile
+    """,
+    tags=("window",),
+)
+def w05_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile bucketing via ntile(4): account-balance quartiles per
+    market segment with per-bucket count and balance bounds — the
+    window form of a histogram/decile report. The c_custkey tiebreak
+    pins tile assignment at equal balances, making the result exact
+    across engines. One shuffle keyed on segment; the follow-up
+    aggregate reuses that partitioning (no second exchange). At 100 TB
+    scale, a fixed-boundary bucketing (width_bucket on approx
+    percentiles) avoids the per-partition sort when approximate
+    deciles suffice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiled = load(spark, sf, "customer").select(
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("tile"),
+        "c_acctbal",
+    )
+    return tiled.groupBy("c_mktsegment", "tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
