@@ -59,6 +59,10 @@ HEADLINE = [
     "x17_quality_filter",
     "x18_tfidf_top_terms",
     "x24_blocked_neardup",
+    "x29_dup_clusters",
+    "x30_chunk_docs",
+    "x31_quality_percentile_gate",
+    "w05_ntile_quartiles",
 ]
 
 
@@ -157,7 +161,12 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
     out["n_vecs"] = spark.read.parquet(f"{tmp}/embeddings.parquet").count()
 
     specs = all_specs()
-    for name in ("x23_jaccard_capped_pairs", "x04_minhash_lsh_pairs", "x21_cosine_lsh_buckets"):
+    for name in (
+        "x23_jaccard_capped_pairs",
+        "x04_minhash_lsh_pairs",
+        "x21_cosine_lsh_buckets",
+        "x29_dup_clusters",
+    ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
         out[name] = round(time.perf_counter() - t0, 3)
