@@ -8,7 +8,12 @@ from etl_spark.streaming.monitor import (
     run_threshold_monitor,
 )
 from etl_spark.streaming.stateful import sessionize_stream
-from etl_spark.streaming.sinks import interval_join, run_append_sink, run_merge_sink
+from etl_spark.streaming.sinks import (
+    enrich_stream,
+    interval_join,
+    run_append_sink,
+    run_merge_sink,
+)
 
 __all__ = [
     "dedup_stream",
@@ -16,6 +21,7 @@ __all__ = [
     "windowed_event_counts",
     "run_threshold_monitor",
     "sessionize_stream",
+    "enrich_stream",
     "interval_join",
     "run_append_sink",
     "run_merge_sink",

@@ -137,3 +137,24 @@ def interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {tolerance}"))
     )
     return l.join(r, cond, "inner")
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-STATIC enrichment join: attach dimension attributes to a
+    live event stream (user→profile, shop→region — the streaming twin
+    of the reference's per-query dashboard joins). No watermark and no
+    join state is needed (unlike stream-stream interval_join), and
+    left rows always pass through even when the dim has no match.
+    The static side's VALUES are re-read per micro-batch, but a plain
+    file source pins its file listing at plan time — to roll out a
+    dim update, restart the query from its checkpoint with a fresh
+    reader (exactly-once continues; the test proves this), or back
+    the dim with a table format whose snapshot resolves per batch.
+
+    Scale: the dim side is broadcast-hinted — the stream never
+    shuffles for the join, each executor probes a local hash map.
+    For dims too big to broadcast, pre-bucket the dim table on the
+    key and let the stream side shuffle once per micro-batch."""
+    return events.join(F.broadcast(dim), on=key, how=how)
