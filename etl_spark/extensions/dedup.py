@@ -517,6 +517,21 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     checkpoint dir instead). The result is deterministic, so the
     DuckDB recursive-CTE transitive closure reproduces it exactly."""
     pairs = x04_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Hash-to-min connected components over an undirected pair list
+    ``(doc_a, doc_b)`` → ``(doc_id, lbl)`` where ``lbl`` is the min
+    id reachable from ``doc_id``. Vertices appearing in no pair are
+    not emitted. See x29_dup_clusters for the scale analysis; unit
+    coverage (chain/star/multi-clique convergence) in
+    tests/test_extensions.py."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
@@ -550,8 +565,4 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
-    )
+    return labels

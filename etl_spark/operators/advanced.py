@@ -409,3 +409,87 @@ def w05_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
+
+
+@register(
+    "a11_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def a11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical multi-cube shape
+    ROLLUP can't express: per-status totals, per-priority totals, and
+    the grand total in ONE aggregation pass (one shuffle; each input
+    row expands to its grouping-set combinations map-side, partial
+    aggregation applies per set). ``gid`` (grouping_id) disambiguates
+    which set a row belongs to — required because a NULL key here can
+    mean either "subtotal" or a genuinely NULL group value."""
+    return (
+        load(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "w06_trailing_window",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d
+        FROM orders
+    """,
+    tags=("window",),
+)
+def w06_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-DAY revenue per customer — a RANGE frame keyed on
+    time, not row position: every order sums all of its customer's
+    orders in the preceding week, however many rows that is (ROWS
+    frames can't express this; same-day orders enter each other's
+    frame symmetrically). Ordering key is epoch-day, giving both
+    engines an identical integer RANGE; the sum runs over exact
+    DECIMAL so the frame total is association-independent. One
+    shuffle keyed on o_custkey; the frame is evaluated with a sliding
+    accumulator per partition, not a per-row rescan. The streaming
+    twin of this shape is windowed_event_counts' sliding window."""
+    from pyspark.sql import Window
+
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num.cast("bigint"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        day_num.cast("bigint").alias("day_num"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d"),
+    )

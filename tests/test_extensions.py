@@ -115,3 +115,31 @@ def test_approx_aggs_within_tolerance(spark, sf_dir):
         a = approx[status]
         assert abs(a.approx_customers - e.n_customers) / e.n_customers < 0.05
         assert abs(a.approx_median_price - e.median_price) / e.median_price < 0.02
+
+
+def test_connected_components_chain_star_cliques(spark):
+    """Crafted-graph coverage for the x29 propagation loop, where the
+    oracle fixture only exercises near-clique shapes: a 12-node CHAIN
+    (diameter 11 — forces multiple propagation rounds), a star, two
+    disjoint pairs, and an isolated vertex (must not be emitted)."""
+    from etl_spark.extensions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]          # 100..111
+    star = [(200, x) for x in (201, 202, 203, 204)]        # hub 200
+    pairs = [(300, 301), (302, 303)]
+    edges = spark.createDataFrame(
+        chain + star + pairs, ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.lbl for r in connected_components(edges).collect()
+    }
+    assert {d: l for d, l in got.items() if d < 200} == {
+        i: 100 for i in range(100, 112)
+    }
+    assert {d: l for d, l in got.items() if 200 <= d < 300} == {
+        i: 200 for i in range(200, 205)
+    }
+    assert {d: l for d, l in got.items() if d >= 300} == {
+        300: 300, 301: 300, 302: 302, 303: 302,
+    }
+    assert 400 not in got  # isolated vertices never enter the frame
