@@ -435,3 +435,58 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q23_gapfill_daily",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+                   MAX(CAST(o_orderdate AS DATE)) AS mx
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        ),
+        prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT s.day, p.o_orderpriority, COALESCE(d.n, 0) AS n
+        FROM spine s
+        CROSS JOIN prios p
+        LEFT JOIN daily d ON d.day = s.day AND d.o_orderpriority = p.o_orderpriority
+    """,
+    tags=("analytics",),
+)
+def q23_gapfill_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled daily report: order counts per (day, priority) with
+    explicit ZERO rows for days/priorities that had no orders — the
+    dense-grid shape every dashboard needs (a bare groupBy silently
+    drops empty days; the reference's dashboards inherit that flaw).
+
+    Build: date spine = explode(sequence(min_day, max_day)) off a
+    1-row bounds aggregate; grid = spine × distinct priorities (two
+    broadcast-sized sides, the cross is a few thousand rows however
+    big the fact table is); counts LEFT-join onto the grid, COALESCE
+    0. At 100 TB the only fact-table work is the one groupBy — the
+    spine/grid stays driver-tiny by construction."""
+    orders = load(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderpriority"
+    )
+    bounds = orders.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    daily = orders.groupBy("day", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return (
+        spine.crossJoin(F.broadcast(prios))
+        .join(F.broadcast(daily), ["day", "o_orderpriority"], "left")
+        .select("day", "o_orderpriority", F.coalesce("n_raw", F.lit(0)).alias("n"))
+    )

@@ -706,3 +706,24 @@ def set02_except(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.distinct().subtract(s.distinct())
+
+
+@register(
+    "set03_intersect",
+    oracle="""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set03_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT — nations with BOTH customers and suppliers,
+    completing the set-op family (union/except/intersect).
+    intersect == INTERSECT DISTINCT; Spark plans it as a left-semi
+    join over the deduplicated sides, so the shuffle is keyed on the
+    value and NULL keys match NULL (set semantics, not join
+    semantics)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
