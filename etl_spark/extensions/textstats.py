@@ -481,3 +481,46 @@ def x31_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
             F.round("pr", 4).alias("pr"),
         )
     )
+
+
+HIST_BUCKET_WIDTH = 16  # tokens per histogram bucket
+HIST_MAX_BUCKET = 8     # bucket ids clamp to [0, 8] (last = open-ended)
+
+
+@register(
+    "x32_length_histogram",
+    oracle=f"""
+        SELECT lang,
+               CAST(LEAST(len(string_split(text, ' ')) // {HIST_BUCKET_WIDTH},
+                          {HIST_MAX_BUCKET}) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''
+        GROUP BY 1, 2
+    """,
+    tags=("textstats",),
+)
+def x32_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length histogram per language: fixed 16-token buckets
+    with an open-ended tail — the standard corpus-shape report that
+    drives chunk-size and packing-budget decisions (x28/x30). Bucket
+    ids come from INTEGER division + clamp (width_bucket over floats
+    would reintroduce engine rounding differences). Scan-local
+    bucketing, then one tiny (lang × ≤9 buckets) aggregate — at
+    100 TB this is a single pass with map-side partials and a
+    broadcast-sized result."""
+    n_tok = F.size(F.split("text", " "))
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("lang", F.expr(
+            f"CAST(LEAST(size(split(text, ' ')) DIV {HIST_BUCKET_WIDTH}, "
+            f"{HIST_MAX_BUCKET}) AS BIGINT)"
+        ).alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
