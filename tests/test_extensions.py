@@ -143,3 +143,39 @@ def test_connected_components_chain_star_cliques(spark):
         300: 300, 301: 300, 302: 302, 303: 302,
     }
     assert 400 not in got  # isolated vertices never enter the frame
+
+
+def test_connected_components_empty_graph(spark):
+    """Zero dup pairs (a fully unique corpus) must yield an empty
+    labels frame without tripping the convergence loop."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_spark.extensions.dedup import connected_components
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("doc_a", LongType()), StructField("doc_b", LongType())])
+    )
+    assert connected_components(empty).count() == 0
+
+
+def test_chunk_docs_short_doc_single_chunk(spark, tmp_path):
+    """A document shorter than the stride yields exactly one chunk
+    covering all its tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.pipeline import x30_chunk_docs
+
+    d = tmp_path / "docs_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["only five tokens right here"],
+            "lang": ["en"], "source": ["s"], "n_chars": pa.array([27], pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    rows = x30_chunk_docs(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0 and rows[0].n_tokens == 5
