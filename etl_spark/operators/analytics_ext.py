@@ -1,9 +1,11 @@
-"""Round-2 TPC-H widening — the remaining shapes the fixture schema
-can express (q02/q09/q11 need partsupp, q12 needs l_shipmode /
-l_commitdate / l_receiptdate; those columns don't exist in the
-fixtures, so those queries cannot be faithfully oracle-checked).
-q16/q20/q21 are adapted to lineitem as the part↔supplier association
-with the same plan shapes.
+"""Round-2 TPC-H widening. The fixtures lack partsupp and lineitem's
+shipmode/commitdate/receiptdate columns, so q02/q09/q11/q12 cannot be
+run verbatim — like q16/q20/q21, they are ADAPTED: lineitem plays the
+part↔supplier association (its min extended price = the supply cost),
+p_retailprice the product cost basis, l_linestatus the shipmode class,
+and ship-vs-order-date lateness the commit/receipt lag. The plan
+SHAPES (correlated min, multi-way profit join, scalar-subquery share
+gate, two-class conditional counts) are the faithful part.
 
 Registered in a separate module from operators/analytics.py so the
 driver's correctness snapshot (first 50 in registration order — see
@@ -489,4 +491,246 @@ def q23_gapfill_daily(spark: SparkSession, sf: str) -> DataFrame:
         spine.crossJoin(F.broadcast(prios))
         .join(F.broadcast(daily), ["day", "o_orderpriority"], "left")
         .select("day", "o_orderpriority", F.coalesce("n_raw", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eur AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        offers AS (
+            SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name,
+                   c.supply_cost,
+                   MIN(c.supply_cost) OVER (PARTITION BY p.p_partkey)
+                     AS min_cost
+            FROM cost c
+            JOIN part p ON p.p_partkey = c.l_partkey
+            JOIN eur e  ON e.s_suppkey = c.l_suppkey
+            WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(supply_cost AS DOUBLE) AS supply_cost
+        FROM offers WHERE supply_cost = min_cost
+    """,
+    tags=("join", "subquery", "window"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the supply
+    cost of (part, supplier) is the minimum extended price that
+    supplier ever shipped the part at (fixtures carry no partsupp —
+    see module docstring). For each STANDARD small part, keep every
+    EUROPE supplier achieving the per-part minimum cost (the
+    correlated MIN subquery of Q2, kept tie-preserving).
+
+    Plan: supplier⋈nation⋈region collapses to one broadcast-built
+    dim; the only fact shuffle is the (partkey, suppkey) cost
+    aggregate; the correlated MIN decorrelates into a window over
+    partkey (AQE-coalesced — qualifying parts ≪ fact rows, the
+    window input is already aggregate-sized). Costs are exact
+    decimals, so min-equality is engine-identical."""
+    li = load(spark, sf, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost")
+    )
+    part = load(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load(spark, sf, "supplier")
+    eur = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur), cost.l_suppkey == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                        - CAST(p.p_retailprice AS DECIMAL(18,2))
+                          * CAST(l.l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+    tags=("join", "agg"),
+)
+def q09_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted: cost basis is p_retailprice × quantity (no
+    ps_supplycost in the fixtures); profit = discounted revenue
+    minus that cost, for parts named like '%widget%', grouped by the
+    SUPPLIER's nation and order year.
+
+    Plan: part (pre-filtered on the LIKE), supplier and nation all
+    broadcast; the single exchange is lineitem⋈orders on orderkey
+    followed by the (nation, year) aggregate — the same one-fact-
+    shuffle shape as q05/q07/q08. All money stays DECIMAL until the
+    final output cast."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    part = load(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+        WITH nat AS (
+            SELECT s.s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+        ),
+        val AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
+            FROM lineitem l JOIN nat ON l.l_suppkey = nat.s_suppkey
+            GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT SUM(value_dec) AS total FROM val)
+        SELECT v.l_partkey AS p_partkey,
+               CAST(v.value_dec AS DOUBLE) AS part_value
+        FROM val v, tot
+        WHERE v.value_dec * 50 > tot.total
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted:
+    the 'stock value' of a part is the summed extended price of
+    NATION_7-supplied lines (no ps_availqty×ps_supplycost), and a
+    part is important if it holds > 2%% of that nation's total —
+    `value * 50 > total`, the division-free exact-decimal form of
+    the scalar-subquery HAVING (same trick as q17/q22).
+
+    Plan: the nation's supplier set broadcasts into the lineitem
+    scan (semi-join prune BEFORE the shuffle), one exchange on
+    partkey for the value aggregate, and the grand total re-uses
+    that aggregate as a 1-row broadcast — the fact table is read
+    once."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
+    )
+    tot = val.agg(F.sum("value_dec").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec") * F.lit(50) > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+        SELECT l.l_linestatus AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    tags=("join", "agg"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority), adapted:
+    l_linestatus stands in for the missing l_shipmode, and 'late' is
+    shipped ≥ 60 days after the order date (no commit/receipt
+    dates). Counts critical- vs normal-priority lines among 1996's
+    late shipments per class — the two-branch conditional aggregate
+    of Q12, verbatim.
+
+    Plan: the shipdate year filter pushes into the scan; one
+    exchange joins lineitem⋈orders on orderkey (the lateness
+    predicate is a post-join filter — it references both sides);
+    the groupBy input is already tiny. Interval arithmetic on
+    timestamps is engine-identical (no DST: fixture ts are UTC)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load(spark, sf, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("interval 60 days"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(critical, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
     )
