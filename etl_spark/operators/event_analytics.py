@@ -1,0 +1,301 @@
+"""Event/behavioral analytics over the ``events`` stream table —
+the batch twins of the reference's monitoring dashboard
+(web_scheduler.py:4582-4733 renders per-task status funnels, failure
+streaks and activity summaries as N+1 Python loops; here each is ONE
+declarative plan).
+
+Scale notes (100 TB): every operator below shuffles the fact table at
+most once on ``user_id`` (funnel, transitions) or on a low-cardinality
+derived key (day / cohort-week), then aggregates map-side. The
+window-based funnel reuses a single Exchange for all three step
+computations because every window shares the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+
+@register(
+    "e01_funnel_steps",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t_signup
+            FROM events
+        ),
+        u1 AS (SELECT DISTINCT user_id, t_signup FROM per_user),
+        clicks AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN u1 ON e.user_id = u1.user_id
+            WHERE e.event_type = 'click' AND e.ts > u1.t_signup
+            GROUP BY e.user_id
+        ),
+        buys AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN clicks c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_signup' AS step,
+               CAST(COUNT(t_signup) AS BIGINT) AS n_users
+        FROM u1 WHERE t_signup IS NOT NULL
+        UNION ALL
+        SELECT '2_click_after_signup', CAST(COUNT(*) AS BIGINT) FROM clicks
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM buys
+    """,
+    tags=("events", "window", "agg"),
+)
+def e01_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup → click → purchase:
+    a user counts for step N only if the step-N event happened AFTER
+    their step-(N-1) event. Three windowed conditional MINs over ONE
+    ``user_id`` partitioning — Spark plans a single Exchange and
+    reuses its sort for all three windows, so at 100 TB this is one
+    fact shuffle regardless of funnel depth (vs. the self-join-per-
+    step SQL formulation, which shuffles once per step)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_signup", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t_purchase", t3)
+        .select("user_id", "t_signup", "t_click", "t_purchase")
+        .distinct()
+    )
+    counts = per_user.agg(
+        F.count("t_signup").alias("c1"),
+        F.count("t_click").alias("c2"),
+        F.count("t_purchase").alias("c3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', c1, '2_click_after_signup', c2, "
+            "'3_purchase_after_click', c3) AS (step, n_users)"
+        )
+    )
+
+
+@register(
+    "e02_retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                    AS INT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "join"),
+)
+def e02_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by ISO week of first
+    event; each cell counts distinct cohort members active N weeks
+    later. The fact shuffles twice (distinct user-weeks; first-seen
+    per user); the per-user cohort table then broadcast-joins onto
+    the activity rows (at cluster scale AQE swaps this to a shuffled
+    join keyed on ``user_id`` — still fact-proportional, never a
+    cartesian), and the final COUNT DISTINCT expands partial-distinct
+    map-side before the tiny cohort-cell Exchange."""
+    ev = load(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                .cast("int")
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "e03_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, event_type, n,
+               CAST(CAST(n AS DOUBLE)
+                    / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type)
+                    AS DOUBLE) AS share
+        FROM pairs
+    """,
+    tags=("events", "window", "agg"),
+)
+def e03_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    LAG(event_type) per user in (ts, event_id) order, then pair
+    counts and the per-source share. One fact Exchange on
+    ``user_id`` for the lag, one tiny Exchange on the 5×5 pair
+    grid; the share window runs over the aggregate (25 rows at any
+    scale), so this is scale-invariant after the first shuffle.
+    The share divides BIGINT-exact counts, so it is bit-stable."""
+    ev = load(spark, sf, "events")
+    seq = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share_w = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "share",
+        (F.col("n").cast("double") / F.sum(F.col("n").cast("double")).over(share_w)),
+    )
+
+
+@register(
+    "e04_value_heavy_hitters",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(total_value AS DOUBLE) AS total_value,
+               CAST(total_value / SUM(total_value) OVER () AS DOUBLE)
+                 AS pct_of_total
+        FROM per_user
+        ORDER BY total_value DESC, user_id
+        LIMIT 5
+    """,
+    tags=("events", "agg", "window", "limit"),
+)
+def e04_value_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 purchasers by exact DECIMAL spend with share-of-total.
+    The heavy-hitter scan is one keyed aggregation; the global total
+    is an unpartitioned window over the (per-user) aggregate — at
+    100 TB that window input is |users|, not |events|, and the final
+    top-5 is TakeOrderedAndProject (no full sort). Shares divide
+    exact decimal sums cast to DOUBLE, so parity is bit-stable."""
+    per_user = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"))
+    )
+    total_w = Window.partitionBy()
+    return (
+        per_user.withColumn("pct_of_total", (F.col("tv") / F.sum("tv").over(total_w)).cast("double"))
+        .select(
+            "user_id",
+            F.col("tv").cast("double").alias("total_value"),
+            "pct_of_total",
+        )
+        .orderBy(F.col("tv").desc(), "user_id")
+        .limit(5)
+    )
+
+
+@register(
+    "e05_error_spike_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+        ),
+        stats AS (
+            SELECT day, n_errors,
+                   CAST(SUM(n_errors) OVER () AS BIGINT) AS s1,
+                   CAST(SUM(n_errors * n_errors) OVER () AS BIGINT) AS s2,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+            FROM daily
+        )
+        SELECT day, n_errors,
+               CAST((CAST(n_errors AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+                    / sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / cnt)
+                           / (cnt - 1))
+                    AS DOUBLE) AS zscore
+        FROM stats
+        WHERE cnt > 1
+    """,
+    tags=("events", "agg", "window"),
+)
+def e05_error_spike_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily error-count anomaly score — the alerting primitive
+    behind the reference's failure-monitoring dashboard
+    (web_scheduler.py:4582-4733), as one plan: one keyed agg to
+    daily counts, then mean/stddev via BIGINT-exact moment sums in
+    an unpartitioned window over the (tiny) daily table. The z-score
+    is derived from exact integer sums in one double expression, so
+    both engines compute the identical float. No stddev_samp() —
+    its incremental float accumulation is aggregation-order-
+    dependent and breaks cross-engine parity."""
+    daily = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = Window.partitionBy()
+    stats = (
+        daily.withColumn("s1", F.sum("n_errors").over(w))
+        .withColumn("s2", F.sum(F.col("n_errors") * F.col("n_errors")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt") > 1)
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    return stats.select(
+        "day",
+        "n_errors",
+        ((F.col("n_errors").cast("double") - mean) / F.sqrt(var)).cast("double").alias("zscore"),
+    )
