@@ -63,6 +63,10 @@ HEADLINE = [
     "x30_chunk_docs",
     "x31_quality_percentile_gate",
     "w05_ntile_quartiles",
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    "e01_funnel_steps",
+    "e03_event_transitions",
 ]
 
 
