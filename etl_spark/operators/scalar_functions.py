@@ -242,3 +242,48 @@ def f08_string_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("%"), F.col("lang"), F.lit("%")).alias("like_pat"),
         F.length("text").cast("bigint").alias("text_len"),
     )
+
+
+@register(
+    "f11_array_hof",
+    oracle="""
+        WITH sums AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e10) AS BIGINT))
+                        AS DOUBLE) / 1e10 AS comp_sum
+            FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) t
+            GROUP BY vec_id
+        )
+        SELECT e.vec_id,
+               CAST(len(list_filter(e.embedding, x -> x > 0)) AS INT) AS n_pos,
+               CAST(list_max(list_transform(e.embedding, x -> abs(x)))
+                    AS DOUBLE) AS max_abs,
+               s.comp_sum
+        FROM embeddings e JOIN sums s USING (vec_id)
+    """,
+    tags=("function", "array"),
+)
+def f11_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions over the embedding column, all
+    JVM-side (no explode, no UDF): FILTER counts positive components,
+    TRANSFORM+array_max finds the max magnitude, and AGGREGATE folds
+    a fixed-point component sum: each float is floored to 1e-10 grid
+    as a BIGINT, so the fold is exactly associative and bit-stable
+    across engines (a float fold is order-dependent; even a DECIMAL
+    cast differs between Spark's shortest-repr and DuckDB's
+    round-half-even at the 10th digit — floor(double*1e10) is the
+    deterministic form). Scan-local: zero shuffles at any scale."""
+    emb = load(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double").alias("max_abs"),
+        (
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.floor(x.cast("double") * F.lit(1e10)).cast("bigint"),
+            ).cast("double")
+            / F.lit(1e10)
+        ).alias("comp_sum"),
+    )

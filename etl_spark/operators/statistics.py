@@ -1,0 +1,141 @@
+"""Statistical aggregates — CUBE totals, exact interpolated
+percentiles, and correlation from exact moment sums. These round out
+the reference's dashboard-summary family (web_scheduler.py:4582-4733
+computes success-rate/volume summaries in Python loops) with the
+grouping-set and distribution shapes Spark gives declaratively.
+
+Cross-engine float discipline (see e05): anything accumulated is
+either an integer/DECIMAL (exactly associative — partition order
+can't change it) or a single final double expression over those
+exact sums. ``corr()``/``stddev()`` built-ins are avoided for parity
+because their streaming float accumulation is aggregation-order-
+dependent; ``percentile()`` is fine because it sorts then evaluates
+ONE interpolation expression (probed bit-equal vs DuckDB's
+quantile_cont on the fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+
+@register(
+    "a12_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def a12_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — both
+    margins, the cross-tab, and the grand total — expanded inside ONE
+    shuffle (Spark duplicates rows per grouping set map-side, with
+    partial aggregation before the Exchange). Complements a07's
+    ROLLUP and a11's explicit GROUPING SETS."""
+    return (
+        load(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "a13_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def a13_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (p50/p90) with range
+    bounds. Spark's ``percentile`` sorts each group's values and
+    evaluates one linear interpolation — bit-equal to DuckDB's
+    quantile_cont (probed on the fixtures at both scales). At 100 TB
+    exact percentile means a per-group sort, so the scale path is
+    ``approx_percentile`` (t-digest, benchmarked under x22's sketch
+    family); this is the exact form the approx variant is validated
+    against."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "e06_value_k_correlation",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sx,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)
+                       * CAST(value AS DECIMAL(18,2))) AS sxy,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)
+                       * CAST(json_extract(props, '$.k') AS BIGINT)) AS sxx,
+                   SUM(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS syy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    AS DOUBLE) AS corr_vk
+        FROM m WHERE n > 1
+    """,
+    tags=("events", "agg", "function"),
+)
+def e06_value_k_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation between event value and the JSON payload's
+    ``k`` field, per event type — computed from BIGINT/DECIMAL-exact
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²) folded into one double
+    expression. Exactly associative, so any partitioning of the 100 TB
+    scan yields the identical answer; one keyed Exchange total. The
+    built-in ``corr()`` is deliberately not used: its pairwise float
+    update is aggregation-order-dependent and cannot be oracle-exact."""
+    ev = load(spark, sf, "events")
+    x = F.get_json_object("props", "$.k").cast("bigint")
+    y = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).filter(F.col("n") > 1)
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return m.select(
+        "event_type",
+        "n",
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).cast("double").alias("corr_vk"),
+    )

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
     import etl_spark.operators.event_analytics  # noqa: F401
+    import etl_spark.operators.statistics  # noqa: F401
     import etl_spark.operators.relational  # noqa: F401
     import etl_spark.operators.scalar_functions  # noqa: F401
     import etl_spark.operators.analytics  # noqa: F401
