@@ -74,9 +74,61 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.analytics  # noqa: F401
 
 
+# The driver's correctness snapshot covers only the FIRST 50 registered
+# queries per round (insertion order). This list pins the front of the
+# window each round so hard-signal rows land where they're most needed;
+# unlisted queries follow in module-registration order.
+#
+# Round-3 priority (VERDICT r2 "Next round" #3):
+#   1. the 17 queries never driver-checked in r1/r2;
+#   2. the 13 events-reading queries whose r1 greens went stale when the
+#      fixture was re-encoded (fresh rows post-loader-fix);
+#   3. x28 (oracle HUGEINT cast fixed this round);
+#   4. round-3 additions fill the remaining slots as they register.
+_DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (17)
+    "e01_funnel_steps",
+    "e02_retention_cohorts",
+    "e03_event_transitions",
+    "e04_value_heavy_hitters",
+    "e05_error_spike_zscore",
+    "e06_value_k_correlation",
+    "a12_cube",
+    "a13_percentiles",
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q21_sole_returned_supplier",
+    "q22_dormant_customers",
+    "q23_gapfill_daily",
+    "set03_intersect",
+    "f11_array_hof",
+    # -- stale r1 greens on the re-encoded events fixture (13)
+    "p04_range_time",
+    "f02_regexp_extract",
+    "f05_tz_shift_interval",
+    "a03_max_per_group",
+    "a05_bool_and_gate",
+    "a06_lastn_conditional",
+    "o03_latest_row",
+    "s01_tumbling_window",
+    "s02_session_window",
+    "w03_lag_lead_delta",
+    "w04_sessionize",
+    "j09_asof_join",
+    "f09_json_extract",
+    # -- r2 hash-fail, oracle fixed this round (1)
+    "x28_sequence_pack",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    prio = {n: i for i, n in enumerate(_DRIVER_WINDOW_PRIORITY)}
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    names = sorted(_REGISTRY, key=lambda n: (prio.get(n, len(prio)), order[n]))
+    return {n: _REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -34,30 +34,52 @@ from pyspark.sql.streaming import StreamingQuery
 
 from etl_spark.alerting import Notifier, evaluate_condition
 
-# the driver fixture's events schema, with ts as raw int64 nanos
-# (see etl_spark.tables.load — Spark's reader refuses nanos natively)
+# the driver fixture's current events schema (ts: naive timestamp[us])
 EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+# the old fixture encoding: ts as raw int64 nanos (Spark's reader
+# refuses nanos natively; see etl_spark.tables.load)
+EVENTS_DDL_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
-def stream_events(spark: SparkSession, path: str, schema: str = EVENTS_DDL) -> DataFrame:
+def stream_events(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     """File-stream source over a directory of event parquet files.
     New files are discovered per micro-batch — the streaming analog of
-    the reference's append-only log tables (SURVEY.md §1.1)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    the reference's append-only log tables (SURVEY.md §1.1).
+
+    With ``schema=None`` the ``ts`` encoding is sniffed from the first
+    parquet file already in ``path`` (driver-local footer read), so the
+    source works against both the current timestamp[us] fixture and the
+    old int64-nanos one; an empty directory defaults to the current
+    encoding. Either way ``ts`` is normalized to TIMESTAMP (ltz):
+    the session TZ is pinned to UTC (session.py) so wall-clock values
+    match tables.load's NTZ derivation exactly."""
+    if schema is None:
+        from etl_spark.tables import events_ts_physical_type
+
+        try:
+            ts_type = events_ts_physical_type(path)
+        except FileNotFoundError:
+            ts_type = "timestamp[us]"
+        nanos = ts_type == "int64" or ts_type.startswith("timestamp[ns")
+        schema = EVENTS_DDL_NANOS if nanos else EVENTS_DDL
+    if " ts BIGINT" in schema:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(schema).parquet(path)
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "CAST(TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+                "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000) AS TIMESTAMP)"
+            ),
+        )
     raw = spark.readStream.schema(schema).parquet(path)
-    # nanos → TIMESTAMP (ltz): watermarks require TIMESTAMP, not
-    # TIMESTAMP_NTZ; the session TZ is pinned to UTC (session.py) so
-    # wall-clock values match tables.load's NTZ derivation exactly
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "CAST(TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
-            "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000) AS TIMESTAMP)"
-        ),
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

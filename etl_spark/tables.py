@@ -28,16 +28,45 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def events_ts_physical_type(path: str) -> str:
+    """Inspect the parquet footer (pyarrow, driver-local, no Spark job)
+    and return the arrow type string of the ``ts`` column — e.g.
+    ``"int64"`` (raw nanos, the old fixture encoding),
+    ``"timestamp[ns]"``, or ``"timestamp[us]"`` (current fixtures).
+
+    The fixture files are driver-owned and have been regenerated with a
+    different ``ts`` encoding between rounds, so the loader must branch
+    on what is actually on disk rather than assume one encoding.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        p = os.path.join(path, parts[0])
+    return str(pq.read_schema(p).field("ts").type)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan; no caching — each
     query owns its plan so pushdown stays visible.
 
-    ``events.ts`` is nanosecond-precision in the parquet file, which
-    Spark's reader rejects; read it as raw int64 nanos
-    (``nanosAsLong``) and floor-truncate to microseconds — exactly
-    what DuckDB's µs timestamp does, so oracle parity holds. The cast
-    to TIMESTAMP_NTZ goes through UTC so it is wall-clock-stable no
-    matter what session timezone the caller configured.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ whatever the on-disk
+    encoding:
+
+    - ``timestamp[us]`` (current fixture): read natively; the column
+      arrives as TIMESTAMP_NTZ (naive parquet timestamp) or TIMESTAMP
+      depending on reader config, so cast to TIMESTAMP_NTZ — a no-op
+      for NTZ, and wall-clock-stable for LTZ because the session TZ is
+      pinned to UTC (session.py).
+    - ``int64`` / ``timestamp[ns]`` (old fixture): Spark's reader
+      rejects nanos natively; read as raw int64 nanos (``nanosAsLong``)
+      and floor-truncate to microseconds — exactly what DuckDB's µs
+      timestamp does, so oracle parity holds.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -45,16 +74,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # epoch + exact DECIMAL seconds => TIMESTAMP_NTZ, no session-tz
-        # dependence (make_dt_interval's seconds arg is DECIMAL-exact
-        # to the microsecond)
+        ts_type = events_ts_physical_type(path)
+        if ts_type == "int64" or ts_type.startswith("timestamp[ns"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # epoch + exact DECIMAL seconds => TIMESTAMP_NTZ, no
+            # session-tz dependence (make_dt_interval's seconds arg is
+            # DECIMAL-exact to the microsecond)
+            return spark.read.parquet(path).withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+                    "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000)"
+                ),
+            )
         return spark.read.parquet(path).withColumn(
-            "ts",
-            F.expr(
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
-                "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000)"
-            ),
+            "ts", F.col("ts").cast("timestamp_ntz")
         )
     return spark.read.parquet(path)
 
