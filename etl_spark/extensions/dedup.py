@@ -566,3 +566,139 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     edges.unpersist()
     return labels
+
+
+def _duck_bands() -> str:
+    """DuckDB CTE body: (doc_id, band_id, band_key) LSH band rows —
+    the banding step of _duck_lsh_pairs, reusable standalone."""
+    sig = _duck_minhash_sig()
+    bands = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_id, "
+        f"md5(concat(mh_{2 * b}, '_', mh_{2 * b + 1})) AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sig AS ({sig}),
+        bands AS (
+{bands}
+        )
+    """
+
+
+@register(
+    "x37_incremental_neardup",
+    oracle=_duck_bands()
+    + """
+        SELECT n.doc_id,
+               CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_seen_matches
+        FROM bands n JOIN bands s
+          ON n.band_id = s.band_id AND n.band_key = s.band_key
+        WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+        GROUP BY n.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+)
+def x37_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest near-dup check: a NEW batch of documents
+    (odd doc_id, standing in for today's crawl) probed against the
+    SEEN corpus (even doc_id) via MinHash-LSH band buckets — each new
+    doc reports how many distinct seen docs share a band bucket with
+    it. This is the ingestion-time shape of x04: dedup a delta against
+    an existing index WITHOUT re-pairing the whole corpus — the
+    corpus-side band table is computed once, persisted, and only
+    probed per batch.
+
+    Scale: one equi-join keyed on the band hash (new side is
+    batch-sized, seen side is the stored index — never corpus×corpus),
+    then one count-distinct shuffle on the new doc_id."""
+    sig = minhash_signatures(spark, sf)
+    stack_expr = ", ".join(
+        f"{b}, md5(concat(mh_{2 * b}, '_', mh_{2 * b + 1}))" for b in range(N_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)"),
+    )
+    new = bands.filter(F.col("doc_id") % 2 == 1)
+    seen = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("seen_id"), "band_id", "band_key"
+    )
+    return (
+        new.join(seen, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("seen_id").alias("n_seen_matches"))
+    )
+
+
+@register(
+    "x38_minhash_error",
+    oracle=f"""
+        WITH pairs AS ({_duck_lsh_pairs()}),
+        sh AS ({_DUCK_SHINGLES}),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               p.est_jaccard AS est_j,
+               ROUND(s.n_shared * 1.0
+                     / (sa.n_sh + sb.n_sh - s.n_shared), 4) AS true_j,
+               ROUND(ABS(p.est_jaccard
+                         - s.n_shared * 1.0
+                           / (sa.n_sh + sb.n_sh - s.n_shared)), 4) AS abs_err
+        FROM pairs p
+        JOIN shared s ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    """,
+    tags=("dedup",),
+)
+def x38_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair (x04), the
+    MinHash Jaccard ESTIMATE next to the exact shingle Jaccard and
+    their absolute error — the measurement that justifies (or vetoes)
+    a signature size before a 100 TB dedup run commits to it
+    (8 hashes → ±0.35 quantization steps; widen to tighten).
+
+    Scale: the exact side is computed ONLY for the candidate pairs —
+    the shingle self-join is the same inverted-index shape as x02 and
+    the pair table it joins against is LSH-bounded, so the audit costs
+    candidates × shingle-overlap, never corpus²."""
+    pairs = x04_minhash_lsh_pairs(spark, sf)
+    sh = _shingled(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    true_j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pairs.join(shared, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("est_jaccard").alias("est_j"),
+            F.round(true_j, 4).alias("true_j"),
+            F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
+        )
+    )

@@ -334,3 +334,43 @@ def x30_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.size(sl).cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
     )
+
+
+@register(
+    "x36_pii_scrub",
+    oracle="""
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+               CAST(length(props)
+                    - length(regexp_replace(props, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digits,
+               length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+                 <> length(props) AS was_redacted
+        FROM events
+    """,
+    tags=("pipeline",),
+)
+def x36_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-shaped redaction pass over the event property payload:
+    every digit run is replaced with a ``<NUM>`` placeholder, plus an
+    audit count of removed characters — the numeric-identifier scrub
+    (user ids, phone fragments, account numbers) every training-data
+    pipeline runs before text leaves the ingestion zone. Real PII
+    scrubbers add email/SSN patterns to the same shape; the fixture
+    corpus carries its identifying digits in ``props``, so that is
+    the column scrubbed here.
+
+    Scale: zero shuffles — regexp_replace is a codegen'd projection
+    evaluated scan-side; the pattern set extends without changing the
+    plan. Spark's regexp_replace replaces ALL matches by default
+    (DuckDB needs the explicit 'g' flag)."""
+    ev = load(spark, sf, "events")
+    scrub = F.regexp_replace("props", "[0-9]+", "<NUM>")
+    return ev.select(
+        "event_id",
+        scrub.alias("scrubbed"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).cast("long").alias("n_digits"),
+        (F.length(scrub) != F.length("props")).alias("was_redacted"),
+    )

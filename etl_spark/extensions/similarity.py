@@ -415,3 +415,84 @@ def x21_cosine_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.select("vec_id", "label", bucket.cast("int").alias("bucket"))
+
+
+N_KMEANS = 8  # deterministic seed centroids: the first k vectors
+
+
+@register(
+    "x39_kmeans_assign",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM embeddings WHERE vec_id < {N_KMEANS}
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+        ),
+        d AS (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(ve, ve)
+                   - 2 * list_dot_product(ve, ce)
+                   + list_dot_product(ce, ce) AS d2
+            FROM v CROSS JOIN c
+        ),
+        r AS (
+            SELECT vec_id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d
+        )
+        SELECT vec_id,
+               CAST(cid AS BIGINT) AS cluster_id,
+               ROUND(d2, 4) AS dist2
+        FROM r WHERE rn = 1
+    """,
+    tags=("similarity",),
+)
+def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd assignment step of k-means over the embedding
+    corpus: nearest of k deterministic seed centroids (the first k
+    vectors) per embedding, by squared euclidean distance expanded as
+    a·a − 2a·c + c·c (ties break on centroid id). The building block
+    for corpus clustering / IVF index training (x08 consumes exactly
+    such centroids); iterating means re-deriving centroids from the
+    assignment's per-cluster means and re-running this plan.
+
+    Scale: the centroid table is k rows → broadcast nested-loop over
+    a k-row side is a MAP-side operation, no shuffle for the distance
+    computation; the argmin window partitions by vec_id — embarrass-
+    ingly parallel. At 100 TB: identical plan, centroids stay tiny."""
+    emb = load(spark, sf, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") < N_KMEANS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("cc"),
+        )
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("vv"),
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (
+            F.col("vv") - 2 * F.expr(_DOT.format(a="ve", b="ce")) + F.col("cc")
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.round("d2", 4).alias("dist2"),
+        )
+    )

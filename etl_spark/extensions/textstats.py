@@ -524,3 +524,150 @@ def x32_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "x33_word_freq_zipf",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        counts AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM words WHERE word <> '' GROUP BY word
+        ),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT)
+                     AS rank,
+                   word, n
+            FROM counts
+        )
+        SELECT rank, word, n FROM ranked WHERE rank <= 100
+    """,
+    tags=("textstats",),
+)
+def x33_word_freq_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 words by frequency with a
+    deterministic Zipf rank (count DESC, word ASC) — the first step of
+    every tokenizer-training / stopword-derivation pipeline.
+
+    Scale: explode + one shuffle on the word (uniform by construction
+    — hot words partial-aggregate map-side), then TakeOrdered for the
+    top-100; the rank window runs on 100 rows, never on the full
+    vocabulary."""
+    words = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "word", "n"
+    )
+
+
+@register(
+    "x34_bigram_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bigrams AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1]))
+                     AS bigram
+            FROM toks
+        ),
+        counts AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bigrams GROUP BY bigram
+        ),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INT)
+                     AS rank,
+                   bigram, n
+            FROM counts
+        )
+        SELECT rank, bigram, n FROM ranked WHERE rank <= 50
+    """,
+    tags=("textstats",),
+)
+def x34_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-word co-occurrence: top-50 bigrams corpus-wide — the
+    collocation statistic feeding phrase-aware tokenizers and
+    repetition detectors (x26 counts WITHIN-doc repetition; this is
+    the cross-corpus view).
+
+    Scale: same shape as the shingle index (dedup._shingled) — a
+    codegen'd array transform, one explode, one count shuffle keyed on
+    the bigram, TakeOrdered(50). No window over the full bigram
+    table."""
+    docs = load(spark, sf, "documents").select(
+        F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "bigram", "n"
+    )
+
+
+@register(
+    "x35_type_token_ratio",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+               ROUND(len(list_distinct(t)) * 1.0 / len(t), 6) AS ttr
+        FROM toks
+        WHERE len(t) > 0
+    """,
+    tags=("textstats", "quality"),
+)
+def x35_type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical richness per document: type-token ratio
+    (distinct words / total words) — low TTR flags the copy-paste /
+    template / keyword-stuffing documents a quality gate drops before
+    training (complements x26's repetition ratios).
+
+    Scale: zero shuffles — split, distinct, and ratio are all
+    codegen'd array expressions evaluated scan-side."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_remove(F.split("text", " "), "").alias("t"),
+    ).filter(F.size("t") > 0)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct("t")) / F.size("t").cast("double"), 6
+        ).alias("ttr"),
+    )

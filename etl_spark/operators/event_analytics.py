@@ -299,3 +299,126 @@ def e05_error_spike_zscore(spark: SparkSession, sf: str) -> DataFrame:
         "n_errors",
         ((F.col("n_errors").cast("double") - mean) / F.sqrt(var)).cast("double").alias("zscore"),
     )
+
+
+@register(
+    "e07_funnel_latency",
+    oracle="""
+        WITH su AS (
+            SELECT user_id, MIN(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT su.user_id, su.t_signup, MIN(e.ts) AS t_purchase
+            FROM events e JOIN su ON e.user_id = su.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > su.t_signup
+            GROUP BY su.user_id, su.t_signup
+        ),
+        lat AS (
+            SELECT CAST(date_trunc('day', t_signup) AS DATE) AS cohort_day,
+                   date_diff('second', t_signup, t_purchase) AS secs
+            FROM conv
+        )
+        SELECT cohort_day,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(quantile_cont(secs, 0.5), 3) AS p50_secs,
+               ROUND(quantile_cont(secs, 0.9), 3) AS p90_secs
+        FROM lat
+        GROUP BY cohort_day
+    """,
+    tags=("events", "agg"),
+)
+def e07_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert: per signup-day cohort, the median and p90
+    latency from a user's first signup to their first subsequent
+    purchase — the funnel-health metric behind e01's step counts
+    (reference renders per-task latency badges from N+1 loops,
+    web_scheduler.py:4582-4733).
+
+    Scale: both the signup MIN and the purchase-after-signup MIN
+    shuffle on ``user_id`` — the join between them is co-partitioned,
+    so Spark reuses one Exchange per side; the final cohort-day agg is
+    tiny. Exact percentiles over per-cohort latency lists are fine at
+    daily-cohort cardinality; at 100 TB with million-row cohorts swap
+    approx_percentile.
+
+    DuckDB's ``date_diff('second', ...)`` counts second-boundary
+    crossings, so the Spark side truncates both endpoints to the
+    second before diffing — identical integer seconds."""
+    ev = load(spark, sf, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = conv.select(
+        F.date_trunc("day", "t_signup").cast("date").alias("cohort_day"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', t_signup), "
+            "date_trunc('second', t_purchase))"
+        ).alias("secs"),
+    )
+    return lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.5)"), 3).alias("p50_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 3).alias("p90_secs"),
+    )
+
+
+@register(
+    "e08_dau_stickiness",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1
+        ),
+        weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM events GROUP BY 1
+        )
+        SELECT d.day, d.dau, w.wau,
+               ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+        FROM daily d
+        JOIN weekly w ON CAST(date_trunc('week', d.day) AS DATE) = w.week
+    """,
+    tags=("events", "agg"),
+)
+def e08_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement stickiness: daily active users joined to the active
+    users of their ISO week, ratio DAU/WAU — the standard
+    product-health metric the reference's activity page approximates
+    with repeated full-table scans (web_scheduler.py:1289-1582).
+
+    Scale: each COUNT DISTINCT shuffles once on (period, user_id)
+    partial-aggregated map-side; the day→week join is a broadcast of
+    the (tiny) weekly aggregate. At 100 TB replace exact distinct with
+    HLL sketches (x22) merged across days to get WAU from daily state
+    without a second scan."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        daily.join(
+            F.broadcast(weekly),
+            F.date_trunc("week", F.col("day")).cast("date") == F.col("week"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

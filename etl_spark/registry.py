@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.multimodal  # noqa: F401
     import etl_spark.extensions.pipeline  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
+    import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
     import etl_spark.operators.event_analytics  # noqa: F401
     import etl_spark.operators.statistics  # noqa: F401
@@ -120,6 +121,21 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "f09_json_extract",
     # -- r2 hash-fail, oracle fixed this round (1)
     "x28_sequence_pack",
+    # -- new in round 3 (13): first driver rows
+    "w07_percent_rank",
+    "a14_filtered_agg",
+    "a15_median_mode",
+    "f12_string_agg",
+    "f13_price_histogram",
+    "e07_funnel_latency",
+    "e08_dau_stickiness",
+    "x33_word_freq_zipf",
+    "x34_bigram_counts",
+    "x35_type_token_ratio",
+    "x36_pii_scrub",
+    "x37_incremental_neardup",
+    "x38_minhash_error",
+    "x39_kmeans_assign",
 )
 
 
