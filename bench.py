@@ -67,6 +67,12 @@ HEADLINE = [
     "q09_product_profit",
     "e01_funnel_steps",
     "e03_event_transitions",
+    # round-4 additions
+    "q11_important_stock",
+    "x40_stratified_split",
+    "x41_cross_source_overlap",
+    "x42_neardup_bucket_audit",
+    "x43_embedding_norm_stats",
 ]
 
 
@@ -167,6 +173,7 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
     specs = all_specs()
     for name in (
         "x23_jaccard_capped_pairs",
+        "x25_decontaminate",
         "x04_minhash_lsh_pairs",
         "x21_cosine_lsh_buckets",
         "x29_dup_clusters",

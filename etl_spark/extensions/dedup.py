@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
-from etl_spark.tables import load
+from etl_spark.tables import load, load_parallel
 
 # 60-bit integer from the first 15 hex chars of md5 — reproducible in
 # any engine with md5 + hex parsing. Spark side:
@@ -52,8 +52,12 @@ MERSENNE61 = (1 << 61) - 1
 
 def _shingled(spark: SparkSession, sf: str) -> DataFrame:
     """documents → (doc_id, shingle) distinct word-3-gram shingles.
-    Stays entirely in codegen'd array expressions."""
-    docs = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    Stays entirely in codegen'd array expressions. ``load_parallel``
+    spreads the tokenize/hash map stage across cores when the fixture
+    scan is a single split (no-op at real scale)."""
+    docs = load_parallel(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     docs = docs.filter(F.size("toks") >= 3)
     shingles = F.expr(
         "transform(sequence(1, size(toks) - 2), "
@@ -338,7 +342,7 @@ def x05_simhash(spark: SparkSession, sf: str) -> DataFrame:
     the near-dup measure (Charikar '02 / Manku et al. '07). Linear:
     one token explode, one groupBy."""
     bits = 16
-    toks = load(spark, sf, "documents").select(
+    toks = load_parallel(spark, sf, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -512,9 +516,10 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     adversarial chains — Kiveris et al. '14 — not needed here).
     Convergence test: labels only ever DECREASE, so an unchanged
     decimal-exact label sum <=> a fixpoint — one cheap aggregate per
-    round instead of a change-detection join. localCheckpoint each
-    round truncates the lineage (at cluster scale, use a durable
-    checkpoint dir instead). The result is deterministic, so the
+    round instead of a change-detection join. Lineage is truncated
+    each round — ``localCheckpoint`` here, or a DURABLE checkpoint via
+    ``connected_components(pairs, checkpoint_dir=...)`` at cluster
+    scale. The result is deterministic, so the
     DuckDB recursive-CTE transitive closure reproduces it exactly."""
     pairs = x04_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
     labels = connected_components(pairs)
@@ -525,21 +530,41 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Hash-to-min connected components over an undirected pair list
     ``(doc_a, doc_b)`` → ``(doc_id, lbl)`` where ``lbl`` is the min
     id reachable from ``doc_id``. Vertices appearing in no pair are
     not emitted. See x29_dup_clusters for the scale analysis; unit
     coverage (chain/star/multi-clique convergence) in
-    tests/test_extensions.py."""
+    tests/test_extensions.py.
+
+    Lineage is truncated once per round. With ``checkpoint_dir=None``
+    (test/fixture default) that is ``localCheckpoint`` — executor-local
+    blocks, fast but lost with the executor. At cluster scale pass a
+    durable path (HDFS/S3): the iteration then uses reliable
+    ``checkpoint()`` through ``setCheckpointDir``, so a lost executor
+    recovers the current round from storage instead of recomputing the
+    whole label history."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
 
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
@@ -550,13 +575,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        labels = (
+        labels = _ckpt(
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select(
                 "doc_id",
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
         cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")

@@ -344,8 +344,9 @@ def x30_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
                CAST(length(props)
                     - length(regexp_replace(props, '[0-9]', '', 'g'))
                     AS BIGINT) AS n_digits,
-               length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
-                 <> length(props) AS was_redacted
+               length(props)
+                 - length(regexp_replace(props, '[0-9]', '', 'g')) > 0
+                 AS was_redacted
         FROM events
     """,
     tags=("pipeline",),
@@ -366,11 +367,119 @@ def x36_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     (DuckDB needs the explicit 'g' flag)."""
     ev = load(spark, sf, "events")
     scrub = F.regexp_replace("props", "[0-9]+", "<NUM>")
+    n_digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    # was_redacted derives from CONTENT (any digit present), never
+    # from a length comparison: a redaction that happens to preserve
+    # total length (a 5-digit run → the 5-char '<NUM>', offsetting
+    # runs) is still a redaction (ADVICE r3).
     return ev.select(
         "event_id",
         scrub.alias("scrubbed"),
-        (
-            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
-        ).cast("long").alias("n_digits"),
-        (F.length(scrub) != F.length("props")).alias("was_redacted"),
+        n_digits.cast("long").alias("n_digits"),
+        (n_digits > 0).alias("was_redacted"),
+    )
+
+
+# train/val/test permille boundaries for the deterministic split
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90  # [80, 90) => val, [90, 100) => test
+
+
+@register(
+    "x40_stratified_split",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("pipeline",),
+)
+def x40_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment with the
+    per-language audit every training run records: split membership is
+    md5(doc_id) mod 100 — content-stable like x27's sampler, so a doc
+    NEVER migrates between splits when the corpus grows (rerunning on
+    an appended corpus only assigns the new docs), which is the
+    property that prevents silent train→test leakage across dataset
+    versions.
+
+    Scale: the split column itself is scan-local (zero shuffle when
+    materialized as a writer column); this audit view adds one keyed
+    aggregate on (lang, split) — 3×|langs| output rows."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "x41_cross_source_overlap",
+    oracle=f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        ss AS (
+            SELECT DISTINCT d.source, sh.shingle
+            FROM sh JOIN documents d USING (doc_id)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM ss a JOIN ss b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    tags=("pipeline", "dedup"),
+)
+def x41_cross_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word-3-gram shingles they share — the mix-planning
+    report that flags two crawls scraping the same sites (high
+    overlap ⇒ near-dup mass between sources ⇒ dedup before weighting
+    the mix; x25 is the targeted eval-vs-train form of the same
+    check).
+
+    Scale: the DISTINCT (source, shingle) projection bounds each
+    shingle's join fan-out to |sources| (constant), NOT its document
+    frequency — a shingle in a million docs contributes at most
+    C(|sources|, 2) pairs, so the self-join can never go quadratic in
+    corpus size. Shuffles: distinct on (source, shingle), equi-join on
+    shingle, final (source_a, source_b) aggregate."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    ss = (
+        _shingled(spark, sf)
+        .join(docs, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = ss.alias("a")
+    b = ss.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

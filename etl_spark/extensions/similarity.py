@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
-from etl_spark.tables import load
+from etl_spark.tables import load, load_parallel
 
 # dot(a, b) over DOUBLE with a strict left-to-right fold — the same
 # accumulation order DuckDB's list_dot_product uses, so results are
@@ -180,7 +180,7 @@ def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     id is the table's partition column so pruning happens at file
     level. Recall vs the exact x06 is additionally asserted in
     tests."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_parallel(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
 
     # exact decimal component sums per label: posexplode → sum per
@@ -269,6 +269,44 @@ _N_BANDS = 4
 _BAND_WIDTH = 8
 _BAND_PLANES = [_plane(p) for p in range(_N_BANDS * _BAND_WIDTH)]
 
+# Occupancy guard for x24's bucket-local pair expansion: a (band, sig)
+# bucket holding more than CAP vectors is dropped from candidate
+# generation — C(occupancy, 2) pairs from one hot bucket (a spam run
+# of near-identical embeddings, all-zero vectors) would otherwise land
+# in a single task. The tuning rule above keeps EXPECTED occupancy
+# small; the cap bounds the worst case. Like x23's stop-shingle cut
+# this is a candidate-generation lever: dropped buckets trade recall
+# on pathological clusters for a hard per-task bound (audit the drop
+# volume with x42_neardup_bucket_audit).
+X24_BUCKET_CAP = 64
+
+
+def _band_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, sig): the banded hyperplane signatures shared by
+    x24 (candidate generation) and x42 (occupancy audit). One explode
+    over _N_BANDS struct entries; all 32 plane dots are codegen'd
+    array math with the plane constants folded into the plan."""
+
+    def band_sig(band: int):
+        sig = None
+        for i in range(_BAND_WIDTH):
+            arr = F.array(*[F.lit(c) for c in _BAND_PLANES[band * _BAND_WIDTH + i]])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), arr, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return F.struct(F.lit(band).alias("band"), sig.cast("int").alias("sig"))
+
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[band_sig(b) for b in range(_N_BANDS)])).alias("bs"),
+    ).select("vec_id", "bs.band", "bs.sig")
+
 
 def _duck_band_sigs() -> str:
     selects = []
@@ -288,9 +326,18 @@ def _duck_band_sigs() -> str:
     "x24_blocked_neardup",
     oracle=f"""
         WITH sigs AS ({_duck_band_sigs()}),
+        occ AS (
+            SELECT band, sig, COUNT(*) AS n
+            FROM sigs GROUP BY band, sig
+        ),
+        capped AS (
+            SELECT s.vec_id, s.band, s.sig
+            FROM sigs s JOIN occ USING (band, sig)
+            WHERE occ.n BETWEEN 2 AND {X24_BUCKET_CAP}
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM sigs a JOIN sigs b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b,
@@ -320,42 +367,26 @@ def x24_blocked_neardup(spark: SparkSession, sf: str) -> DataFrame:
     3. exact re-score: join candidate ids back to their embeddings
        (shuffle on vec_id) and compute true cosine; keep ≥ 0.4.
 
-    Pairs missed by every band are absent (tunable via bands×width);
-    the deterministic planes make the miss set identical in the DuckDB
+    Pairs missed by every band are absent (tunable via bands×width),
+    and buckets over ``X24_BUCKET_CAP`` are dropped before expansion
+    (the hot-bucket guard — see the constant's comment); the
+    deterministic planes make both miss sets identical in the DuckDB
     oracle, so correctness is still hash-exact."""
-    emb = load(spark, sf, "embeddings")
-
-    def band_sig(band: int):
-        sig = None
-        for i in range(_BAND_WIDTH):
-            arr = F.array(*[F.lit(c) for c in _BAND_PLANES[band * _BAND_WIDTH + i]])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"), arr, lambda x, y: x * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
-        return F.struct(F.lit(band).alias("band"), sig.cast("int").alias("sig"))
-
-    sigs = emb.select(
-        "vec_id",
-        F.explode(F.array(*[band_sig(b) for b in range(_N_BANDS)])).alias("bs"),
-    ).select("vec_id", "bs.band", "bs.sig")
+    emb = load_parallel(spark, sf, "embeddings")
+    sigs = _band_signatures(emb)
 
     # Candidate pairs by GROUPING each (band, sig) bucket and expanding
     # C(occupancy, 2) pairs bucket-locally, instead of a sigs⋈sigs
     # self-join: the signature expression (32 hyperplane dots/row) is
     # then evaluated and codegen-compiled ONCE, and the one shuffle is
     # keyed on the signature — same candidate set, half the scan work.
-    # Safe because the tuning rule above bounds bucket occupancy, so
-    # the collected id list and its quadratic expansion stay small.
+    # The tuning rule bounds EXPECTED occupancy; the X24_BUCKET_CAP
+    # filter bounds the worst case, so no collected id list or its
+    # quadratic expansion can exceed CAP / C(CAP, 2) per bucket.
     buckets = (
         sigs.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= X24_BUCKET_CAP))
     )
     pair_expand = (
         "flatten(transform(ids, (x, i) -> "
@@ -440,7 +471,7 @@ N_KMEANS = 8  # deterministic seed centroids: the first k vectors
         r AS (
             SELECT vec_id, cid, d2,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cid) AS rn
+                                      ORDER BY ROUND(d2, 9), cid) AS rn
             FROM d
         )
         SELECT vec_id,
@@ -463,7 +494,7 @@ def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     a k-row side is a MAP-side operation, no shuffle for the distance
     computation; the argmin window partitions by vec_id — embarrass-
     ingly parallel. At 100 TB: identical plan, centroids stay tiny."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_parallel(spark, sf, "embeddings")
     cent = (
         emb.filter(F.col("vec_id") < N_KMEANS)
         .select(
@@ -486,7 +517,11 @@ def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # argmin ties order on ROUND(d2, 9) so near-equidistant centroids
+    # resolve on a tolerance instead of bit-identical double folds
+    # across engines (double accumulation-order noise is ~1e-15
+    # relative, far inside the 1e-9 quantum).
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), "cid")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -494,5 +529,106 @@ def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id",
             F.col("cid").cast("long").alias("cluster_id"),
             F.round("d2", 4).alias("dist2"),
+        )
+    )
+
+
+@register(
+    "x42_neardup_bucket_audit",
+    oracle=f"""
+        WITH sigs AS ({_duck_band_sigs()}),
+        occ AS (
+            SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sigs GROUP BY band, sig
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(n) AS BIGINT) AS max_occupancy,
+               CAST(SUM(CASE WHEN n > {X24_BUCKET_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped_buckets,
+               CAST(SUM(CASE WHEN n > {X24_BUCKET_CAP}
+                             THEN (n * (n - 1)) // 2 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_pairs
+        FROM occ GROUP BY band
+    """,
+    tags=("similarity", "dedup"),
+)
+def x42_neardup_bucket_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Occupancy audit for x24's LSH buckets — the observability side
+    of the X24_BUCKET_CAP hot-bucket guard: per band, how many
+    (band, sig) buckets exist, the worst occupancy, how many buckets
+    the cap drops, and how many candidate pairs that discards. Run
+    this BEFORE a large dedup job: nonzero n_capped_buckets with a
+    huge max_occupancy means a pathological cluster (spam run, zero
+    vectors) or a signature width too narrow for the corpus — widen
+    per the tuning rule at _BAND_PLANES rather than raising the cap.
+
+    Scale: signature scan + two keyed aggregations (band,sig) then
+    (band) — both uniform, output is _N_BANDS rows."""
+    occ = (
+        _band_signatures(load_parallel(spark, sf, "embeddings"))
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    over = F.col("n") > X24_BUCKET_CAP
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_occupancy"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_capped_buckets"),
+        F.sum(
+            F.when(over, F.expr("(n * (n - 1)) DIV 2")).otherwise(F.lit(0))
+        ).alias("n_dropped_pairs"),
+    )
+
+
+@register(
+    "x43_embedding_norm_stats",
+    oracle="""
+        WITH n AS (
+            SELECT label,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 4) AS mean_norm,
+               ROUND(MIN(nrm), 4) AS min_norm,
+               ROUND(MAX(nrm), 4) AS max_norm,
+               CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero
+        FROM n GROUP BY label
+    """,
+    tags=("similarity",),
+)
+def x43_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-hygiene audit per label cell: L2-norm distribution
+    (mean/min/max) and the count of exact-zero vectors — the check
+    that runs before any cosine-based pipeline, because zero vectors
+    make cosine undefined (x24/x06 would emit NULL/NaN rows) and
+    wildly varying norms flag an unnormalized embedding batch.
+
+    Determinism across engines: the per-row norm is the same
+    left-to-right double fold both engines use (_DOT ==
+    list_dot_product); the MEAN is taken as an exact DECIMAL sum over
+    per-row norms divided by the count, so aggregation ORDER cannot
+    perturb the rounded result (same trick as x08's quantizer).
+    Scale: one scan, one keyed aggregate on label."""
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    return (
+        load_parallel(spark, sf, "embeddings")
+        .select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
         )
     )

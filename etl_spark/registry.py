@@ -80,67 +80,82 @@ def _ensure_loaded() -> None:
 # window each round so hard-signal rows land where they're most needed;
 # unlisted queries follow in module-registration order.
 #
-# Round-3 priority (VERDICT r2 "Next round" #3):
-#   1. the 17 queries never driver-checked in r1/r2;
-#   2. the 13 events-reading queries whose r1 greens went stale when the
-#      fixture was re-encoded (fresh rows post-loader-fix);
-#   3. x28 (oracle HUGEINT cast fixed this round);
-#   4. round-3 additions fill the remaining slots as they register.
+# Round-4 priority (VERDICT r3 "Next round" #1: rotate oldest-first;
+# no query's last driver row should age past 2 rounds):
+#   1. queries whose semantics/plan CHANGED this round — q11 threshold
+#      retune (non-vacuous), x36 redaction-flag fix, x39 tie-break
+#      rounding, x24 occupancy cap, x29 durable-checkpoint refactor;
+#   2. the 4 NEW round-4 queries (first driver rows);
+#   3. all 41 queries whose last driver green is r1 (the relational/
+#      scalar/analytics core — r2/r3 windows rotated elsewhere).
+# The 36 remaining r2-checked queries (x06-x35 families etc.) rotate
+# in round 5; all are covered by the identical local oracle gate today.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (17)
-    "e01_funnel_steps",
-    "e02_retention_cohorts",
-    "e03_event_transitions",
-    "e04_value_heavy_hitters",
-    "e05_error_spike_zscore",
-    "e06_value_k_correlation",
-    "a12_cube",
-    "a13_percentiles",
-    "q02_min_cost_supplier",
-    "q09_product_profit",
+    # -- changed this round (5): re-verify under the new form
     "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q21_sole_returned_supplier",
-    "q22_dormant_customers",
-    "q23_gapfill_daily",
-    "set03_intersect",
-    "f11_array_hof",
-    # -- stale r1 greens on the re-encoded events fixture (13)
-    "p04_range_time",
-    "f02_regexp_extract",
-    "f05_tz_shift_interval",
-    "a03_max_per_group",
-    "a05_bool_and_gate",
-    "a06_lastn_conditional",
-    "o03_latest_row",
-    "s01_tumbling_window",
-    "s02_session_window",
-    "w03_lag_lead_delta",
-    "w04_sessionize",
-    "j09_asof_join",
-    "f09_json_extract",
-    # -- r2 hash-fail, oracle fixed this round (1)
-    "x28_sequence_pack",
-    # -- new in round 3 (13): first driver rows
-    "w07_percent_rank",
-    "a14_filtered_agg",
-    "a15_median_mode",
-    "f12_string_agg",
-    "f13_price_histogram",
-    "e07_funnel_latency",
-    "e08_dau_stickiness",
-    "x33_word_freq_zipf",
-    "x34_bigram_counts",
-    "x35_type_token_ratio",
     "x36_pii_scrub",
-    "x37_incremental_neardup",
-    "x38_minhash_error",
     "x39_kmeans_assign",
+    "x24_blocked_neardup",
+    "x29_dup_clusters",
+    # -- new in round 4 (4): first driver rows
+    "x40_stratified_split",
+    "x41_cross_source_overlap",
+    "x42_neardup_bucket_audit",
+    "x43_embedding_norm_stats",
+    # -- last driver green is r1 (41): oldest-first refresh
+    "p01_eq_filter",
+    "p02_like_contains",
+    "p03_isin",
+    "p05_compound_where",
+    "p06_not_empty_string",
+    "p07_bool_projection",
+    "prj01_alias_unicode",
+    "prj02_star",
+    "j01_inner_2way",
+    "j02_star_3way",
+    "j03_left_outer",
+    "j04_latest_per_key_join",
+    "j05_correlated_max",
+    "j06_semi",
+    "j07_anti",
+    "a01_count_total",
+    "a02_count_threshold",
+    "a04_distinct",
+    "w01_topk_per_group",
+    "w02_running_sum",
+    "o01_top10_orders",
+    "o02_multikey_page",
+    "set01_union",
+    "set02_except",
+    "f01_split_array_ops",
+    "f03_multiformat_dates",
+    "f04_date_format_parts",
+    "f06_hashes",
+    "f07_coalesce_fallback",
+    "f08_string_ops",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_shop_day_rollup",
+    "t01_dashboard_listing",
+    "q04_priority_exists",
+    "q10_returned_items",
+    "q07_nation_volume",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 )
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
+    # A typo'd or renamed entry would silently fall out of the window
+    # instead of pinning it — fail loudly instead (ADVICE r3).
+    unknown = set(_DRIVER_WINDOW_PRIORITY) - set(_REGISTRY)
+    if unknown:
+        raise ValueError(
+            f"_DRIVER_WINDOW_PRIORITY names not in the registry: {sorted(unknown)}"
+        )
     prio = {n: i for i, n in enumerate(_DRIVER_WINDOW_PRIORITY)}
     order = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (prio.get(n, len(prio)), order[n]))

@@ -68,7 +68,15 @@ def stream_events(spark: SparkSession, path: str, schema: str | None = None) -> 
             ts_type = "timestamp[us]"
         nanos = ts_type == "int64" or ts_type.startswith("timestamp[ns")
         schema = EVENTS_DDL_NANOS if nanos else EVENTS_DDL
-    if " ts BIGINT" in schema:
+    # Branch on the PARSED type of the ts field, not a substring of
+    # the DDL text — caller-supplied DDL with different column order
+    # or spacing must still hit the nanos conversion (ADVICE r3).
+    from pyspark.sql.types import LongType, StructType
+
+    ts_field = next(
+        (f for f in StructType.fromDDL(schema).fields if f.name == "ts"), None
+    )
+    if ts_field is not None and isinstance(ts_field.dataType, LongType):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(schema).parquet(path)
         return raw.withColumn(

@@ -93,6 +93,50 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + a GUARDED repartition for compute-heavy map stages
+    (shingling, per-row vector math): when the file scan yields far
+    fewer partitions than cores — the single-row-group fixture files
+    serialize the whole map stage on one core of local[32] — spread
+    the rows across the cluster first.
+
+    At real scale the guard never fires: a 100 TB table scans as
+    thousands of splits (>= cores), so NO exchange is added and the
+    plan is identical to ``load``. The repartition is round-robin on
+    the RAW scan output (narrow columns, pre-explode), so even when it
+    does fire the shuffled volume is the small input, never the
+    exploded intermediate. Use only where downstream already shuffles;
+    scan-local operators (x17/x20/x27/x30/x36) keep plain ``load`` so
+    their zero-exchange plans stay locked.
+
+    The guard inspects driver-local file sizes (memoized per path) —
+    no Spark job, no RDD conversion: a table under ~4 MB/core cannot
+    scan as one split per core, so it gets the spread; anything larger
+    already parallelizes at the source."""
+    df = load(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if _table_bytes(f"{sf_dir}/{name}.parquet") < cores * 4 * 1024 * 1024:
+        df = df.repartition(cores)
+    return df
+
+
+def _table_bytes(path: str, _cache: dict[str, int] = {}) -> int:
+    """Total on-disk bytes of a parquet file-or-directory, memoized
+    (fixture layouts don't change within a session)."""
+    if path not in _cache:
+        import os
+
+        if os.path.isdir(path):
+            _cache[path] = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            _cache[path] = os.path.getsize(path)
+    return _cache[path]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql use
     and the multi-statement runner)."""

