@@ -177,6 +177,12 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         "x04_minhash_lsh_pairs",
         "x21_cosine_lsh_buckets",
         "x29_dup_clusters",
+        # the replicated embedding corpus is 10 exact copies of every
+        # vector — a DEGENERATE near-dup load by construction. x42
+        # shows the occupancy audit catching it (capped buckets > 0);
+        # x24 itself is excluded here because pairing a corpus of pure
+        # copies measures the cap, not the operator.
+        "x42_neardup_bucket_audit",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()

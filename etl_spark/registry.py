@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.relational  # noqa: F401
     import etl_spark.operators.scalar_functions  # noqa: F401
     import etl_spark.operators.analytics  # noqa: F401
+    import etl_spark.operators.skew  # noqa: F401
 
 
 # The driver's correctness snapshot covers only the FIRST 50 registered

@@ -242,3 +242,36 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
         os.path.join(root, f) for root, _, fs in os.walk(ck) for f in fs
     ]
     assert written, "no reliable checkpoint files under checkpoint_dir"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain join (inner and
+    left) and its salt must be deterministic — task retries replay the
+    same assignment, so no row can duplicate or vanish mid-shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.skew import salted_join
+    from etl_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("w", F.length("event_type"))
+        # drop one type so the left join has genuine null rows
+        .filter(F.col("event_type") != "error")
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, ev.join(dim, ["event_type"], how).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(ev, dim, ["event_type"], salt=8, how=how).collect(),
+            )
+        )
+        assert salted == plain, f"salted {how} join diverged from plain join"
+    # determinism: two independent evaluations agree row-for-row
+    a = sorted(map(tuple, salted_join(ev, dim, ["event_type"]).collect()))
+    b = sorted(map(tuple, salted_join(ev, dim, ["event_type"]).collect()))
+    assert a == b
