@@ -473,9 +473,11 @@ def x23_jaccard_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
 MAX_CC_ITERS = 25
 
 
-@register(
-    "x29_dup_clusters",
-    oracle=f"""
+def _duck_dup_clusters() -> str:
+    """Self-contained DuckDB query reproducing x29's cluster labels
+    (recursive-CTE transitive closure over the LSH pair graph) —
+    reused as a subquery by the x46 keep/drop verdict oracle."""
+    return f"""
         WITH RECURSIVE pairs AS ({_duck_lsh_pairs()}),
         edges AS (
             SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -495,7 +497,12 @@ MAX_CC_ITERS = 25
                (doc_id = MIN(lbl)) AS is_canonical
         FROM reach
         GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "x29_dup_clusters",
+    oracle=_duck_dup_clusters(),
     tags=("dedup",),
 )
 def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -724,5 +731,48 @@ def x38_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
             F.col("est_jaccard").alias("est_j"),
             F.round(true_j, 4).alias("true_j"),
             F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "x46_dedup_verdict",
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               (c.doc_id IS NULL OR c.is_canonical) AS keep,
+               CASE WHEN c.doc_id IS NULL THEN 'unique'
+                    WHEN c.is_canonical THEN 'canonical'
+                    ELSE 'near_dup' END AS reason
+        FROM documents d
+        LEFT JOIN ({_duck_dup_clusters()}) c USING (doc_id)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def x46_dedup_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-wide keep/drop TABLE — what the dedup stage actually
+    hands to the next pipeline step. x29 labels only docs that appear
+    in a near-dup pair; this closes the loop over the WHOLE corpus:
+    every document gets (cluster_id, keep, reason) where reason is
+    'unique' (in no pair — kept untouched), 'canonical' (the cluster's
+    keeper, lowest doc_id), or 'near_dup' (dropped). Singleton docs
+    adopt their own id as cluster_id, so cluster_id is total and
+    usable as a grouping/partition key downstream.
+
+    Scale: x29's label table is pairs-sized (≪ corpus); the closing
+    join is one LEFT equi-join of the corpus scan against it on
+    doc_id, then scan-local CASE logic — no new quadratic surface."""
+    labels = x29_dup_clusters(spark, sf).withColumnRenamed("doc_id", "l_doc")
+    docs = load(spark, sf, "documents").select("doc_id")
+    return (
+        docs.join(labels, docs.doc_id == F.col("l_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.col("l_doc").isNull() | F.col("is_canonical")).alias("keep"),
+            F.when(F.col("l_doc").isNull(), "unique")
+            .when(F.col("is_canonical"), "canonical")
+            .otherwise("near_dup")
+            .alias("reason"),
         )
     )

@@ -483,3 +483,56 @@ def x41_cross_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@register(
+    "x45_split_token_budget",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("pipeline",),
+)
+def x45_split_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budget per (language, split) — the number every training
+    run plans around: how many tokens of each language land in
+    train/val/test under the x40 assignment. Uses the same
+    content-stable bucket, so the budget report and the actual split
+    can never disagree.
+
+    Scale: scan-local token count + one keyed aggregate on
+    (lang, split); output is 3×|langs| rows."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -372,8 +372,11 @@ def x24_blocked_neardup(spark: SparkSession, sf: str) -> DataFrame:
     (the hot-bucket guard — see the constant's comment); the
     deterministic planes make both miss sets identical in the DuckDB
     oracle, so correctness is still hash-exact."""
-    emb = load_parallel(spark, sf, "embeddings")
-    sigs = _band_signatures(emb)
+    # only the 32-dot signature branch needs the parallel spread; the
+    # re-score sides (one self-dot each) shuffle on vec_id regardless,
+    # so they read the raw scan without an extra exchange
+    emb = load(spark, sf, "embeddings")
+    sigs = _band_signatures(load_parallel(spark, sf, "embeddings"))
 
     # Candidate pairs by GROUPING each (band, sig) bucket and expanding
     # C(occupancy, 2) pairs bucket-locally, instead of a sigs⋈sigs
@@ -631,4 +634,44 @@ def x43_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
             F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
         )
+    )
+
+
+@register(
+    "x44_incremental_embedding_neardup",
+    oracle=f"""
+        WITH sigs AS ({_duck_band_sigs()})
+        SELECT n.vec_id,
+               CAST(COUNT(DISTINCT s.vec_id) AS BIGINT) AS n_seen_matches
+        FROM sigs n JOIN sigs s
+          ON n.band = s.band AND n.sig = s.sig
+        WHERE n.vec_id % 2 = 1 AND s.vec_id % 2 = 0
+        GROUP BY n.vec_id
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def x44_incremental_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time embedding near-dup: a NEW batch of vectors (odd
+    vec_id, standing in for today's embeddings) probed against the
+    SEEN corpus (even vec_id) through the banded hyperplane buckets —
+    each new vector reports how many distinct stored vectors share a
+    bucket with it. The embedding twin of x37 (MinHash text version):
+    dedup a delta against an existing index WITHOUT re-pairing the
+    corpus — the seen-side signature table is computed once, stored,
+    and only probed per batch.
+
+    Scale: one equi-join keyed on (band, sig) — new side is
+    batch-sized, seen side is the persisted index — then one
+    count-distinct shuffle on the new vec_id. The X24_BUCKET_CAP
+    guard applies at pairing time (x24); the probe here is linear in
+    bucket hits."""
+    bands = _band_signatures(load_parallel(spark, sf, "embeddings"))
+    new = bands.filter(F.col("vec_id") % 2 == 1)
+    seen = bands.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("seen_id"), "band", "sig"
+    )
+    return (
+        new.join(seen, ["band", "sig"])
+        .groupBy("vec_id")
+        .agg(F.count_distinct("seen_id").alias("n_seen_matches"))
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
-from etl_spark.tables import load, load_parallel
+from etl_spark.tables import load
 
 # tiny per-language function-word lexicons for the n-gram/stopword
 # language-ID heuristic (public-knowledge function words)
@@ -313,7 +313,7 @@ def x18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     1-row broadcast aggregate INSIDE the plan — no separate driver
     count() job per invocation. No UDFs; ln() is IEEE-identical
     across engines."""
-    docs = load_parallel(spark, sf, "documents")
+    docs = load(spark, sf, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # in-plan scalar
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -466,7 +466,7 @@ def x31_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split("text", " ")
     score = F.expr("size(filter(split(text, ' '), t -> length(t) > 3))") / F.size(toks)
     scored = (
-        load_parallel(spark, sf, "documents")
+        load(spark, sf, "documents")
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))
         .select("doc_id", "lang", score.alias("score"))
     )

@@ -89,8 +89,10 @@ def _ensure_loaded() -> None:
 #   2. the 4 NEW round-4 queries (first driver rows);
 #   3. all 41 queries whose last driver green is r1 (the relational/
 #      scalar/analytics core — r2/r3 windows rotated elsewhere).
-# The 36 remaining r2-checked queries (x06-x35 families etc.) rotate
-# in round 5; all are covered by the identical local oracle gate today.
+# The 36 remaining r2-checked queries (x06-x35 families etc.) AND the
+# round-4 additions that registered after the window filled
+# (j10_salted_skew_join, x44-x46) rotate in round 5; all are covered
+# by the identical local oracle gate today.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- changed this round (5): re-verify under the new form
     "q11_important_stock",
