@@ -536,3 +536,91 @@ def x45_split_token_budget(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def _duck_quality_keep() -> str:
+    """DuckDB predicate matching x17's keep flag (length window,
+    stopword-ratio floor, mean-token-length ceiling) — inlined by the
+    x47 oracle so the composed pipeline uses the IDENTICAL gate."""
+    from etl_spark.extensions.textstats import _sql_list, _STOPWORDS
+
+    stops = _sql_list(_STOPWORDS)
+    return f"""
+        text IS NOT NULL AND text <> ''
+        AND (length(text) BETWEEN 50 AND 10000)
+        AND len(list_filter(string_split(text, ' '),
+                t -> t IN ({stops}))) * 1.0
+              / len(string_split(text, ' ')) >= 0.01
+        AND length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) <= 12
+    """
+
+
+def _x47_oracle() -> str:
+    from etl_spark.extensions.dedup import _duck_dup_clusters
+
+    return f"""
+        SELECT d.lang,
+               CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents d
+        LEFT JOIN ({_duck_dup_clusters()}) c USING (doc_id)
+        WHERE (c.doc_id IS NULL OR c.is_canonical)
+          AND {_duck_quality_keep()}
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "x47_curated_corpus",
+    oracle=_x47_oracle(),
+    tags=("pipeline", "dedup", "textstats"),
+)
+def x47_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END curation handoff, composed from the stage
+    operators as ONE Spark plan: documents that survive the x17
+    quality gate AND the x46 dedup verdict (unique or cluster
+    canonical), bucketed by the x40 content-stable split — per
+    (lang, split) doc and token budget. This is the number handed to
+    the training run after curation, and the query that proves the
+    stages COMPOSE (same gate, same verdict, same split as the
+    standalone operators, byte-for-byte).
+
+    Scale: quality is scan-local; the dedup verdict join is
+    pairs-sized against the corpus scan; one final (lang, split)
+    aggregate. No stage materializes an intermediate corpus — Catalyst
+    fuses the whole thing."""
+    from etl_spark.extensions.dedup import x46_dedup_verdict
+    from etl_spark.extensions.textstats import x17_quality_filter
+
+    quality = x17_quality_filter(spark, sf).filter("keep").select("doc_id")
+    kept = x46_dedup_verdict(spark, sf).filter("keep").select("doc_id")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    return (
+        docs.join(quality, "doc_id")
+        .join(kept, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

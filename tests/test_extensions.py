@@ -275,3 +275,51 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = sorted(map(tuple, salted_join(ev, dim, ["event_type"]).collect()))
     b = sorted(map(tuple, salted_join(ev, dim, ["event_type"]).collect()))
     assert a == b
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(edges):
+    """Property: on arbitrary small graphs (self-loops, parallel
+    edges, many components), the distributed hash-to-min labels must
+    equal a driver-side union-find's min-id-per-component."""
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    from etl_spark.extensions.dedup import connected_components
+
+    spark = _cc_spark()
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.lbl for r in connected_components(df).collect()}
+    assert got == want
+
+
+def _cc_spark():
+    """Session accessor for the hypothesis test (function-scoped
+    @given can't take the session fixture directly)."""
+    from etl_spark.session import get_spark
+
+    return get_spark(app_name="etl_spark-tests")
