@@ -11,7 +11,7 @@ one side must be replicated, or deterministic plans where runtime
 re-planning is disabled.
 
 `salted_join` implements the classic scheme: the skewed (big) side
-gets a uniform random salt in [0, n_salts); the other side is
+gets a deterministic row-hash salt in [0, n_salts); the other side is
 replicated once per salt value via `explode`. The join key becomes
 (key, salt), so the hot key's rows spread over n_salts shuffle
 partitions. Cost: the replicated side is written n_salts× into the
@@ -67,9 +67,18 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array([F.lit(i) for i in range(n_salts)])
+    # DETERMINISTIC salt — a hash of the whole input row, never
+    # rand(): a rand-based salt depends on row order within the
+    # partition, so a stage retry that re-reads shuffled input in a
+    # different order can re-salt rows and duplicate/drop matches
+    # mid-recovery. Same-key rows still spread because they differ in
+    # the other columns.
+    row_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
 
     if hot_keys is None:
-        big = skewed.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))
+        big = skewed.withColumn(_SALT, row_salt)
         small = other.withColumn(_SALT, F.explode(salts))
     else:
         hk = hot_keys.select(*on).distinct().withColumn("__hot", F.lit(True))
@@ -77,9 +86,7 @@ def salted_join(
             skewed.join(F.broadcast(hk), on=on, how="left")
             .withColumn(
                 _SALT,
-                F.when(
-                    F.col("__hot").isNotNull(), (F.rand(seed=42) * n_salts).cast("int")
-                ).otherwise(F.lit(0)),
+                F.when(F.col("__hot").isNotNull(), row_salt).otherwise(F.lit(0)),
             )
             .drop("__hot")
         )

@@ -244,13 +244,16 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     assert written, "no reliable checkpoint files under checkpoint_dir"
 
 
-def test_salted_join_equals_plain_join(spark, sf_dir):
-    """salted_join must be row-identical to the plain join (inner and
-    left) and its salt must be deterministic — task retries replay the
-    same assignment, so no row can duplicate or vanish mid-shuffle."""
+def test_salted_join_deterministic_on_events(spark, sf_dir):
+    """Complements test_scale's lineitem equality checks: on the
+    events table (every key hot), salted_join must match the plain
+    join for inner AND left (genuine null rows), and the row-hash
+    salt must be deterministic — two independent evaluations replay
+    the same assignment, the property a rand() salt loses when a
+    retried stage re-reads its input in a different order."""
     from pyspark.sql import functions as F
 
-    from etl_spark.operators.skew import salted_join
+    from etl_spark.plans.skew import salted_join
     from etl_spark.tables import load
 
     ev = load(spark, sf_dir, "events").select("event_type", "value", "user_id")
@@ -267,7 +270,7 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         salted = sorted(
             map(
                 tuple,
-                salted_join(ev, dim, ["event_type"], salt=8, how=how).collect(),
+                salted_join(ev, dim, ["event_type"], n_salts=8, how=how).collect(),
             )
         )
         assert salted == plain, f"salted {how} join diverged from plain join"
