@@ -385,6 +385,22 @@ SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90  # [80, 90) => val, [90, 100) => test
 
 
+def _split_col():
+    """Content-stable train/val/test assignment column shared by
+    x40/x45/x47 (md5(doc_id) mod 100 against the SPLIT_*_PCT
+    boundaries) — one definition so the audit queries and any writer
+    materializing the column can never disagree."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 100"
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @register(
     "x40_stratified_split",
     oracle=f"""
@@ -415,18 +431,9 @@ def x40_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the split column itself is scan-local (zero shuffle when
     materialized as a writer column); this audit view adds one keyed
     aggregate on (lang, split) — 3×|langs| output rows."""
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 100"
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         load(spark, sf, "documents")
-        .select("lang", split.alias("split"))
+        .select("lang", _split_col().alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -514,20 +521,11 @@ def x45_split_token_budget(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: scan-local token count + one keyed aggregate on
     (lang, split); output is 3×|langs| rows."""
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 100"
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         load(spark, sf, "documents")
         .select(
             "lang",
-            split.alias("split"),
+            _split_col().alias("split"),
             F.size(F.split("text", " ")).alias("n_tok"),
         )
         .groupBy("lang", "split")
@@ -600,19 +598,10 @@ def x47_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
     quality = x17_quality_filter(spark, sf).filter("keep").select("doc_id")
     kept = x46_dedup_verdict(spark, sf).filter("keep").select("doc_id")
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 100"
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     docs = load(spark, sf, "documents").select(
         "doc_id",
         "lang",
-        split.alias("split"),
+        _split_col().alias("split"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
     return (
