@@ -232,7 +232,11 @@ def main() -> None:
     timings.update(etl)
     medians.update(etl)  # single-shot writes: same number in both views
     total = round(sum(timings.values()), 3)
-    scale = _dedup_scale_bench(spark, sf_dir)
+    # two scale points so the growth EXPONENT is visible, not just one
+    # ratio: a bounded (linear) operator should roughly double from
+    # 10x to 20x; superlinear blow-ups show up as a steeper slope
+    scale10 = _dedup_scale_bench(spark, sf_dir, replicas=10)
+    scale20 = _dedup_scale_bench(spark, sf_dir, replicas=20)
     print(
         json.dumps(
             {
@@ -242,7 +246,8 @@ def main() -> None:
                 "queries": timings,
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
-                "scale10x": scale,
+                "scale10x": scale10,
+                "scale20x": scale20,
                 "sf": sf_val,
             }
         )
