@@ -120,21 +120,24 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _table_bytes(path: str, _cache: dict[str, int] = {}) -> int:
+_TABLE_BYTES_CACHE: dict[str, int] = {}
+
+
+def _table_bytes(path: str) -> int:
     """Total on-disk bytes of a parquet file-or-directory, memoized
     (fixture layouts don't change within a session)."""
-    if path not in _cache:
+    if path not in _TABLE_BYTES_CACHE:
         import os
 
         if os.path.isdir(path):
-            _cache[path] = sum(
+            _TABLE_BYTES_CACHE[path] = sum(
                 os.path.getsize(os.path.join(root, f))
                 for root, _, fs in os.walk(path)
                 for f in fs
             )
         else:
-            _cache[path] = os.path.getsize(path)
-    return _cache[path]
+            _TABLE_BYTES_CACHE[path] = os.path.getsize(path)
+    return _TABLE_BYTES_CACHE[path]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

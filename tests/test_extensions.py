@@ -326,3 +326,45 @@ def _cc_spark():
     from etl_spark.session import get_spark
 
     return get_spark(app_name="etl_spark-tests")
+
+
+def test_load_parallel_guard(spark, tmp_path):
+    """load_parallel's repartition must fire ONLY on small inputs: a
+    table whose on-disk size clears the per-core threshold (simulated
+    with a sparse underscore-prefixed file Spark's reader skips but
+    the size guard counts) keeps the plain scan plan — at real scale
+    the helper adds NO exchange."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.tables import load_parallel
+
+    d = tmp_path / "guard_sf"
+    tdir = d / "documents.parquet"
+    tdir.mkdir(parents=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["alpha beta gamma", "delta epsilon zeta"],
+            "lang": ["en", "en"], "source": ["s", "s"],
+            "n_chars": pa.array([16, 18], pa.int64()),
+        }),
+        tdir / "part-0.parquet",
+    )
+    small_plan = load_parallel(spark, str(d), "documents")._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" in small_plan, "small scan must spread"
+
+    # sparse padding: counts toward the size guard, invisible to Spark
+    cores = spark.sparkContext.defaultParallelism
+    pad = tdir / "_padding"
+    with open(pad, "wb") as fh:
+        fh.truncate(cores * 4 * 1024 * 1024 + 1)
+    from etl_spark.tables import _TABLE_BYTES_CACHE
+
+    _TABLE_BYTES_CACHE.clear()  # drop the memoized small size
+    big_plan = load_parallel(spark, str(d), "documents")._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" not in big_plan, "large scan must stay plain"
+    # rows are identical either way
+    assert load_parallel(spark, str(d), "documents").count() == 2
