@@ -73,6 +73,11 @@ HEADLINE = [
     "x41_cross_source_overlap",
     "x42_neardup_bucket_audit",
     "x43_embedding_norm_stats",
+    "x44_incremental_embedding_neardup",
+    "x45_split_token_budget",
+    "x46_dedup_verdict",
+    "x47_curated_corpus",
+    "j10_salted_skew_join",
 ]
 
 
