@@ -457,10 +457,10 @@ def x31_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
     real mix pipeline shards by anyway (skewed giant languages split
     fine: percent_rank needs a sort within lang, which Spark does
     with range-partitioned external sort, not a single task). The
-    scale alternative for a fixed cutoff — approx_percentile to get
-    the threshold, then a scan-local filter — trades exactness for
-    one pass and is the right call when the gate feeds a filter, not
-    a report."""
+    scale alternative — approx_percentile threshold + scan-local
+    filter, the right call when the gate feeds a filter rather than a
+    report — is implemented as ``quality_gate_approx`` below (exact/
+    approx agreement asserted in tests)."""
     from pyspark.sql import Window
 
     toks = F.split("text", " ")
@@ -480,6 +480,38 @@ def x31_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
             F.round("score", 4).alias("score"),
             F.round("pr", 4).alias("pr"),
         )
+    )
+
+
+def quality_gate_approx(
+    docs: DataFrame, top_fraction: float = 0.25, accuracy: int = 10_000
+) -> DataFrame:
+    """The SCALE form of x31's per-language relative gate, for when
+    the gate feeds a FILTER rather than a report: one pass computes
+    each language's approximate score threshold
+    (``approx_percentile``, a tiny per-language sketch aggregate),
+    which broadcasts back onto a scan-local filter — no per-language
+    sort anywhere, so the gate runs at scan speed on any corpus size.
+    Trades the exact quartile boundary for sketch error (bounded by
+    ``accuracy``); tests assert high agreement with the exact x31
+    membership on the fixtures. Returns (doc_id, lang, score)."""
+    toks = F.split("text", " ")
+    score = (
+        F.expr("size(filter(split(text, ' '), t -> length(t) > 3))") / F.size(toks)
+    )
+    scored = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "lang", score.alias("score"))
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(score, {1.0 - top_fraction}, {accuracy})"
+        ).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("score") >= F.col("cutoff"))
+        .select("doc_id", "lang", F.round("score", 4).alias("score"))
     )
 
 

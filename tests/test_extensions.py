@@ -368,3 +368,24 @@ def test_load_parallel_guard(spark, tmp_path):
     assert "RoundRobinPartitioning" not in big_plan, "large scan must stay plain"
     # rows are identical either way
     assert load_parallel(spark, str(d), "documents").count() == 2
+
+
+def test_quality_gate_approx_agrees_with_exact(spark, sf_dir):
+    """The scan-local approx gate (x31's documented scale form) must
+    largely reproduce the exact per-language top-quartile membership:
+    high Jaccard agreement and a kept-fraction near 25% per language
+    (sketch error only moves docs at the quartile boundary)."""
+    from etl_spark.extensions.textstats import quality_gate_approx
+    from etl_spark.tables import load
+
+    exact = {
+        r.doc_id for r in SPECS["x31_quality_percentile_gate"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.doc_id
+        for r in quality_gate_approx(load(spark, sf_dir, "documents")).collect()
+    }
+    jacc = len(exact & approx) / len(exact | approx)
+    assert jacc >= 0.85, f"approx/exact gate agreement {jacc:.3f}"
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert 0.15 <= len(approx) / n_docs <= 0.40
