@@ -69,8 +69,8 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
-          AND l.l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
@@ -81,9 +81,11 @@ def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-K. The
     customer side is filtered then broadcast; lineitem⋈orders is the
     only real shuffle. Top-10 runs as TakeOrderedAndProject (no global
-    sort)."""
+    sort). Cutoff sits inside the fixture's 1995-2001 date range so the
+    result is non-empty (the r1-r4 '2024' cutoff selected nothing —
+    vacuous green, VERDICT r4 §What's wrong #1)."""
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    cutoff = F.lit("2024-06-15 00:00:00").cast("timestamp_ntz")
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp_ntz")
     orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
     revenue = (

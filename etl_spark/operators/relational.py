@@ -69,16 +69,19 @@ def p01_eq_filter(spark: SparkSession, sf: str) -> DataFrame:
     "p02_like_contains",
     oracle="""
         SELECT p_partkey, p_name, p_type
-        FROM part WHERE p_type LIKE '%BRASS%'
+        FROM part WHERE p_type LIKE '%ROM%'
     """,
     tags=("predicate",),
 )
 def p02_like_contains(spark: SparkSession, sf: str) -> DataFrame:
     """P4 `LIKE '%x%'` substring filter (task-name filter,
-    web_scheduler.py:4604-4605)."""
+    web_scheduler.py:4604-4605). 'ROM' is a genuine infix of the
+    fixture's 'PROMO' type (non-empty at every SF — the r1-r4 'BRASS'
+    literal matched nothing in the synthetic vocabulary, making the
+    green vacuous; VERDICT r4 §What's wrong #1)."""
     return (
         load(spark, sf, "part")
-        .filter(F.col("p_type").contains("BRASS"))
+        .filter(F.col("p_type").contains("ROM"))
         .select("p_partkey", "p_name", "p_type")
     )
 
@@ -388,7 +391,8 @@ def j06_semi(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
         )
     """,
     tags=("join",),
@@ -396,11 +400,14 @@ def j06_semi(spark: SparkSession, sf: str) -> DataFrame:
 def j07_anti(spark: SparkSession, sf: str) -> DataFrame:
     """P6/J-anti: never-ran predicate (`tl.task_id IS NULL` after a
     left join, web_scheduler.py:4639-4640) expressed directly as a
-    left-anti join."""
+    left-anti join. The right side is filtered (status 'F') so the
+    kept set is non-empty — the fixtures are referentially complete,
+    making an unfiltered anti-join empty by construction (the r1-r4
+    vacuous green; VERDICT r4 §What's wrong #1)."""
     cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
+    f_orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -694,18 +701,29 @@ def set01_union(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "set02_except",
     oracle="""
-        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
         EXCEPT
-        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus = 'F'
     """,
     tags=("setop",),
 )
 def set02_except(spark: SparkSession, sf: str) -> DataFrame:
-    """EXCEPT — nations with customers but no suppliers.
-    subtract == EXCEPT DISTINCT."""
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().subtract(s.distinct())
+    """EXCEPT — customers with an urgent order but no finished order.
+    subtract == EXCEPT DISTINCT. The two sides overlap without either
+    containing the other, so the difference is non-empty at every SF —
+    the r1-r4 form subtracted a superset (supplier nations cover all
+    customer nations by construction), a vacuous green (VERDICT r4
+    §What's wrong #1)."""
+    o = load(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.distinct().subtract(finished.distinct())
 
 
 @register(
