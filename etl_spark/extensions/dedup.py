@@ -557,13 +557,28 @@ def connected_components(
     # Lazy checkpoints: the convergence aggregate right after each
     # round is the materializing action anyway, so an eager checkpoint
     # would run every round's plan TWICE (measured ~20% of loop time).
+    # localCheckpoint is persist-backed, so lazy alone suffices there;
+    # reliable checkpoint() writes the RDD in a SEPARATE job after the
+    # first action and would re-run the unpersisted plan for it — the
+    # durable branch therefore persists each round first (and
+    # unpersists the previous round once superseded), keeping the
+    # one-materialization property on the cluster path too (ADVICE r4).
+    sc = pairs.sparkSession.sparkContext
+    round_cache: list[DataFrame] = []
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prior_ckpt_dir = sc._jsc.sc().getCheckpointDir()  # scala Option
+        prior_dir = prior_ckpt_dir.get() if prior_ckpt_dir.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=False)
+            out = df.persist().checkpoint(eager=False)
+            while len(round_cache) > 1:  # keep current + newest only
+                round_cache.pop(0).unpersist()
+            round_cache.append(df)
+            return out
 
     else:
+        prior_dir = None
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
@@ -615,6 +630,12 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    # setCheckpointDir mutates global SparkContext state; put back
+    # whatever was there before so callers' checkpoint config survives
+    # this function (ADVICE r4). The final rounds stay persisted —
+    # they back the returned (lazily checkpointed) labels frame.
+    if checkpoint_dir is not None and prior_dir is not None:
+        sc.setCheckpointDir(prior_dir)
     return labels
 
 

@@ -21,11 +21,16 @@ from etl_spark.tables import load, load_parallel
 # bit-comparable across engines. The fold runs over an INDEX sequence
 # with element_at rather than zip_with: allocating the zipped
 # intermediate array per evaluation measured ~2x slower at equal
-# (bit-identical) output.
+# (bit-identical) output. The empty-array guard matters: sequence(1,
+# 0) is DESCENDING [1, 0] (Spark defaults step to -1 when start >
+# stop) and element_at(a, 0) throws, so without the CASE one
+# zero-length embedding row would fail the whole job instead of
+# scoring 0.0 (ADVICE r4).
 _DOT = (
-    "aggregate(sequence(1, size({a})), CAST(0.0 AS DOUBLE), "
+    "CASE WHEN size({a}) = 0 OR size({b}) = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE aggregate(sequence(1, size({a})), CAST(0.0 AS DOUBLE), "
     "(acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE) "
-    "* CAST(element_at({b}, i) AS DOUBLE))"
+    "* CAST(element_at({b}, i) AS DOUBLE)) END"
 )
 
 
@@ -33,7 +38,11 @@ def _with_cosine(df: DataFrame, a: str, b: str) -> DataFrame:
     dot = F.expr(_DOT.format(a=a, b=b))
     na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
     nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
-    return df.withColumn("cosine", dot / (na * nb))
+    # try_divide: a zero-norm (or empty — see _DOT's guard) vector
+    # yields NULL cosine instead of an ANSI DIVIDE_BY_ZERO that kills
+    # the whole job; fixture embeddings are all non-degenerate so
+    # registered-query results are unchanged (x43 profiles defects).
+    return df.withColumn("cosine", F.try_divide(dot, na * nb))
 
 
 @register(

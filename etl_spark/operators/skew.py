@@ -68,3 +68,51 @@ def j10_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "j11_salted_hotkeys_join",
+    oracle="""
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events e
+        GROUP BY 1
+    """,
+    tags=("join", "skew"),
+)
+def j11_salted_hotkeys_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The hot-keys-ONLY salted join — the form a 100 TB pipeline
+    actually runs (j10 replicates the whole dimension n_salts×;
+    here replication is bounded to the declared hot fraction, cold
+    keys join un-replicated at salt 0). Hot keys are a literal list
+    ('click', 'view' — the high-volume browse events), the way a
+    production job pins them from a prior key_skew_profile run
+    rather than re-profiling inline. salt_cols=['event_id'] follows
+    the salting contract: event rows of one type can collide in
+    every payload column, but the unique event_id guarantees the
+    hash spreads (plans/skew.py contract note). Result is identical
+    to the plain join, which the oracle states directly — the
+    weight dim is keys-only here, so it projects away entirely."""
+    ev = load(spark, sf, "events").select("event_type", "value", "event_id")
+    dim = (
+        ev.select("event_type").distinct().hint("merge")
+    )
+    hot = spark.createDataFrame(
+        [("click",), ("view",)], ["event_type"]
+    )
+    joined = salted_join(
+        ev,
+        dim,
+        ["event_type"],
+        n_salts=N_SALTS,
+        hot_keys=hot,
+        salt_cols=["event_id"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -50,6 +50,7 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
     hot_keys: DataFrame | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``skewed`` (big, hot-keyed side) with ``other`` on equi
     keys ``on``, spreading each key over ``n_salts`` shuffle
@@ -63,18 +64,32 @@ def salted_join(
     equi-join on (key, salt); the hot-key split is expressed as a
     salt of 0 for cold rows so no union/second join is needed (the
     replicated side replicates only hot rows beyond salt 0).
+
+    CONTRACT — the salt only spreads rows that DIFFER somewhere in
+    ``salt_cols`` (default: all of ``skewed``'s columns). The hash is
+    deterministic, so byte-identical rows all get the same salt and
+    collapse back onto one shuffle partition — exactly the workload
+    (one repeated null-key/default row) salting usually targets. If
+    the hot key's rows can be literally identical, pass ``salt_cols``
+    naming a unique/high-cardinality column (event_id, offset, a
+    pre-assigned row id); ``tests/test_scale.py`` demonstrates both
+    the degeneration and the fix.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array([F.lit(i) for i in range(n_salts)])
-    # DETERMINISTIC salt — a hash of the whole input row, never
-    # rand(): a rand-based salt depends on row order within the
-    # partition, so a stage retry that re-reads shuffled input in a
-    # different order can re-salt rows and duplicate/drop matches
-    # mid-recovery. Same-key rows still spread because they differ in
-    # the other columns.
+    # DETERMINISTIC salt — a hash of the input row, never rand(): a
+    # rand-based salt depends on row order within the partition, so a
+    # stage retry that re-reads shuffled input in a different order
+    # can re-salt rows and duplicate/drop matches mid-recovery.
+    # (monotonically_increasing_id is out for the same reason — its
+    # values shift under repartitioning/retries.)
+    hash_cols = salt_cols if salt_cols is not None else skewed.columns
+    missing = [c for c in hash_cols if c not in skewed.columns]
+    if missing:
+        raise ValueError(f"salt_cols not in skewed side: {missing}")
     row_salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_salts)
     ).cast("int")
 
     if hot_keys is None:

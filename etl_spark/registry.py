@@ -81,72 +81,78 @@ def _ensure_loaded() -> None:
 # window each round so hard-signal rows land where they're most needed;
 # unlisted queries follow in module-registration order.
 #
-# Round-4 priority (VERDICT r3 "Next round" #1: rotate oldest-first;
-# no query's last driver row should age past 2 rounds):
-#   1. queries whose semantics/plan CHANGED this round — q11 threshold
-#      retune (non-vacuous), x36 redaction-flag fix, x39 tie-break
-#      rounding, x24 occupancy cap, x29 durable-checkpoint refactor;
-#   2. the 4 NEW round-4 queries (first driver rows);
-#   3. all 41 queries whose last driver green is r1 (the relational/
-#      scalar/analytics core — r2/r3 windows rotated elsewhere).
-# The 36 remaining r2-checked queries (x06-x35 families etc.) AND the
-# round-4 additions that registered after the window filled
-# (j10_salted_skew_join, x44-x46) rotate in round 5; all are covered
-# by the identical local oracle gate today.
+# Round-5 priority (VERDICT r4 "Next round" #1, executing the rotation
+# the r4 comment here scheduled):
+#   1. the 5 round-4 late registrations that have NEVER had a driver
+#      row (j10_salted_skew_join, x44-x47 — including the flagship
+#      curation composites x46/x47);
+#   2. the 2 NEW round-5 queries (j11 hot-keys salted join, x48
+#      approx-gate agreement audit — first driver rows);
+#   3. the 4 queries whose semantics CHANGED this round — the
+#      de-vacuified 0-row greens p02/q03/j07/set02 (VERDICT r4
+#      "What's wrong" #1), which must re-verify non-empty;
+#   4. all 38 queries whose last driver green is r2;
+#   5. 1 r3 slot (x01_dedup_exact — the dedup family anchor).
+# After this round no registered query's last driver row is older
+# than r3; the 46 remaining r3-checked + 46 r4-checked queries rotate
+# oldest-first in r6. All are covered by the identical local oracle
+# gate every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- changed this round (5): re-verify under the new form
-    "q11_important_stock",
-    "x36_pii_scrub",
-    "x39_kmeans_assign",
-    "x24_blocked_neardup",
-    "x29_dup_clusters",
-    # -- new in round 4 (4): first driver rows
-    "x40_stratified_split",
-    "x41_cross_source_overlap",
-    "x42_neardup_bucket_audit",
-    "x43_embedding_norm_stats",
-    # -- last driver green is r1 (41): oldest-first refresh
-    "p01_eq_filter",
+    # -- never driver-checked (5): registered after the r4 window filled
+    "j10_salted_skew_join",
+    "x44_incremental_embedding_neardup",
+    "x45_split_token_budget",
+    "x46_dedup_verdict",
+    "x47_curated_corpus",
+    # -- new in round 5 (2): first driver rows
+    "j11_salted_hotkeys_join",
+    "x48_quality_gate_agreement",
+    # -- changed this round (4): de-vacuified, re-verify non-empty
     "p02_like_contains",
-    "p03_isin",
-    "p05_compound_where",
-    "p06_not_empty_string",
-    "p07_bool_projection",
-    "prj01_alias_unicode",
-    "prj02_star",
-    "j01_inner_2way",
-    "j02_star_3way",
-    "j03_left_outer",
-    "j04_latest_per_key_join",
-    "j05_correlated_max",
-    "j06_semi",
-    "j07_anti",
-    "a01_count_total",
-    "a02_count_threshold",
-    "a04_distinct",
-    "w01_topk_per_group",
-    "w02_running_sum",
-    "o01_top10_orders",
-    "o02_multikey_page",
-    "set01_union",
-    "set02_except",
-    "f01_split_array_ops",
-    "f03_multiformat_dates",
-    "f04_date_format_parts",
-    "f06_hashes",
-    "f07_coalesce_fallback",
-    "f08_string_ops",
-    "q01_pricing_summary",
     "q03_shipping_priority",
-    "q05_region_revenue",
-    "q06_shop_day_rollup",
-    "t01_dashboard_listing",
-    "q04_priority_exists",
-    "q10_returned_items",
-    "q07_nation_volume",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
+    "j07_anti",
+    "set02_except",
+    # -- last driver green is r2 (38): oldest-first refresh
+    "a07_rollup",
+    "a08_count_distinct",
+    "a09_pivot",
+    "a10_unpivot",
+    "a11_grouping_sets",
+    "f10_explode_unnest",
+    "j08_range_join",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q20_promo_shippers",
+    "w05_ntile_quartiles",
+    "w06_trailing_window",
+    "x06_knn_bruteforce",
+    "x07_embedding_neardup",
+    "x08_ann_ivf_topk",
+    "x10_token_stats",
+    "x11_quality_score",
+    "x12_langid_heuristic",
+    "x13_fingerprint",
+    "x14_bow_clusters",
+    "x15_media_decode",
+    "x16_binary_meta",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
+    "x19_corpus_stats",
+    "x20_bpe_token_count",
+    "x21_cosine_lsh_buckets",
+    "x22_approx_aggs",
+    "x23_jaccard_capped_pairs",
+    "x25_decontaminate",
+    "x26_repetition_stats",
+    "x27_hash_sample",
+    "x30_chunk_docs",
+    "x31_quality_percentile_gate",
+    "x32_length_histogram",
+    # -- oldest r3 fill (1)
+    "x01_dedup_exact",
 )
 
 

@@ -120,24 +120,33 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_TABLE_BYTES_CACHE: dict[str, int] = {}
+# keyed on (path, top-level mtime_ns): overwriting/appending a table
+# at the same path bumps the file-or-directory mtime, so the memo
+# self-invalidates instead of feeding load_parallel a stale size
+# (ADVICE r4 — bench-style overwrite flows hit this). Stale entries
+# for dead (path, mtime) pairs are dropped on sight, so the dict stays
+# one live entry per path.
+_TABLE_BYTES_CACHE: dict[tuple[str, int], int] = {}
 
 
 def _table_bytes(path: str) -> int:
     """Total on-disk bytes of a parquet file-or-directory, memoized
-    (fixture layouts don't change within a session)."""
-    if path not in _TABLE_BYTES_CACHE:
-        import os
+    per (path, mtime)."""
+    import os
 
+    key = (path, os.stat(path).st_mtime_ns)
+    if key not in _TABLE_BYTES_CACHE:
+        for k in [k for k in _TABLE_BYTES_CACHE if k[0] == path]:
+            del _TABLE_BYTES_CACHE[k]
         if os.path.isdir(path):
-            _TABLE_BYTES_CACHE[path] = sum(
+            _TABLE_BYTES_CACHE[key] = sum(
                 os.path.getsize(os.path.join(root, f))
                 for root, _, fs in os.walk(path)
                 for f in fs
             )
         else:
-            _TABLE_BYTES_CACHE[path] = os.path.getsize(path)
-    return _TABLE_BYTES_CACHE[path]
+            _TABLE_BYTES_CACHE[key] = os.path.getsize(path)
+    return _TABLE_BYTES_CACHE[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

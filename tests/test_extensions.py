@@ -232,6 +232,10 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 16)] + [(30, 31)], ["doc_a", "doc_b"]
     )
+    # setCheckpointDir is global SparkContext state: pre-set one and
+    # assert the helper puts it back afterwards (ADVICE r4)
+    prior = tmp_path / "prior_ckpt"
+    spark.sparkContext.setCheckpointDir(str(prior))
     ck = tmp_path / "cc_ckpt"
     got = {
         r.doc_id: r.lbl
@@ -242,6 +246,10 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
         os.path.join(root, f) for root, _, fs in os.walk(ck) for f in fs
     ]
     assert written, "no reliable checkpoint files under checkpoint_dir"
+    restored = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert restored.isDefined() and str(prior) in restored.get(), (
+        "prior checkpoint dir not restored"
+    )
 
 
 def test_salted_join_deterministic_on_events(spark, sf_dir):
@@ -361,13 +369,30 @@ def test_load_parallel_guard(spark, tmp_path):
     pad = tdir / "_padding"
     with open(pad, "wb") as fh:
         fh.truncate(cores * 4 * 1024 * 1024 + 1)
-    from etl_spark.tables import _TABLE_BYTES_CACHE
-
-    _TABLE_BYTES_CACHE.clear()  # drop the memoized small size
+    # NO manual cache clear: the size memo is keyed on (path, mtime),
+    # and writing _padding bumped the directory mtime — the stale
+    # small size must self-invalidate (ADVICE r4)
     big_plan = load_parallel(spark, str(d), "documents")._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" not in big_plan, "large scan must stay plain"
     # rows are identical either way
     assert load_parallel(spark, str(d), "documents").count() == 2
+
+
+def test_cosine_empty_embedding_scores_zero(spark):
+    """A zero-length embedding row must score 0.0, not throw:
+    sequence(1, 0) is DESCENDING in Spark and element_at(a, 0) errors,
+    so without _DOT's empty guard one bad row fails the whole job
+    (ADVICE r4)."""
+    from etl_spark.extensions.similarity import _with_cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, [], [3.0, 4.0]), (3, [], [])],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.cosine for r in _with_cosine(df, "a", "b").collect()}
+    assert rows[1] == pytest.approx(11.0 / (5.0**0.5 * 5.0), rel=1e-9)
+    # empty side => dot 0 and norm 0 => 0/0 is NULL (not an exception)
+    assert rows[2] is None and rows[3] is None
 
 
 def test_quality_gate_approx_agrees_with_exact(spark, sf_dir):

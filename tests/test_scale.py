@@ -40,6 +40,44 @@ def test_salted_join_hot_keys_only(spark, sf_dir):
     assert _same_rows(plain, salted)
 
 
+def test_salted_join_identical_rows_degenerate_and_salt_cols_fix(spark):
+    """The salt is a deterministic row hash, so byte-identical rows
+    (the classic hot-key workload: one repeated default/null-key row)
+    all land on ONE salt — the mitigation silently degenerates. The
+    documented fix is salt_cols naming a unique column; this test
+    pins both behaviors so the contract is enforced, not folklore."""
+    from pyspark.sql import functions as F
+
+    # 2000 rows of the hot key: identical except a unique event_id
+    big = spark.range(2000).select(
+        F.lit("hot").alias("k"),
+        F.lit(1.0).alias("payload"),
+        F.col("id").alias("event_id"),
+    )
+    dim = spark.createDataFrame([("hot", 7)], ["k", "w"])
+
+    def n_distinct_salts(cols):
+        salted = big.select(cols).withColumn(
+            "__s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(8)).cast("int"),
+        )
+        return salted.select("__s").distinct().count()
+
+    # identical rows (drop the unique col) -> every row hashes alike
+    assert n_distinct_salts(["k", "payload"]) == 1
+    # mixing in the unique id spreads the hot key over the salt space
+    assert n_distinct_salts(["k", "payload", "event_id"]) == 8
+
+    # and the join itself stays correct with salt_cols set
+    plain = big.join(dim, on=["k"], how="inner")
+    salted = salted_join(
+        big, dim, on=["k"], n_salts=8, salt_cols=["event_id"]
+    )
+    assert _same_rows(plain, salted)
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, dim, on=["k"], salt_cols=["nope"])
+
+
 def test_key_skew_profile_matches_manual_count(spark, sf_dir):
     from pyspark.sql import functions as F
 
