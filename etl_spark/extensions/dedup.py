@@ -50,23 +50,29 @@ N_BANDS = 4  # bands of 2 rows each over the 8-hash signature
 MERSENNE61 = (1 << 61) - 1
 
 
-def _shingled(spark: SparkSession, sf: str) -> DataFrame:
-    """documents → (doc_id, shingle) distinct word-3-gram shingles.
-    Stays entirely in codegen'd array expressions. ``load_parallel``
-    spreads the tokenize/hash map stage across cores when the fixture
-    scan is a single split (no-op at real scale)."""
-    docs = load_parallel(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, shingle) distinct word-3-gram
+    shingles, entirely in codegen'd array expressions. DataFrame-in /
+    DataFrame-out so the same shingling serves the fixture queries
+    AND per-micro-batch streaming ingest (streaming/neardup.py)."""
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
     )
-    docs = docs.filter(F.size("toks") >= 3)
     shingles = F.expr(
         "transform(sequence(1, size(toks) - 2), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
         "element_at(toks, i + 2)))"
     )
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
+
+
+def _shingled(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture-table form of ``shingle_docs``. ``load_parallel``
+    spreads the tokenize/hash map stage across cores when the fixture
+    scan is a single split (no-op at real scale)."""
+    return shingle_docs(load_parallel(spark, sf, "documents"))
 
 
 # DuckDB twin of _shingled (kept in one place; referenced by oracles below)
@@ -177,12 +183,12 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) MinHash signature: one md5 per
-    shingle, k derived hashes via (h1 + i*h2) mod 2^61-1, min per
-    doc. One explode + one groupBy — linear in total shingle count,
-    with hashing cost independent of k."""
-    base = _shingled(spark, sf).withColumn("m", F.md5("shingle")).select(
+def minhash_signatures_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, mh_0..mh_{k-1}) MinHash
+    signature: one md5 per shingle, k derived hashes via
+    (h1 + i*h2) mod 2^61-1, min per doc. One explode + one groupBy —
+    linear in total shingle count, hashing cost independent of k."""
+    base = shingle_docs(docs).withColumn("m", F.md5("shingle")).select(
         "doc_id",
         F.expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").alias("h1"),
         F.expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").alias("h2"),
@@ -192,6 +198,27 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(N_MINHASH)
     ]
     return base.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, band_id, band_key) MinHash-LSH
+    band rows — the probe/index unit shared by x37's incremental
+    check and the streaming ingestion filter (streaming/neardup.py).
+    band_key is the md5 of the band's 2-hash slice, so two docs share
+    a band_key iff that signature slice matches exactly."""
+    sig = minhash_signatures_of(docs)
+    stack_expr = ", ".join(
+        f"{b}, md5(concat(mh_{2 * b}, '_', mh_{2 * b + 1}))" for b in range(N_BANDS)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)"),
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture-table form of ``minhash_signatures_of``."""
+    return minhash_signatures_of(load_parallel(spark, sf, "documents"))
 
 
 def _duck_minhash_sig() -> str:

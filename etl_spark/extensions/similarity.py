@@ -314,6 +314,17 @@ def _band_signatures(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "bs.band", "bs.sig")
 
 
+def embedding_band_keys_of(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, ...) → (vec_id, band, sig): the banded
+    hyperplane signatures as a public probe/index unit — the
+    embedding twin of dedup.band_keys_of, shared by x44's incremental
+    check and the streaming ingestion filter (streaming/neardup.py).
+    Signatures are sign-patterns of constant hyperplane dots, so they
+    are invariant under positive scaling of the vector (cosine
+    near-dups collide; magnitude differences don't separate them)."""
+    return _band_signatures(emb)
+
+
 def _plane_dot(plane: list[float]):
     """dot(embedding, <constant plane>) as an index fold over the
     plane literal — same left-to-right order as _DOT / DuckDB's

@@ -7,6 +7,7 @@ from etl_spark.streaming.monitor import (
     windowed_event_counts,
     run_threshold_monitor,
 )
+from etl_spark.streaming.neardup import neardup_filter_batch, run_neardup_ingest
 from etl_spark.streaming.stateful import sessionize_stream
 from etl_spark.streaming.sinks import (
     enrich_stream,
@@ -20,6 +21,8 @@ __all__ = [
     "stream_events",
     "windowed_event_counts",
     "run_threshold_monitor",
+    "neardup_filter_batch",
+    "run_neardup_ingest",
     "sessionize_stream",
     "enrich_stream",
     "interval_join",

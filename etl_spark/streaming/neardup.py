@@ -1,0 +1,128 @@
+"""Ingestion-time near-dup filtering — the streaming front door of a
+training-data pipeline, for BOTH modalities:
+
+- text: MinHash-LSH band keys (``dedup.band_keys_of`` — x37's probe
+  unit);
+- embeddings: banded hyperplane signatures
+  (``similarity.embedding_band_keys_of`` — x44's probe unit).
+
+Each micro-batch is probed against a durable parquet band INDEX of
+everything accepted so far: rows sharing any band bucket with the
+index are dropped, survivors are appended to the output AND their
+band rows to the index. This is the streaming composition of the
+batch operators x37/x44 (delta-vs-corpus band probe) — the corpus is
+never re-paired; per batch the only work is one equi-join keyed on
+the band hash (batch-sized probe side vs. stored index) plus two
+appends.
+
+Exactly-once: ``foreachBatch`` re-runs a batch after failure, so both
+appends are made idempotent by writing each batch under a
+``batch-<id>`` subdirectory and skipping work when it already exists
+— the standard file-sink commit pattern. Read the output/index with
+``spark.read.option("recursiveFileLookup", "true").parquet(path)``
+(plain parquet reads don't descend into non-partition subdirs). State is the on-disk index, not executor memory, so a
+restart resumes from the checkpoint with the index intact.
+
+Intra-batch duplicates are NOT collapsed here by design: within one
+micro-batch no row is "seen before" the other, and collapsing would
+need the pair→cluster step (x29). Compose ``dedup_stream`` (exact
+key dedup) upstream and run x04+x29 over the accepted corpus for the
+periodic full sweep.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _index_has_data(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _, fs in os.walk(path):
+        if any(f.endswith(".parquet") for f in fs):
+            return True
+    return False
+
+
+def neardup_filter_batch(
+    batch_df: DataFrame,
+    bands_fn: Callable[[DataFrame], DataFrame],
+    id_col: str,
+    index_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step, pure DataFrame-in/DataFrame-out (shared
+    by the sink below and its tests): returns ``(kept, kept_bands)``
+    where ``kept`` is ``batch_df`` minus rows whose band rows collide
+    with the stored index, and ``kept_bands`` are the survivors' band
+    rows (what the caller appends to the index).
+
+    ``bands_fn(batch_df)`` must return ``id_col`` plus one or more
+    band columns; the probe joins on ALL non-id columns, so the same
+    code serves (band_id, band_key) text bands and (band, sig)
+    embedding bands."""
+    spark = batch_df.sparkSession
+    bands = bands_fn(batch_df)
+    band_cols = [c for c in bands.columns if c != id_col]
+    if not band_cols:
+        raise ValueError(f"bands_fn returned no band columns besides {id_col!r}")
+    if _index_has_data(index_path):
+        seen = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_path)
+            .select(band_cols)
+        )
+        dup_ids = bands.join(seen, band_cols, "left_semi").select(id_col).distinct()
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+    else:
+        kept = batch_df
+    kept_bands = bands.join(kept.select(id_col), id_col, "left_semi")
+    return kept, kept_bands
+
+
+def run_neardup_ingest(
+    stream_df: DataFrame,
+    bands_fn: Callable[[DataFrame], DataFrame],
+    id_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int, int], Any] | None = None,
+) -> StreamingQuery:
+    """``foreachBatch`` sink: accepted rows land under ``out_path``,
+    their band rows under ``index_path``; near-dups of anything
+    previously accepted are dropped. ``on_batch(batch_id, n_in,
+    n_kept)`` is the observability hook (the count the monitor's
+    alert conditions consume)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(out_path, f"batch-{batch_id}")
+        idx_dir = os.path.join(index_path, f"batch-{batch_id}")
+        if os.path.isdir(out_dir) and os.path.isdir(idx_dir):
+            return  # replayed batch: both commits already on disk
+        kept, kept_bands = neardup_filter_batch(
+            batch_df, bands_fn, id_col, index_path
+        )
+        kept = kept.persist()  # two consumers: count/out + band semi-join
+        n_in = batch_df.count()
+        n_kept = kept.count()
+        # out first, index second: a crash between the two re-runs the
+        # batch (idx_dir missing), and rewriting out_dir is an
+        # overwrite of identical content — never a duplicate append
+        kept.write.mode("overwrite").parquet(out_dir)
+        kept_bands.write.mode("overwrite").parquet(idx_dir)
+        kept.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_in, n_kept)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -420,3 +420,138 @@ def test_enrich_stream_matches_batch_and_sees_dim_updates(
     assert {t: c for t, c in got2.items() if t >= 10} == {
         t + 10: c for t, c in want.items()
     }
+
+
+def _drain_neardup(spark, src_dir, schema_ddl, bands_fn, id_col, tmp_path, tag):
+    """Run the near-dup ingest over src_dir one file per micro-batch;
+    return (accepted ids, [(batch_id, n_in, n_kept), ...])."""
+    from etl_spark.streaming.neardup import run_neardup_ingest
+
+    seen_batches = []
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = run_neardup_ingest(
+        stream,
+        bands_fn,
+        id_col=id_col,
+        index_path=str(tmp_path / f"{tag}_idx"),
+        out_path=str(tmp_path / f"{tag}_out"),
+        checkpoint=str(tmp_path / f"{tag}_ckpt"),
+        on_batch=lambda b, n_in, n_kept: seen_batches.append((b, n_in, n_kept)),
+    )
+    q.awaitTermination(120)
+    out = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / f"{tag}_out"))
+    )
+    return {r[id_col] for r in out.select(id_col).collect()}, seen_batches
+
+
+def test_streaming_neardup_drops_text_neardup_across_batches(spark, tmp_path):
+    """Batch 2 must drop a near-duplicate (high-Jaccard rewrite) of a
+    batch-1 document via the MinHash band index, while genuinely new
+    docs pass — x37's delta-vs-corpus probe running at ingestion time
+    (VERDICT r4 next-round #7)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.dedup import band_keys_of
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from a mossy log near the river bend"
+    )
+    neardup = base.rsplit(" ", 1)[0] + " crossing"  # only last word differs
+    other = (
+        "completely different subject matter about compilers and "
+        "register allocation with graph coloring heuristics applied"
+    )
+    fresh = (
+        "a third topic entirely covering tidal patterns measured at "
+        "coastal stations during the autumn equinox season"
+    )
+    # self-check the fixture: the near-dup pair MUST share a band
+    # (deterministic md5 minhash), or this test would prove nothing
+    probe = spark.createDataFrame(
+        [(1, base), (3, neardup)], "doc_id bigint, text string"
+    )
+    bk = {(r.doc_id, r.band_id, r.band_key) for r in band_keys_of(probe).collect()}
+    shared = {(b, k) for d, b, k in bk if d == 1} & {
+        (b, k) for d, b, k in bk if d == 3
+    }
+    assert shared, "chosen texts do not band-collide; rewrite the fixture"
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    def write(fname, rows):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }),
+            d / fname,
+        )
+    write("b0.parquet", [(1, base), (2, other)])
+    write("b1.parquet", [(3, neardup), (4, fresh)])
+    os.utime(d / "b0.parquet", (1000000000, 1000000000))
+    os.utime(d / "b1.parquet", (1000000100, 1000000100))
+
+    kept, batches = _drain_neardup(
+        spark, d, "doc_id bigint, text string", band_keys_of, "doc_id",
+        tmp_path, "txt",
+    )
+    assert kept == {1, 2, 4}, kept
+    assert batches == [(0, 2, 2), (1, 2, 1)]
+
+
+def test_streaming_neardup_drops_embedding_neardup_across_batches(spark, tmp_path):
+    """Same ingest path, embedding modality: batch 2's scaled copy of
+    a batch-1 vector (cosine 1.0, different bytes) must collide in
+    every hyperplane band and be dropped; an independent vector
+    passes — x44's probe running at ingestion time."""
+    import os
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.similarity import embedding_band_keys_of
+
+    def vec(seed, dim=64):
+        return [
+            round(
+                int(hashlib.md5(f"{seed}_{d}".encode()).hexdigest()[:8], 16)
+                / float(1 << 31)
+                - 1.0,
+                6,
+            )
+            for d in range(dim)
+        ]
+
+    v1, v2, v4 = vec("a"), vec("b"), vec("c")
+    v3 = [2.0 * x for x in v1]  # positive scaling: identical sign pattern
+
+    d = tmp_path / "vecs_in"
+    d.mkdir()
+    def write(fname, rows):
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+            }),
+            d / fname,
+        )
+    write("b0.parquet", [(1, v1), (2, v2)])
+    write("b1.parquet", [(3, v3), (4, v4)])
+    os.utime(d / "b0.parquet", (1000000000, 1000000000))
+    os.utime(d / "b1.parquet", (1000000100, 1000000100))
+
+    kept, batches = _drain_neardup(
+        spark, d, "vec_id bigint, embedding array<double>",
+        embedding_band_keys_of, "vec_id", tmp_path, "emb",
+    )
+    assert kept == {1, 2, 4}, kept
+    assert batches == [(0, 2, 2), (1, 2, 1)]
