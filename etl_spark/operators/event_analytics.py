@@ -23,11 +23,15 @@ from etl_spark.tables import load
 @register(
     "e01_funnel_steps",
     oracle="""
-        WITH per_user AS (
+        WITH funnel_events AS (
+            SELECT * FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')
+        ),
+        per_user AS (
             SELECT user_id,
                    MIN(CASE WHEN event_type = 'signup' THEN ts END)
                      OVER (PARTITION BY user_id) AS t_signup
-            FROM events
+            FROM funnel_events
         ),
         u1 AS (SELECT DISTINCT user_id, t_signup FROM per_user),
         clicks AS (
@@ -59,8 +63,15 @@ def e01_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     ``user_id`` partitioning — Spark plans a single Exchange and
     reuses its sort for all three windows, so at 100 TB this is one
     fact shuffle regardless of funnel depth (vs. the self-join-per-
-    step SQL formulation, which shuffles once per step)."""
-    ev = load(spark, sf, "events")
+    step SQL formulation, which shuffles once per step). Only the
+    three funnel event types enter the window — the IN filter pushes
+    into the parquet scan, so non-funnel traffic (views, errors: most
+    of a real event stream) never reaches the shuffle; users with no
+    funnel events drop out of per_user, which the counts ignore
+    anyway (COUNT over NULL), so the result is identical."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     staged = ev.withColumn("t_signup", t1)
