@@ -81,6 +81,7 @@ HEADLINE = [
     # round-5 additions
     "j11_salted_hotkeys_join",
     "x48_quality_gate_agreement",
+    "x49_multimodal_curated",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -613,3 +613,80 @@ def x47_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def _x49_oracle() -> str:
+    from etl_spark.extensions.dedup import _duck_dup_clusters
+    from etl_spark.extensions.similarity import _duck_x24_pairs
+
+    return f"""
+        SELECT d.lang,
+               CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents d
+        LEFT JOIN ({_duck_dup_clusters()}) c USING (doc_id)
+        WHERE (c.doc_id IS NULL OR c.is_canonical)
+          AND {_duck_quality_keep()}
+          AND NOT EXISTS (
+              SELECT 1 FROM ({_duck_x24_pairs()}) p WHERE p.vec_b = d.doc_id
+          )
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "x49_multimodal_curated",
+    oracle=_x49_oracle(),
+    tags=("pipeline", "dedup", "similarity", "textstats"),
+)
+def x49_multimodal_curated(spark: SparkSession, sf: str) -> DataFrame:
+    """x47 extended across modalities — the handoff a MULTIMODAL
+    training pipeline ships: a document survives iff it passes the
+    x17 text-quality gate, the x46 text-dedup verdict (unique or
+    cluster canonical), AND its embedding is not the dropped side of
+    an x24 embedding-near-dup pair (fixture doc_id and vec_id are
+    1:1 — the row's text and vector describe the same item). The
+    embedding rule is the pairwise keep-lowest-id form: a doc is
+    dropped when it appears as ``vec_b`` (the higher id) of any
+    re-scored pair — the greedy first-occurrence-wins rule every
+    streaming ingest uses (streaming/neardup.py); the text side keeps
+    the full transitive-cluster form via x46's connected components,
+    so the query exercises BOTH canonicalization semantics.
+
+    Scale: text gate is scan-local; both dedup verdicts join
+    pairs-sized tables against the corpus scan (the embedding side is
+    a left-anti join on vec_b — candidate pairs are bucket-bounded by
+    X24_BUCKET_CAP, never O(n²)); one final (lang, split) aggregate.
+    One fused plan, no materialized intermediate."""
+    from etl_spark.extensions.dedup import x46_dedup_verdict
+    from etl_spark.extensions.similarity import x24_blocked_neardup
+    from etl_spark.extensions.textstats import x17_quality_filter
+
+    quality = x17_quality_filter(spark, sf).filter("keep").select("doc_id")
+    kept = x46_dedup_verdict(spark, sf).filter("keep").select("doc_id")
+    emb_dropped = (
+        x24_blocked_neardup(spark, sf)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        _split_col().alias("split"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    return (
+        docs.join(quality, "doc_id")
+        .join(kept, "doc_id")
+        .join(emb_dropped, "doc_id", "left_anti")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

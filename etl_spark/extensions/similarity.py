@@ -354,9 +354,11 @@ def _duck_band_sigs() -> str:
     return " UNION ALL ".join(selects)
 
 
-@register(
-    "x24_blocked_neardup",
-    oracle=f"""
+def _duck_x24_pairs() -> str:
+    """DuckDB twin of x24's full pair pipeline (bands → capped buckets
+    → candidates → exact cosine re-score ≥ 0.4) — reusable standalone
+    so composed oracles (x49) use the IDENTICAL pair set."""
+    return f"""
         WITH sigs AS ({_duck_band_sigs()}),
         occ AS (
             SELECT band, sig, COUNT(*) AS n
@@ -383,7 +385,12 @@ def _duck_band_sigs() -> str:
         WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= 0.4
-    """,
+    """
+
+
+@register(
+    "x24_blocked_neardup",
+    oracle=_duck_x24_pairs(),
     tags=("similarity", "dedup"),
 )
 def x24_blocked_neardup(spark: SparkSession, sf: str) -> DataFrame:

@@ -86,15 +86,16 @@ def _ensure_loaded() -> None:
 #   1. the 5 round-4 late registrations that have NEVER had a driver
 #      row (j10_salted_skew_join, x44-x47 — including the flagship
 #      curation composites x46/x47);
-#   2. the 2 NEW round-5 queries (j11 hot-keys salted join, x48
-#      approx-gate agreement audit — first driver rows);
+#   2. the 3 NEW round-5 queries (j11 hot-keys salted join, x48
+#      approx-gate agreement audit, x49 multimodal curation — first
+#      driver rows; r4's lesson was that late registrations wait a
+#      whole round, so new queries outrank staleness refreshes);
 #   3. the 4 queries whose semantics CHANGED this round — the
 #      de-vacuified 0-row greens p02/q03/j07/set02 (VERDICT r4
 #      "What's wrong" #1), which must re-verify non-empty;
-#   4. all 38 queries whose last driver green is r2;
-#   5. 1 r3 slot (x01_dedup_exact — the dedup family anchor).
+#   4. all 38 queries whose last driver green is r2.
 # After this round no registered query's last driver row is older
-# than r3; the 46 remaining r3-checked + 46 r4-checked queries rotate
+# than r3; the 47 r3-checked + 46 r4-checked queries rotate
 # oldest-first in r6. All are covered by the identical local oracle
 # gate every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -104,9 +105,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x45_split_token_budget",
     "x46_dedup_verdict",
     "x47_curated_corpus",
-    # -- new in round 5 (2): first driver rows
+    # -- new in round 5 (3): first driver rows
     "j11_salted_hotkeys_join",
     "x48_quality_gate_agreement",
+    "x49_multimodal_curated",
     # -- changed this round (4): de-vacuified, re-verify non-empty
     "p02_like_contains",
     "q03_shipping_priority",
@@ -151,8 +153,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x30_chunk_docs",
     "x31_quality_percentile_gate",
     "x32_length_histogram",
-    # -- oldest r3 fill (1)
-    "x01_dedup_exact",
 )
 
 
