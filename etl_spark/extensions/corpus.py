@@ -1,0 +1,262 @@
+"""Corpus-layout operators: cross-document segment dedup, temperature
+mixture sampling, and deterministic training-order sharding.
+
+These complete the curation → training handoff the x40–x49 family
+started (reference has no analog — it is a per-table ETL scheduler):
+
+- x50 segment dedup: the C4/RefinedWeb line-level rule adapted to the
+  fixture's unstructured text — drop any fixed-width word segment that
+  appears in more than one document, keeping only the lowest-doc_id
+  occurrence, then REASSEMBLE the cleaned text (Raffel et al. '20
+  §2.2 dedup three-sentence spans corpus-wide; Penedo et al. '23 do
+  the same at line granularity).
+- x51 temperature sampling: the Pile/Gopher data-mixing step — a
+  stratum is sampled at a rate proportional to n^α (α < 1 upweights
+  small strata; here stratified by language, the fixture's skewed
+  axis), applied via a content-stable hash so the mix is reproducible
+  and incremental, never rand() (Gao et al. '20 §1; Rae et al. '21
+  table A3).
+- x52 training order: deterministic hash-sharding plus in-shard
+  order — the global-shuffle-without-a-global-sort every training run
+  needs: shard is a scan-local hash bucket, order within a shard is
+  the hash itself, so "write each shard sorted" IS the shuffled read
+  order and no driver-side permutation ever materializes.
+
+Scale shapes: x51/x52 are scan-local after a |sources|-row broadcast
+(x51) or nothing at all (x52's shard column); x50 is two keyed
+shuffles (segment frequency, then doc reassembly) — both on uniform
+hash keys, no self-join, no quadratic expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+SEG_WORDS = 4  # words per dedup segment (the "line" stand-in)
+
+_DUCK_SEGS = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, (start - 1) // {SEG_WORDS} AS pos,
+               array_to_string(
+                   list_slice(t, start, start + {SEG_WORDS} - 1), ' ') AS seg
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, len(t) + 1, {SEG_WORDS})) AS start
+              FROM toks)
+    )
+"""
+
+
+@register(
+    "x50_segment_dedup",
+    oracle=f"""
+        {_DUCK_SEGS},
+        dup AS (
+            SELECT seg, MIN(doc_id) AS keeper
+            FROM segs GROUP BY seg
+            HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.pos, s.seg,
+                   (d.keeper IS NULL OR s.doc_id = d.keeper) AS keep
+            FROM segs s LEFT JOIN dup d USING (seg)
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (keep), '')
+                   AS clean_text,
+               CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+)
+def x50_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicate-SEGMENT removal with text
+    reconstruction — the C4 rule ("any three-sentence span occurring
+    more than once in the dataset is removed", Raffel '20 §2.2) on
+    fixed 4-word segments: a segment duplicated across documents
+    survives only in its lowest-doc_id document; every document's
+    remaining segments are reassembled in order. This is the
+    boilerplate/mirror-page scrub that document-level dedup (x01,
+    x04) cannot express, because the duplicated unit is inside
+    otherwise-distinct documents.
+
+    Scale shape: segment fan-out is n_words/4 rows per doc (linear);
+    the frequency aggregate and the join back are both equi-keyed on
+    the segment string (uniform md5-like distribution — no hot key),
+    and only segments with corpus frequency > 1 survive into the
+    join's build side, which at web scale is the small minority.
+    Reassembly is one (doc_id) aggregate — the same key the scan was
+    written with, so AQE can often avoid a third full shuffle. No
+    self-join, nothing quadratic. Keep-lowest-doc_id (not
+    drop-everywhere) preserves exactly one canonical copy, matching
+    x46's keep-canonical verdict convention."""
+    toks = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    segs = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr(f"sequence(1, size(t), {SEG_WORDS})")).alias("start"),
+    ).select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {SEG_WORDS}").alias("pos"),
+        F.concat_ws(" ", F.expr(f"slice(t, start, {SEG_WORDS})")).alias("seg"),
+    )
+    dup = (
+        segs.groupBy("seg")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("seg", "keeper")
+    )
+    keep = F.col("keeper").isNull() | (F.col("doc_id") == F.col("keeper"))
+    flagged = segs.join(dup, "seg", "left").select(
+        "doc_id", "pos", "seg", keep.alias("keep")
+    )
+    grouped = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("pos", "seg")))
+        ).alias("kept"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+    return grouped.select(
+        "doc_id",
+        F.concat_ws(" ", F.expr("transform(kept, s -> s.seg)")).alias(
+            "clean_text"
+        ),
+        "n_kept",
+        "n_dropped",
+    )
+
+
+MIX_ALPHA = 0.5  # temperature: rate_s ∝ n_s^α (α<1 upweights small sources)
+MIX_BUDGET_FRAC = 0.2  # total sample budget as a fraction of the corpus
+
+# identical arithmetic TEXT on both engines: the float expression tree
+# must match operation-for-operation so the floor() boundary cannot
+# disagree; the +1e-9 absorbs summation-order last-bit noise in wsum
+_MIX_THR = (
+    f"LEAST(1000, CAST(FLOOR(1000 * {MIX_BUDGET_FRAC} * total * wn / n / wsum"
+    " + 1e-9) AS BIGINT))"
+)
+
+
+@register(
+    "x51_temperature_mix_sample",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+                   POW(CAST(COUNT(*) AS DOUBLE), {MIX_ALPHA}) AS wn
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT SUM(n) AS total, SUM(wn) AS wsum FROM c),
+        r AS (SELECT lang, {_MIX_THR} AS thr FROM c, t)
+        SELECT d.doc_id, d.lang,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 AS permille
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000 < r.thr
+    """,
+    tags=("pipeline",),
+)
+def x51_temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixture sampling (the Pile/Gopher
+    α-weighting): stratum s receives sampling weight n_s^α / Σ n^α,
+    so with α=0.5 a stratum 100× larger contributes only 10× more —
+    the standard counter to majority-class dominance. Stratified on
+    ``lang`` (the fixture's genuinely skewed axis: en dominates ~3×;
+    ``source`` is uniform by construction) — language rebalancing is
+    the most common real instance of this op. The per-stratum rate
+    (budget·w_s / n_s, capped at 1) converts to a permille threshold
+    on the same content-stable md5 bucket x27 uses, so membership is
+    reproducible, incremental under corpus growth, and auditable —
+    unlike x27's hand-set rates, the rates here are DERIVED from the
+    observed mix.
+
+    Scale shape: one |strata|-row aggregate (broadcast back), then a
+    scan-local filter — the sample NEVER shuffles the corpus. The
+    float threshold is computed with an identical expression tree on
+    both engines plus a 1e-9 floor-guard, because Σ n^α accumulates
+    in engine-dependent order."""
+    docs = load(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
+    )
+    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
+    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
+    permille = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000"
+    )
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .withColumn("permille", permille)
+        .filter(F.col("permille") < F.col("thr"))
+        .select("doc_id", "lang", "permille")
+    )
+
+
+N_SHARDS = 8  # training output shards
+_ORD_SEED = "ord1:"  # bump to re-shuffle the corpus deterministically
+
+
+@register(
+    "x52_training_order",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5('{_ORD_SEED}' || CAST(doc_id AS VARCHAR)) AS hkey
+            FROM documents
+        )
+        SELECT doc_id,
+               ('0x' || substr(hkey, 1, 15))::BIGINT % {N_SHARDS} AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ('0x' || substr(hkey, 1, 15))::BIGINT
+                                % {N_SHARDS}
+                   ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos
+        FROM h
+    """,
+    tags=("pipeline",),
+)
+def x52_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order layout without a global
+    sort: each document hashes (seeded md5) to a shard, and its
+    position within the shard is its hash rank. Reading shards
+    round-robin replays a uniform pseudo-random permutation of the
+    corpus — the epoch shuffle — yet the plan contains no
+    single-partition ORDER BY and no driver-side permutation; bumping
+    the seed string re-shuffles the next epoch end-to-end.
+
+    Scale shape: the shard column is scan-local; the rank is a window
+    partitioned by shard, so it parallelizes across shards. At 100 TB
+    the materialized `pos` column itself is unnecessary — each shard
+    is WRITTEN sorted by hkey (a per-shard sort, embarrassingly
+    parallel) and the file order IS the training order; this query
+    materializes pos only so the layout is oracle-checkable."""
+    h = load(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    )
+    shard = F.expr(
+        f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
+    )
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -487,10 +487,9 @@ def x21_cosine_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 N_KMEANS = 8  # deterministic seed centroids: the first k vectors
 
-
-@register(
-    "x39_kmeans_assign",
-    oracle=f"""
+# shared by x39 (assignment) and x53 (centroid update): the two halves
+# of one Lloyd iteration must agree on the assignment they derive from
+_X39_ASSIGN_ORACLE = f"""
         WITH c AS (
             SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
             FROM embeddings WHERE vec_id < {N_KMEANS}
@@ -515,7 +514,12 @@ N_KMEANS = 8  # deterministic seed centroids: the first k vectors
                CAST(cid AS BIGINT) AS cluster_id,
                ROUND(d2, 4) AS dist2
         FROM r WHERE rn = 1
-    """,
+"""
+
+
+@register(
+    "x39_kmeans_assign",
+    oracle=_X39_ASSIGN_ORACLE,
     tags=("similarity",),
 )
 def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
@@ -708,4 +712,60 @@ def x44_incremental_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame
         new.join(seen, ["band", "sig"])
         .groupBy("vec_id")
         .agg(F.count_distinct("seen_id").alias("n_seen_matches"))
+    )
+
+
+@register(
+    "x53_kmeans_update",
+    oracle=f"""
+        WITH assign AS ({_X39_ASSIGN_ORACLE}),
+        j AS (
+            SELECT a.cluster_id, e.embedding::DOUBLE[] AS ve
+            FROM assign a JOIN embeddings e USING (vec_id)
+        ),
+        u AS (
+            SELECT cluster_id,
+                   generate_subscripts(ve, 1) - 1 AS dim,
+                   unnest(ve) AS val
+            FROM j
+        )
+        SELECT cluster_id,
+               CAST(dim AS BIGINT) AS dim,
+               ROUND(AVG(val), 6) AS centroid,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM u GROUP BY cluster_id, dim
+    """,
+    tags=("similarity",),
+)
+def x53_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The centroid-UPDATE half of a Lloyd iteration, completing
+    x39's assignment half: new centroid = per-(cluster, dimension)
+    mean of the member embeddings, emitted unpivoted as (cluster_id,
+    dim, centroid, n_points) so the result is flat-hashable and the
+    next assignment round can rebuild the k×d centroid table from it.
+    Iterating x39 → x53 → x39 is full k-means; x08's IVF index is
+    trained with exactly this pair.
+
+    Scale shape: reuses x39's broadcast-centroid assignment (map-side,
+    no shuffle), then ONE aggregate keyed on (cluster_id, dim) — k×d
+    output rows regardless of corpus size, with map-side partial
+    aggregation doing almost all the reduction. posexplode fans each
+    row into d rows but entirely scan-locally; the mean is rounded to
+    6 dp on both engines because double summation order differs
+    (noise ~1e-15 relative, far inside the quantum)."""
+    assign = x39_kmeans_assign(spark, sf).select("vec_id", "cluster_id")
+    emb = load_parallel(spark, sf, "embeddings")
+    j = assign.join(emb, "vec_id").select(
+        "cluster_id", F.col("embedding").alias("ve")
+    )
+    u = j.select(
+        "cluster_id", F.posexplode(F.col("ve")).alias("dim", "val")
+    ).select(
+        "cluster_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return u.groupBy("cluster_id", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_points"),
     )

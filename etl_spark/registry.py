@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.textstats  # noqa: F401
     import etl_spark.extensions.multimodal  # noqa: F401
     import etl_spark.extensions.pipeline  # noqa: F401
+    import etl_spark.extensions.corpus  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -93,11 +94,14 @@ def _ensure_loaded() -> None:
 #   3. the 4 queries whose semantics CHANGED this round — the
 #      de-vacuified 0-row greens p02/q03/j07/set02 (VERDICT r4
 #      "What's wrong" #1), which must re-verify non-empty;
-#   4. all 38 queries whose last driver green is r2.
-# After this round no registered query's last driver row is older
-# than r3; the 47 r3-checked + 46 r4-checked queries rotate
-# oldest-first in r6. All are covered by the identical local oracle
-# gate every round (tests/test_oracle.py).
+#   4. the queries whose last driver green is r2, oldest-first (34 of
+#      38 fit; x27/x30/x31/x32 yield their slots to the four NEW
+#      mid-round-5 registrations x50-x53 — new-before-stale, r4's
+#      lesson — and lead the r6 rotation).
+# After this round only x27/x30/x31/x32 have a driver row older than
+# r3; they rotate first in r6, then the r3/r4-checked queries
+# oldest-first. All are covered by the identical local oracle gate
+# every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (5): registered after the r4 window filled
     "j10_salted_skew_join",
@@ -149,10 +153,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x23_jaccard_capped_pairs",
     "x25_decontaminate",
     "x26_repetition_stats",
-    "x27_hash_sample",
-    "x30_chunk_docs",
-    "x31_quality_percentile_gate",
-    "x32_length_histogram",
+    # -- new mid-round-5 (4): segment dedup / mixture sampling /
+    #    training order / k-means update. New registrations outrank
+    #    staleness refreshes (r4's lesson), so these take the last 4
+    #    window slots; the displaced r2-stale x27/x30/x31/x32 rotate
+    #    first in r6 along with the remaining r2 tail.
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x53_kmeans_update",
 )
 
 

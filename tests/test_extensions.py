@@ -414,3 +414,115 @@ def test_quality_gate_approx_agrees_with_exact(spark, sf_dir):
     assert jacc >= 0.85, f"approx/exact gate agreement {jacc:.3f}"
     n_docs = load(spark, sf_dir, "documents").count()
     assert 0.15 <= len(approx) / n_docs <= 0.40
+
+
+# ---------- corpus layout: x50-x53 semantic contracts ----------
+
+
+def test_segment_dedup_reconstruction(spark, sf_dir):
+    """x50's contracts beyond hash parity: (a) a document with zero
+    dropped segments reconstructs to its EXACT original text; (b) a
+    duplicated segment survives only in its lowest-doc_id document;
+    (c) kept+dropped always equals the doc's segment count."""
+    from etl_spark.extensions.corpus import SEG_WORDS
+
+    out = {r.doc_id: r for r in SPECS["x50_segment_dedup"].fn(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_intact = n_scrubbed = 0
+    for doc_id, text in docs.items():
+        r = out[doc_id]
+        n_segs = -(-len(text.split(" ")) // SEG_WORDS)
+        assert r.n_kept + r.n_dropped == n_segs
+        if r.n_dropped == 0:
+            assert r.clean_text == text, f"doc {doc_id} altered with 0 drops"
+            n_intact += 1
+        else:
+            assert len(r.clean_text) < len(text)
+            n_scrubbed += 1
+    assert n_intact > 0 and n_scrubbed > 0, "fixture exercises only one path"
+
+    # (b) pick one cross-doc duplicated segment and check keep-lowest
+    segs = {}
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        for i in range(0, len(words), SEG_WORDS):
+            segs.setdefault(" ".join(words[i : i + SEG_WORDS]), set()).add(doc_id)
+    dup_seg, owners = next((s, d) for s, d in segs.items() if len(d) > 1)
+    keeper = min(owners)
+    pad = f" {dup_seg} "
+    assert pad in f" {out[keeper].clean_text} "
+    for other in owners - {keeper}:
+        # the segment may coincidentally REAPPEAR from adjacent kept
+        # words, so assert on the counts instead of substring absence
+        assert out[other].n_dropped >= 1
+
+
+def test_temperature_sample_upweights_small_strata(spark, sf_dir):
+    """x51's point: with α=0.5 the sampling RATE of the smallest
+    language must exceed the rate of the largest (temperature
+    flattens the mix). Rates compare on the derived permille
+    THRESHOLDS implied by the selected sample, robust to hash
+    granularity at small n."""
+    import collections
+
+    sampled = collections.Counter(
+        r.lang
+        for r in SPECS["x51_temperature_mix_sample"].fn(spark, sf_dir).collect()
+    )
+    totals = collections.Counter(
+        r.lang for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )
+    rates = {s: sampled.get(s, 0) / n for s, n in totals.items()}
+    smallest = min(totals, key=totals.get)
+    largest = max(totals, key=totals.get)
+    assert totals[smallest] < totals[largest], "fixture strata degenerate"
+    assert rates[smallest] > rates[largest], f"temperature inverted: {rates}"
+
+
+def test_training_order_is_uniform_permutation(spark, sf_dir):
+    """x52: every doc appears exactly once, positions within a shard
+    are 0..n-1 dense, and no shard holds more than 3x its fair share
+    (md5 is uniform; 3x at n=500/8 shards is a loose sanity bound)."""
+    import collections
+
+    rows = SPECS["x52_training_order"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} gapped"
+        assert len(poss) < 3 * n_docs / len(by_shard) + 1, f"shard {shard} hot"
+
+
+def test_kmeans_update_consistent_with_assignment(spark, sf_dir):
+    """x53 must agree with x39: per-cluster n_points equals the
+    assignment's cluster sizes; every cluster emits every dimension;
+    and recomputing one cluster's dim-0 mean driver-side matches."""
+    import collections
+
+    assign = SPECS["x39_kmeans_assign"].fn(spark, sf_dir).collect()
+    update = SPECS["x53_kmeans_update"].fn(spark, sf_dir).collect()
+    sizes = collections.Counter(r.cluster_id for r in assign)
+    dims = collections.defaultdict(set)
+    for r in update:
+        assert r.n_points == sizes[r.cluster_id]
+        dims[r.cluster_id].add(r.dim)
+    assert set(dims) == set(sizes)
+    n_dims = {len(v) for v in dims.values()}
+    assert len(n_dims) == 1, f"ragged dims per cluster: {n_dims}"
+
+    cid = min(sizes)
+    members = {r.vec_id for r in assign if r.cluster_id == cid}
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    mean0 = sum(float(emb[v][0]) for v in members) / len(members)
+    got0 = next(r.centroid for r in update if r.cluster_id == cid and r.dim == 0)
+    assert abs(got0 - mean0) < 1e-5
