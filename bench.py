@@ -82,6 +82,10 @@ HEADLINE = [
     "j11_salted_hotkeys_join",
     "x48_quality_gate_agreement",
     "x49_multimodal_curated",
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x53_kmeans_update",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -215,6 +219,13 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         # sf0.1 time, is the 100 TB claim
         "x46_dedup_verdict",
         "x47_curated_corpus",
+        # x50: the segment-frequency shuffle is the cost driver; the
+        # token-shifted replicas keep duplicate segments replica-local
+        # (stopword-only 4-grams are rare), so its slope should track
+        # corpus volume. x53: k x d output regardless of n_vecs — the
+        # map-side partial-agg claim is the thing the slope verifies.
+        "x50_segment_dedup",
+        "x53_kmeans_update",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
