@@ -86,6 +86,7 @@ HEADLINE = [
     "x51_temperature_mix_sample",
     "x52_training_order",
     "x53_kmeans_update",
+    "x54_lm_quality_score",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -260,3 +260,118 @@ def x52_training_order(spark: SparkSession, sf: str) -> DataFrame:
         shard.alias("shard"),
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+LM_HEAD_BITS = 3.37  # xent below => "head" (most fluent / most common)
+LM_TAIL_BITS = 3.40  # xent above => "tail" (rare-heavy / noisy)
+
+
+@register(
+    "x54_lm_quality_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+            FROM (SELECT doc_id, lang, t,
+                         unnest(range(1, len(t))) AS i
+                  FROM toks)
+        ),
+        cu AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+        cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+        v AS (
+            SELECT COUNT(DISTINCT w1) AS vocab
+            FROM (SELECT w1 FROM pairs
+                  UNION ALL SELECT w2 FROM pairs) u(w1)
+        ),
+        nll AS (
+            SELECT p.doc_id, p.lang,
+                   -ln(CAST(cb.c2 + 1 AS DOUBLE)
+                       / CAST(cu.c1 + v.vocab AS DOUBLE)) AS nl
+            FROM pairs p JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(nl), 6) AS xent
+            FROM nll GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_bigrams, xent,
+               CASE WHEN xent < {LM_HEAD_BITS} THEN 'head'
+                    WHEN xent > {LM_TAIL_BITS} THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM scored
+    """,
+    tags=("pipeline", "quality"),
+)
+def x54_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. '19
+    §4.3): score each document by its cross-entropy under a corpus
+    bigram model with add-one smoothing — P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V) — then bucket into head/middle/tail the way CCNet
+    splits CommonCrawl by KenLM perplexity. Low xent = built from the
+    corpus's common collocations (fluent/boilerplate-adjacent); high
+    xent = rare-pair-heavy (noisy or out-of-domain). The in-engine
+    bigram model replaces the external KenLM binary, so the whole
+    filter stays one Spark plan.
+
+    Scale shape: the model IS two keyed aggregates over the corpus's
+    bigram stream (c(w1,w2) and c(w1) — Zipf-skewed but these are
+    aggregates, where skew is absorbed by map-side partial
+    aggregation, not a join hot key). Scoring joins each doc bigram
+    to its corpus count — equi-join on the bigram, uniform under
+    hashing; the context-count table is vocabulary-sized and
+    broadcast. One final (doc_id) aggregate. Cross-engine float
+    discipline: identical expression tree, ln() last-ulp noise
+    absorbed by ROUND(·, 6); bucket thresholds compare the ROUNDED
+    score so the CASE cannot flip between engines."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    pairs = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    cu = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = (
+        pairs.select("w1")
+        .unionAll(pairs.select(F.col("w2").alias("w1")))
+        .agg(F.countDistinct("w1").alias("vocab"))
+    )
+    nll = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.ln(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                )
+            ).alias("nl"),
+        )
+    )
+    scored = nll.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nl"), 6).alias("xent"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "xent",
+        F.when(F.col("xent") < LM_HEAD_BITS, F.lit("head"))
+        .when(F.col("xent") > LM_TAIL_BITS, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )

@@ -526,3 +526,34 @@ def test_kmeans_update_consistent_with_assignment(spark, sf_dir):
     mean0 = sum(float(emb[v][0]) for v in members) / len(members)
     got0 = next(r.centroid for r in update if r.cluster_id == cid and r.dim == 0)
     assert abs(got0 - mean0) < 1e-5
+
+
+def test_lm_quality_score_buckets_and_recompute(spark, sf_dir):
+    """x54: all three CCNet buckets populated; spot-recompute one
+    doc's cross-entropy driver-side from raw counts and match."""
+    import collections
+    import math
+
+    rows = SPECS["x54_lm_quality_score"].fn(spark, sf_dir).collect()
+    buckets = collections.Counter(r.bucket for r in rows)
+    assert set(buckets) == {"head", "middle", "tail"}, f"buckets: {buckets}"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cu, cb, vocab = collections.Counter(), collections.Counter(), set()
+    for d in docs:
+        w = d.text.split(" ")
+        vocab.update(w[:-1])
+        vocab.update(w[1:])
+        for a, b in zip(w, w[1:]):
+            cu[a] += 1
+            cb[(a, b)] += 1
+    d0 = docs[0]
+    w = d0.text.split(" ")
+    nls = [
+        -math.log((cb[(a, b)] + 1) / (cu[a] + len(vocab)))
+        for a, b in zip(w, w[1:])
+    ]
+    want = sum(nls) / len(nls)
+    got = next(r for r in rows if r.doc_id == d0.doc_id)
+    assert got.n_bigrams == len(nls)
+    assert abs(got.xent - want) < 1e-5
