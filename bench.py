@@ -87,6 +87,7 @@ HEADLINE = [
     "x52_training_order",
     "x53_kmeans_update",
     "x54_lm_quality_score",
+    "x55_split_leakage",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -21,11 +21,18 @@ started (reference has no analog — it is a per-table ETL scheduler):
   needs: shard is a scan-local hash bucket, order within a shard is
   the hash itself, so "write each shard sorted" IS the shuffled read
   order and no driver-side permutation ever materializes.
+- x54 LM quality scoring: CCNet's perplexity bucketing (Wenzek et
+  al. '19) with the KenLM binary replaced by an in-engine corpus
+  bigram model — the whole filter is one Spark plan.
+- x55 split leakage: the internal decontamination audit — val/test
+  docs sharing 3-grams with train docs (Lee et al. '21 §5), i.e. the
+  check that x40's content-stable split is actually held out.
 
-Scale shapes: x51/x52 are scan-local after a |sources|-row broadcast
+Scale shapes: x51/x52 are scan-local after a |strata|-row broadcast
 (x51) or nothing at all (x52's shard column); x50 is two keyed
 shuffles (segment frequency, then doc reassembly) — both on uniform
-hash keys, no self-join, no quadratic expansion.
+hash keys, no self-join, no quadratic expansion; x54/x55 are keyed
+aggregates plus equi-joins on the bigram/shingle respectively.
 """
 
 from __future__ import annotations
@@ -97,9 +104,14 @@ def x50_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     self-join, nothing quadratic. Keep-lowest-doc_id (not
     drop-everywhere) preserves exactly one canonical copy, matching
     x46's keep-canonical verdict convention."""
-    toks = load(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
+    return segment_dedup(load(spark, sf, "documents"))
+
+
+def segment_dedup(docs: DataFrame) -> DataFrame:
+    """Core of x50 over any (doc_id, text) frame — split out so
+    property tests can drive synthetic corpora through the exact
+    production plan (tests/test_extensions.py hypothesis suite)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     segs = toks.select(
         "doc_id",
         "t",
@@ -374,4 +386,86 @@ def x54_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("xent") > LM_TAIL_BITS, F.lit("tail"))
         .otherwise(F.lit("middle"))
         .alias("bucket"),
+    )
+
+
+LEAK_MIN_SHINGLES = 2  # shared-3-gram threshold to flag an eval doc
+
+
+def _duck_split() -> str:
+    """DuckDB twin of pipeline._split_col (same md5 permille
+    boundaries) — imported constants keep the two in lockstep."""
+    from etl_spark.extensions.pipeline import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {b} < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+def _x55_oracle() -> str:
+    from etl_spark.extensions.dedup import _DUCK_SHINGLES
+
+    return f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        b AS ({_duck_split()}),
+        tagged AS (
+            SELECT sh.doc_id, sh.shingle, b.split
+            FROM sh JOIN b USING (doc_id)
+        ),
+        train_sh AS (
+            SELECT DISTINCT shingle FROM tagged WHERE split = 'train'
+        )
+        SELECT t.doc_id, t.split,
+               CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_train_shared
+        FROM tagged t JOIN train_sh USING (shingle)
+        WHERE t.split <> 'train'
+        GROUP BY t.doc_id, t.split
+        HAVING COUNT(DISTINCT t.shingle) >= {LEAK_MIN_SHINGLES}
+    """
+
+
+@register(
+    "x55_split_leakage",
+    oracle=_x55_oracle(),
+    tags=("pipeline", "dedup"),
+)
+def x55_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train→eval leakage audit WITHIN the corpus's own x40 split:
+    flag every val/test document sharing ≥2 word-3-grams with any
+    train document. x25 decontaminates against an EXTERNAL benchmark;
+    this is the internal counterpart — the check that a held-out
+    split is actually held out, which content-stable splitting makes
+    necessary to VERIFY rather than assume (near-dup docs straddle
+    split boundaries precisely because assignment ignores content
+    similarity; Lee et al. '21 §5 measure exactly this effect).
+    Shares the shingle definition with x02/x25 and the split column
+    with x40/x45/x47, so the audit can never drift from either.
+
+    Scale shape: the train shingle set is corpus-sized, so it joins
+    (equi-keyed on shingle, uniform) rather than broadcasts; eval-side
+    shingles are ~20% of the corpus. One DISTINCT aggregate + one
+    join + one (doc_id) aggregate — x25's linear shape with the
+    benchmark side swapped for the train split."""
+    from etl_spark.extensions.dedup import _shingled
+    from etl_spark.extensions.pipeline import _split_col
+
+    sh = _shingled(spark, sf)
+    splits = load(spark, sf, "documents").select(
+        "doc_id", _split_col().alias("split")
+    )
+    tagged = sh.join(splits, "doc_id")
+    train_sh = (
+        tagged.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    return (
+        tagged.filter(F.col("split") != "train")
+        .join(train_sh, "shingle")
+        .groupBy("doc_id", "split")
+        .agg(F.countDistinct("shingle").alias("n_train_shared"))
+        .filter(F.col("n_train_shared") >= LEAK_MIN_SHINGLES)
     )

@@ -94,14 +94,14 @@ def _ensure_loaded() -> None:
 #   3. the 4 queries whose semantics CHANGED this round — the
 #      de-vacuified 0-row greens p02/q03/j07/set02 (VERDICT r4
 #      "What's wrong" #1), which must re-verify non-empty;
-#   4. the queries whose last driver green is r2, oldest-first (33 of
-#      38 fit; x26/x27/x30/x31/x32 yield their slots to the five NEW
-#      mid-round-5 registrations x50-x54 — new-before-stale, r4's
+#   4. the queries whose last driver green is r2, oldest-first (32 of
+#      38 fit; x23/x26/x27/x30/x31/x32 yield their slots to the six
+#      NEW mid-round-5 registrations x50-x55 — new-before-stale, r4's
 #      lesson — and lead the r6 rotation).
-# After this round only x26/x27/x30/x31/x32 have a driver row older
-# than r3; they rotate first in r6, then the r3/r4-checked queries
-# oldest-first. All are covered by the identical local oracle gate
-# every round (tests/test_oracle.py).
+# After this round only x23/x26/x27/x30/x31/x32 have a driver row
+# older than r3; they rotate first in r6, then the r3/r4-checked
+# queries oldest-first. All are covered by the identical local oracle
+# gate every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (5): registered after the r4 window filled
     "j10_salted_skew_join",
@@ -150,18 +150,19 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x20_bpe_token_count",
     "x21_cosine_lsh_buckets",
     "x22_approx_aggs",
-    "x23_jaccard_capped_pairs",
     "x25_decontaminate",
-    # -- new mid-round-5 (5): segment dedup / mixture sampling /
-    #    training order / k-means update / LM quality score. New
-    #    registrations outrank staleness refreshes (r4's lesson), so
-    #    these take the last 5 window slots; the displaced r2-stale
-    #    x26/x27/x30/x31/x32 rotate first in r6 with the r2 tail.
+    # -- new mid-round-5 (6): segment dedup / mixture sampling /
+    #    training order / k-means update / LM quality score / split
+    #    leakage. New registrations outrank staleness refreshes (r4's
+    #    lesson), so these take the last 6 window slots; the displaced
+    #    r2-stale x23/x26/x27/x30/x31/x32 rotate first in r6 (x23
+    #    additionally gets a fresh scale-bench row every round).
     "x50_segment_dedup",
     "x51_temperature_mix_sample",
     "x52_training_order",
     "x53_kmeans_update",
     "x54_lm_quality_score",
+    "x55_split_leakage",
 )
 
 

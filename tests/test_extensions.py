@@ -557,3 +557,52 @@ def test_lm_quality_score_buckets_and_recompute(spark, sf_dir):
     got = next(r for r in rows if r.doc_id == d0.doc_id)
     assert got.n_bigrams == len(nls)
     assert abs(got.xent - want) < 1e-5
+
+
+# ---------- property test: segment dedup vs pure-Python reference ----------
+
+_WORDS = st.sampled_from(["a", "b", "c", "d"])
+_DOC = st.lists(_WORDS, min_size=1, max_size=13).map(" ".join)
+
+
+@given(st.lists(_DOC, min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_segment_dedup_matches_reference(texts):
+    """Property: on arbitrary tiny corpora (tiny vocab forces heavy
+    cross-doc segment collisions; doc lengths straddle the segment
+    width so trailing partials occur), the distributed x50 plan must
+    equal a driver-side reference implementation of keep-lowest-
+    doc_id segment dedup — including intra-doc repeats and docs
+    scrubbed to empty."""
+    from etl_spark.extensions.corpus import SEG_WORDS, segment_dedup
+
+    # driver-side reference
+    seg_owners: dict[str, set[int]] = {}
+    doc_segs: dict[int, list[str]] = {}
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        ss = [
+            " ".join(words[i : i + SEG_WORDS])
+            for i in range(0, len(words), SEG_WORDS)
+        ]
+        doc_segs[doc_id] = ss
+        for s in ss:
+            seg_owners.setdefault(s, set()).add(doc_id)
+    want = {}
+    for doc_id, ss in doc_segs.items():
+        kept = [
+            s
+            for s in ss
+            if len(seg_owners[s]) == 1 or doc_id == min(seg_owners[s])
+        ]
+        want[doc_id] = (" ".join(kept), len(kept), len(ss) - len(kept))
+
+    spark = _cc_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in segment_dedup(df).collect()
+    }
+    assert got == want
