@@ -88,6 +88,7 @@ HEADLINE = [
     "x53_kmeans_update",
     "x54_lm_quality_score",
     "x55_split_leakage",
+    "x56_training_manifest",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

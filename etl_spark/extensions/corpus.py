@@ -27,6 +27,10 @@ started (reference has no analog — it is a per-table ETL scheduler):
 - x55 split leakage: the internal decontamination audit — val/test
   docs sharing 3-grams with train docs (Lee et al. '21 §5), i.e. the
   check that x40's content-stable split is actually held out.
+- x56 training manifest: the composed final artifact — temperature
+  sample ∩ train split, laid out by x52's shard/order with per-doc
+  token counts and cumulative in-shard offsets; the index file a
+  data loader seeks by.
 
 Scale shapes: x51/x52 are scan-local after a |strata|-row broadcast
 (x51) or nothing at all (x52's shard column); x50 is two keyed
@@ -468,4 +472,99 @@ def x55_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "split")
         .agg(F.countDistinct("shingle").alias("n_train_shared"))
         .filter(F.col("n_train_shared") >= LEAK_MIN_SHINGLES)
+    )
+
+
+def _x56_oracle() -> str:
+    from etl_spark.extensions.pipeline import SPLIT_TRAIN_PCT
+
+    return f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+                   POW(CAST(COUNT(*) AS DOUBLE), {MIX_ALPHA}) AS wn
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT SUM(n) AS total, SUM(wn) AS wsum FROM c),
+        r AS (SELECT lang, {_MIX_THR} AS thr FROM c, t),
+        picked AS (
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   md5('{_ORD_SEED}' || CAST(d.doc_id AS VARCHAR)) AS hkey
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 1000 < r.thr
+              AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 100 < {SPLIT_TRAIN_PCT}
+        )
+        SELECT doc_id,
+               ('0x' || substr(hkey, 1, 15))::BIGINT % {N_SHARDS} AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ('0x' || substr(hkey, 1, 15))::BIGINT
+                                % {N_SHARDS}
+                   ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY ('0x' || substr(hkey, 1, 15))::BIGINT
+                                % {N_SHARDS}
+                   ORDER BY hkey, doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS offset
+        FROM picked
+    """
+
+
+@register(
+    "x56_training_manifest",
+    oracle=_x56_oracle(),
+    tags=("pipeline",),
+)
+def x56_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The final artifact of the curation→training handoff: the epoch
+    MANIFEST a data loader seeks by. Composes the temperature-sampled
+    mix (x51), the train split (x40's content-stable column), and the
+    deterministic shard/order layout (x52), then adds per-document
+    token counts and the cumulative token OFFSET within each shard —
+    (doc_id, shard, pos, n_tok, offset) is exactly the index file
+    written next to packed training shards. Every ingredient is
+    content-stable, so re-running on a grown corpus extends the
+    manifest without perturbing rows already trained on.
+
+    Scale shape: sample + split are scan-local filters (the mix-rate
+    table broadcasts); shard is scan-local; pos/offset are windows
+    partitioned by shard — parallel across shards, same two-phase
+    composition note as x52/x28 at extreme scale. One shuffle."""
+    from etl_spark.extensions.pipeline import _split_col
+
+    docs = load(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
+    )
+    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
+    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
+    permille = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000"
+    )
+    picked = (
+        docs.join(F.broadcast(r), "lang")
+        .filter((permille < F.col("thr")) & (_split_col() == "train"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.md5(
+                F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))
+            ).alias("hkey"),
+        )
+    )
+    shard = F.expr(
+        f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
+    )
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return picked.select(
+        "doc_id",
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.sum("n_tok").over(wsum) - F.col("n_tok")).cast("long").alias("offset"),
     )

@@ -606,3 +606,38 @@ def test_segment_dedup_matches_reference(texts):
         for r in segment_dedup(df).collect()
     }
     assert got == want
+
+
+def test_training_manifest_offsets_and_membership(spark, sf_dir):
+    """x56: manifest rows are exactly (x51 sample ∩ train split);
+    within each shard positions are dense and offset equals the
+    running token sum of all earlier positions."""
+    import collections
+
+    manifest = SPECS["x56_training_manifest"].fn(spark, sf_dir).collect()
+    sample = {
+        r.doc_id
+        for r in SPECS["x51_temperature_mix_sample"].fn(spark, sf_dir).collect()
+    }
+    from etl_spark.extensions.pipeline import _split_col
+    from etl_spark.tables import load
+
+    train = {
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(_split_col() == "train")
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in manifest} == sample & train
+
+    by_shard = collections.defaultdict(list)
+    for r in manifest:
+        by_shard[r.shard].append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(len(rows)))
+        cum = 0
+        for r in rows:
+            assert r.offset == cum, f"shard {shard} pos {r.pos}"
+            cum += r.n_tok
