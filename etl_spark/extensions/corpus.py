@@ -294,12 +294,12 @@ LM_TAIL_BITS = 3.40  # xent above => "tail" (rare-heavy / noisy)
                          unnest(range(1, len(t))) AS i
                   FROM toks)
         ),
-        cu AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
         cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+        cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY w1),
         v AS (
             SELECT COUNT(DISTINCT w1) AS vocab
-            FROM (SELECT w1 FROM pairs
-                  UNION ALL SELECT w2 FROM pairs) u(w1)
+            FROM (SELECT w1 FROM cb
+                  UNION ALL SELECT w2 FROM cb) u(w1)
         ),
         nll AS (
             SELECT p.doc_id, p.lang,
@@ -355,11 +355,30 @@ def x54_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.w1", "bg.w2")
-    cu = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # cu and vocab both derive from cb, NOT from the raw pair stream:
+    # c(w1) = Σ_w2 c(w1,w2) and the corpus vocabulary = the distinct
+    # words in cb's two columns (cb holds every distinct bigram), so
+    # the MODEL is one aggregate over one corpus scan. cb is persisted
+    # because its three consumers otherwise each recompute the
+    # tokenize+shuffle (per-branch column pruning makes the subtrees
+    # non-identical, so ReuseExchange can't dedupe them): with the
+    # InMemoryRelation the corpus is scanned twice total (model build
+    # + scoring pass), down from five. At 100 TB the same two-phase
+    # shape holds with the model written to a table instead of cached
+    # — MEMORY_AND_DISK spills rather than OOMs either way. DuckDB's
+    # CTE mirrors the same derivation, so counts are identical by
+    # construction.
+    from pyspark.storagelevel import StorageLevel
+
+    cb = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cu = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        pairs.select("w1")
-        .unionAll(pairs.select(F.col("w2").alias("w1")))
+        cb.select("w1")
+        .unionAll(cb.select(F.col("w2").alias("w1")))
         .agg(F.countDistinct("w1").alias("vocab"))
     )
     nll = (
