@@ -89,6 +89,7 @@ HEADLINE = [
     "x54_lm_quality_score",
     "x55_split_leakage",
     "x56_training_manifest",
+    "x57_semdedup",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

