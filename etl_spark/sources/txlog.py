@@ -1,0 +1,180 @@
+"""Minimal transactional table log over parquet — the multi-writer
+piece `saveAsTable` lacks (COVERAGE.md "Known format limitation"; the
+delta-spark jars are unavailable in this container, so this implements
+the same PROTOCOL shape from public descriptions of Delta/Iceberg
+commit semantics, scoped to what the engine needs: atomic commits,
+snapshot-isolated reads, optimistic concurrency, time travel, vacuum).
+
+Layout of a tx table at ``path``::
+
+    path/
+      _txlog/00000001.json   one entry per committed version
+      _txlog/00000002.json
+      data/v1-<token>/       one immutable parquet directory per commit
+
+Commit protocol (writer):
+
+1. Write the new data files to a fresh ``data/v?-<token>/`` directory
+   (invisible to readers — only the log makes data live).
+2. Serialize the log entry to a private temp file in ``_txlog/``.
+3. Claim the next version by ``os.link(tmp, _txlog/{v:08d}.json)`` —
+   hard-link creation is ATOMIC and fails with EEXIST if another
+   writer got there first, in which case re-read the log and retry at
+   the next version. Because the link target is the fully-written
+   temp file, a version file either does not exist or is complete —
+   readers can never observe a torn entry. (A crashed writer leaves
+   only an orphan temp/data dir, removed by ``vacuum``.)
+
+On object stores the link step maps to the store's own atomic
+primitive (rename-without-overwrite on HDFS/ABFS, conditional PUT on
+S3) — the protocol is unchanged.
+
+Reader snapshot: replay entries 1..N (N = requested or latest); the
+live set is every data dir added since the most recent ``overwrite``.
+A reader holds no locks and never blocks a writer.
+
+Concurrency semantics: the log linearizes commits by version number.
+``append`` never conflicts (retry just reslots it); ``overwrite``
+is last-writer-wins by log order — the CAS loop in ``_commit`` is
+the optimistic-concurrency core.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+_MAX_COMMIT_RETRIES = 50
+
+
+class TxTable:
+    """A parquet table with a filesystem transaction log."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._log_path = os.path.join(path, _LOG_DIR)
+
+    # ---------- write path ----------
+
+    @classmethod
+    def create(cls, path: str, df: DataFrame) -> "TxTable":
+        """Create a new tx table at ``path`` with ``df`` as version 1."""
+        t = cls(path)
+        os.makedirs(t._log_path, exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        if t.latest_version() != 0:
+            raise ValueError(f"tx table already exists at {path}")
+        t._commit(df, action="overwrite")
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df`` as new rows; returns the committed version."""
+        return self._commit(df, action="append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit ``df`` as the table's full new contents."""
+        return self._commit(df, action="overwrite")
+
+    def _commit(self, df: DataFrame, action: str) -> int:
+        token = uuid.uuid4().hex[:12]
+        # data first: invisible until the log entry lands
+        version_guess = self.latest_version() + 1
+        rel_dir = os.path.join(_DATA_DIR, f"v{version_guess}-{token}")
+        df.write.mode("errorifexists").parquet(os.path.join(self.path, rel_dir))
+
+        tmp = os.path.join(self._log_path, f".tmp-{token}.json")
+        version = version_guess
+        for _ in range(_MAX_COMMIT_RETRIES):
+            entry = {"version": version, "action": action, "add": rel_dir}
+            with open(tmp, "w") as fh:
+                json.dump(entry, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            final = os.path.join(self._log_path, f"{version:08d}.json")
+            try:
+                os.link(tmp, final)  # atomic claim-or-fail
+            except FileExistsError:
+                version += 1  # lost the race; reslot and retry
+                continue
+            os.remove(tmp)
+            return version
+        raise RuntimeError(
+            f"could not commit to {self.path} after {_MAX_COMMIT_RETRIES} "
+            f"contended versions"
+        )
+
+    # ---------- read path ----------
+
+    def latest_version(self) -> int:
+        try:
+            names = os.listdir(self._log_path)
+        except FileNotFoundError:
+            return 0
+        versions = sorted(
+            int(n[:-5]) for n in names if n.endswith(".json") and n[0] != "."
+        )
+        # stop at the first gap: with the link protocol gaps cannot
+        # arise from torn writes, but be defensive about manual edits
+        latest = 0
+        for v in versions:
+            if v != latest + 1:
+                break
+            latest = v
+        return latest
+
+    def history(self, up_to: int | None = None) -> list[dict]:
+        end = self.latest_version() if up_to is None else up_to
+        out = []
+        for v in range(1, end + 1):
+            with open(os.path.join(self._log_path, f"{v:08d}.json")) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def live_dirs(self, version: int | None = None) -> list[str]:
+        """Data dirs visible at ``version`` (default: latest)."""
+        live: list[str] = []
+        for entry in self.history(up_to=version):
+            if entry["action"] == "overwrite":
+                live = [entry["add"]]
+            else:
+                live.append(entry["add"])
+        return live
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read — latest committed version, or time travel to
+        an earlier one. The dir list is resolved ONCE here, so the
+        returned frame keeps reading its snapshot even if writers
+        commit (or vacuum runs) afterwards."""
+        dirs = self.live_dirs(version)
+        if not dirs:
+            raise ValueError(f"no committed data in tx table {self.path}")
+        return spark.read.parquet(*(os.path.join(self.path, d) for d in dirs))
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data dirs referenced by NO snapshot within the last
+        ``retain_versions`` versions (plus orphans from crashed
+        commits). Returns removed dirs. Readers of retained snapshots
+        are unaffected; time travel older than the horizon is not."""
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(1, latest - retain_versions + 1), latest + 1):
+            keep.update(self.live_dirs(v))
+        removed = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in keep:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+        for name in os.listdir(self._log_path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self._log_path, name))
+        return removed

@@ -1,0 +1,101 @@
+"""Transactional table log (sources/txlog.py): atomic commits,
+snapshot isolation, optimistic concurrency, time travel, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from etl_spark.sources.txlog import TxTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 10))
+    t.append(_df(spark, 10, 15))
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == list(range(15))
+    assert t.latest_version() == 2
+    assert [e["action"] for e in t.history()] == ["overwrite", "append"]
+
+
+def test_overwrite_resets_and_time_travel(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 5))
+    t.append(_df(spark, 5, 8))
+    t.overwrite(_df(spark, 100, 103))
+    assert sorted(r.v for r in t.read(spark).collect()) == [100, 101, 102]
+    # snapshots remain readable at every earlier version
+    assert sorted(r.v for r in t.read(spark, version=1).collect()) == list(range(5))
+    assert sorted(r.v for r in t.read(spark, version=2).collect()) == list(range(8))
+
+
+def test_snapshot_isolation_under_later_commits(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 5))
+    snap = t.read(spark)  # resolves the dir list NOW
+    t.overwrite(_df(spark, 50, 52))
+    assert sorted(r.v for r in snap.collect()) == list(range(5))
+
+
+def test_concurrent_appends_all_commit_distinct_versions(spark, tmp_path):
+    """Optimistic concurrency: N racing appenders must each land a
+    distinct contiguous version with no lost update."""
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 1))
+    n = 6
+    versions: list[int] = []
+    lock = threading.Lock()
+
+    def work(i):
+        v = t.append(_df(spark, 10 * (i + 1), 10 * (i + 1) + 2))
+        with lock:
+            versions.append(v)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(versions) == list(range(2, n + 2)), versions
+    got = sorted(r.v for r in t.read(spark).collect())
+    want = sorted([0] + [10 * (i + 1) + d for i in range(n) for d in (0, 1)])
+    assert got == want
+
+
+def test_torn_writer_invisible_and_vacuumed(spark, tmp_path):
+    """A crashed writer (data dir + tmp entry, no link) must be
+    invisible to readers and cleaned by vacuum."""
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 3))
+    # simulate the crash: orphan data dir + orphan tmp log entry
+    orphan = tmp_path / "t" / "data" / "v9-deadbeef"
+    _df(spark, 900, 903).write.parquet(str(orphan))
+    with open(tmp_path / "t" / "_txlog" / ".tmp-deadbeef.json", "w") as fh:
+        json.dump({"version": 9, "action": "append", "add": "data/v9-deadbeef"}, fh)
+    assert t.latest_version() == 1
+    assert sorted(r.v for r in t.read(spark).collect()) == [0, 1, 2]
+    removed = t.vacuum()
+    assert "data/v9-deadbeef" in removed
+    assert not orphan.exists()
+    assert not (tmp_path / "t" / "_txlog" / ".tmp-deadbeef.json").exists()
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
+    t.overwrite(_df(spark, 10, 12))
+    t.append(_df(spark, 12, 14))
+    removed = t.vacuum(retain_versions=2)  # keep snapshots v2 and v3
+    assert len(removed) == 1  # only v1's overwritten dir goes
+    assert sorted(r.v for r in t.read(spark, version=2).collect()) == [10, 11]
+    assert sorted(r.v for r in t.read(spark).collect()) == [10, 11, 12, 13]
+    with pytest.raises(Exception):
+        t.read(spark, version=1).collect()
+
+
+def test_create_refuses_existing_table(spark, tmp_path):
+    TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
+    with pytest.raises(ValueError, match="already exists"):
+        TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
