@@ -81,10 +81,37 @@ class TxTable:
         """Commit ``df`` as the table's full new contents."""
         return self._commit(df, action="overwrite")
 
-    def _commit(self, df: DataFrame, action: str) -> int:
+    def upsert(self, spark: SparkSession, df: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE: rows in ``df`` replace current rows
+        with equal ``keys``; everything else is carried over. Runs as
+        an optimistic loop — if another writer commits between our
+        snapshot read and our commit attempt, the merge recomputes
+        against the new snapshot rather than silently basing on stale
+        data (the lost-update anomaly `saveAsTable` cannot prevent)."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.latest_version()
+            merged = (
+                self.read(spark, version=base)
+                .join(df.select(*keys), keys, "left_anti")
+                .unionByName(df)
+            )
+            v = self._commit(merged, action="overwrite", expect_version=base + 1)
+            if v is not None:
+                return v
+        raise RuntimeError(f"upsert to {self.path} kept losing commit races")
+
+    def _commit(
+        self, df: DataFrame, action: str, expect_version: int | None = None,
+        extra: dict | None = None,
+    ) -> int | None:
+        """Commit ``df``; returns the version. With ``expect_version``
+        the claim is attempted at EXACTLY that slot (compare-and-swap):
+        a lost race returns None so the caller can re-derive its input
+        from the new snapshot instead of blindly reslotting — required
+        for read-modify-write commits like upsert."""
         token = uuid.uuid4().hex[:12]
         # data first: invisible until the log entry lands
-        version_guess = self.latest_version() + 1
+        version_guess = self.latest_version() + 1 if expect_version is None else expect_version
         rel_dir = os.path.join(_DATA_DIR, f"v{version_guess}-{token}")
         df.write.mode("errorifexists").parquet(os.path.join(self.path, rel_dir))
 
@@ -92,6 +119,8 @@ class TxTable:
         version = version_guess
         for _ in range(_MAX_COMMIT_RETRIES):
             entry = {"version": version, "action": action, "add": rel_dir}
+            if extra:
+                entry.update(extra)
             with open(tmp, "w") as fh:
                 json.dump(entry, fh)
                 fh.flush()
@@ -100,7 +129,14 @@ class TxTable:
             try:
                 os.link(tmp, final)  # atomic claim-or-fail
             except FileExistsError:
-                version += 1  # lost the race; reslot and retry
+                if expect_version is not None:
+                    # CAS semantics: the slot is gone — the caller's
+                    # input is stale. Drop our orphan data (vacuum
+                    # would also catch it) and report the lost race.
+                    os.remove(tmp)
+                    shutil.rmtree(os.path.join(self.path, rel_dir))
+                    return None
+                version += 1  # append-style: reslot and retry
                 continue
             os.remove(tmp)
             return version
@@ -108,6 +144,19 @@ class TxTable:
             f"could not commit to {self.path} after {_MAX_COMMIT_RETRIES} "
             f"contended versions"
         )
+
+    def append_once(self, df: DataFrame, batch_id: int | str) -> int | None:
+        """Idempotent append for streaming foreachBatch: the batch id
+        is recorded in the log entry, and a replay of an
+        already-committed batch (Structured Streaming re-runs the last
+        micro-batch after restart) is a no-op — the exactly-once sink
+        recipe, with the log as the idempotency ledger. Returns the
+        version, or None for a skipped replay. Assumes one streaming
+        query per table (replays are sequential, never concurrent),
+        which is Structured Streaming's own execution model."""
+        if any(e.get("batch_id") == batch_id for e in self.history()):
+            return None
+        return self._commit(df, action="append", extra={"batch_id": batch_id})
 
     # ---------- read path ----------
 

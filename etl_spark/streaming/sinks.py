@@ -158,3 +158,31 @@ def enrich_stream(
     For dims too big to broadcast, pre-bucket the dim table on the
     key and let the stream side shuffle once per micro-batch."""
     return events.join(F.broadcast(dim), on=key, how=how)
+
+
+def run_txlog_sink(
+    stream_df: DataFrame,
+    tx_table,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream into a transactional table (`sources/txlog.TxTable`)
+    with END-TO-END exactly-once: Structured Streaming's checkpoint
+    makes batch ids stable across restarts, and ``append_once``
+    records each id in the transaction log, so a replayed micro-batch
+    (the restart-after-commit window where the checkpoint hasn't
+    advanced yet) is detected in the LOG and skipped — idempotency
+    lives in the sink's own ledger, not in the stream engine's
+    promise. Readers get snapshot isolation over the growing table."""
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            tx_table.append_once(batch_df, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )

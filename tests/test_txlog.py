@@ -99,3 +99,96 @@ def test_create_refuses_existing_table(spark, tmp_path):
     TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
     with pytest.raises(ValueError, match="already exists"):
         TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
+
+
+def test_upsert_merges_by_key(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    t = TxTable.create(str(tmp_path / "t"), base)
+    t.upsert(spark, spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]), ["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # lost-update protection: a second upsert sees the first's result
+    t.upsert(spark, spark.createDataFrame([(1, "A")], ["k", "v"]), ["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "A", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_cas_retries_after_interleaved_commit(spark, tmp_path):
+    """Simulate a writer sneaking in between an upsert's snapshot read
+    and its commit: the CAS slot is taken, so the upsert must retry
+    against the NEW snapshot and keep the interloper's rows."""
+    t = TxTable.create(
+        str(tmp_path / "t"), spark.createDataFrame([(1, "a")], ["k", "v"])
+    )
+    real_latest = t.latest_version
+
+    calls = {"n": 0}
+
+    def racing_latest():
+        v = real_latest()
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # interloper commits AFTER the upsert snapshots `base`
+            orig, t.latest_version = t.latest_version, real_latest
+            try:
+                t.append(spark.createDataFrame([(9, "z")], ["k", "v"]))
+            finally:
+                t.latest_version = orig
+            return v  # stale base — forces the CAS to lose
+        return real_latest()
+
+    t.latest_version = racing_latest
+    try:
+        t.upsert(spark, spark.createDataFrame([(1, "A")], ["k", "v"]), ["k"])
+    finally:
+        t.latest_version = real_latest
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "A", 9: "z"}  # both the upsert AND the interloper
+
+
+def test_append_once_is_replay_idempotent(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 1))
+    assert t.append_once(_df(spark, 10, 12), batch_id=0) is not None
+    assert t.append_once(_df(spark, 10, 12), batch_id=0) is None  # replay
+    assert t.append_once(_df(spark, 12, 13), batch_id=1) is not None
+    assert sorted(r.v for r in t.read(spark).collect()) == [0, 10, 11, 12]
+
+
+def test_streaming_txlog_sink_exactly_once_across_restart(spark, tmp_path):
+    """Drive a file stream into a TxTable twice with the SAME
+    checkpoint: run 2 must not re-commit run 1's batches (checkpoint
+    advances), and a forced replay of the last batch id is absorbed
+    by the log ledger."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_spark.streaming.sinks import run_txlog_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("v", LongType())])
+    pq.write_table(pa.table({"v": pa.array([1, 2], pa.int64())}), src / "a.parquet")
+
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 0).limit(0))
+
+    def drain():
+        q = run_txlog_sink(
+            spark.readStream.schema(schema).parquet(str(src)), t, ckpt
+        )
+        q.awaitTermination(60)
+
+    drain()
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2]
+
+    pq.write_table(pa.table({"v": pa.array([3], pa.int64())}), src / "b.parquet")
+    drain()  # restart with same checkpoint: only the new file lands
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3]
+
+    # simulate the crash-after-commit replay: same batch id re-offered
+    last_bid = max(e["batch_id"] for e in t.history() if "batch_id" in e)
+    assert t.append_once(spark.createDataFrame([(3,)], ["v"]), last_bid) is None
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3]
