@@ -587,3 +587,41 @@ def x56_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("n_tok"),
         (F.sum("n_tok").over(wsum) - F.col("n_tok")).cast("long").alias("offset"),
     )
+
+
+def write_training_shards(docs: DataFrame, path: str) -> None:
+    """The production form of x52: WRITE the epoch layout instead of
+    materializing positions. One shuffle keyed on the shard hash, an
+    executor-local sort on the order hash inside each shard, one
+    parquet file per shard — the file's row order IS the training
+    order, so the x52 `pos` column never exists on disk and no global
+    sort ever runs. Readers stream shards round-robin for the epoch
+    permutation; bumping _ORD_SEED re-lays the next epoch.
+
+    At 1000 executors this is exactly N_SHARDS reducer tasks, each
+    spill-sorting its own shard — the two-phase composition the x52
+    docstring promises. tests/test_extensions.py verifies the on-disk
+    row order equals x52's computed (shard, pos) order."""
+    h = docs.withColumn(
+        "hkey",
+        F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))),
+    ).withColumn(
+        "shard",
+        F.expr(
+            f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
+        ),
+    )
+    # the sort LEADS with the partition column: FileFormatWriter
+    # requires rows sorted by partition keys within each task and
+    # inserts its own (unstable) sort if the incoming order doesn't
+    # already satisfy that — which would scramble the hkey order.
+    # With (shard, hkey, doc_id) the requirement is satisfied as a
+    # prefix, the writer skips its sort, and hkey order survives to
+    # the files (tests assert the on-disk order).
+    (
+        h.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shard", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

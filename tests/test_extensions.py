@@ -676,3 +676,30 @@ def test_semdedup_verdicts_verified_driverside(spark, sf_dir):
             assert cos(emb[r.vec_id], emb[r.dup_of]) >= SEMDEDUP_TAU - 1e-9
         else:
             assert r.dup_of is None
+
+
+def test_write_training_shards_file_order_is_training_order(spark, sf_dir, tmp_path):
+    """The written shards' ON-DISK row order must equal x52's computed
+    (shard, pos) order — the 'file order IS the epoch order' claim."""
+    from etl_spark.extensions.corpus import N_SHARDS, write_training_shards
+    from etl_spark.tables import load
+
+    out = str(tmp_path / "shards")
+    write_training_shards(load(spark, sf_dir, "documents"), out)
+
+    want = {}
+    for r in SPECS["x52_training_order"].fn(spark, sf_dir).collect():
+        want.setdefault(r.shard, {})[r.pos] = r.doc_id
+
+    import glob
+
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) == N_SHARDS
+    total = 0
+    for d in shard_dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        got_ids = [r.doc_id for r in spark.read.parquet(d).collect()]
+        want_ids = [want[shard][p] for p in range(len(want[shard]))]
+        assert got_ids == want_ids, f"shard {shard} disk order diverges"
+        total += len(got_ids)
+    assert total == sum(len(v) for v in want.values())
