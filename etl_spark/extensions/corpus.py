@@ -196,9 +196,15 @@ def x51_temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     the most common real instance of this op. The per-stratum rate
     (budget·w_s / n_s, capped at 1) converts to a permille threshold
     on the same content-stable md5 bucket x27 uses, so membership is
-    reproducible, incremental under corpus growth, and auditable —
-    unlike x27's hand-set rates, the rates here are DERIVED from the
-    observed mix.
+    reproducible and auditable — and, unlike x27's hand-set rates,
+    DERIVED from the observed mix. Incrementality is therefore rate-
+    conditional: under a FROZEN rate table membership is fully stable
+    as the corpus grows (x27's property); re-deriving rates on a
+    grown corpus shifts only each stratum's threshold, so membership
+    changes only for docs whose hash bucket sits between the old and
+    new thresholds — never a reshuffle of the kept set (x40/x52's
+    unconditional stability is tested in test_extensions.py;
+    the hash-bucket monotonicity is what makes this bounded).
 
     Scale shape: one |strata|-row aggregate (broadcast back), then a
     scan-local filter — the sample NEVER shuffles the corpus. The
