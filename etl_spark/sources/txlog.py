@@ -212,6 +212,8 @@ class TxTable:
         ``retain_versions`` versions (plus orphans from crashed
         commits). Returns removed dirs. Readers of retained snapshots
         are unaffected; time travel older than the horizon is not."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1 (the live snapshot)")
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(1, latest - retain_versions + 1), latest + 1):

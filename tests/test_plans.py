@@ -18,6 +18,13 @@ SPECS = all_specs()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
+    # cold-cache plans are the canonical shape: a MATERIALIZED cache
+    # (left by an earlier test of a persist()-using query) makes the
+    # formatted explain print the cached child plan under every
+    # InMemoryRelation occurrence, INFLATING node counts relative to
+    # the lock (x54/x57 regression, r5). Clearing first makes counts
+    # order-independent; tools/regen_plan_lock.py does the same.
+    spark.catalog.clearCache()
     df = SPECS[name].fn(spark, sf_dir)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)

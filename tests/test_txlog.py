@@ -192,3 +192,9 @@ def test_streaming_txlog_sink_exactly_once_across_restart(spark, tmp_path):
     last_bid = max(e["batch_id"] for e in t.history() if "batch_id" in e)
     assert t.append_once(spark.createDataFrame([(3,)], ["v"]), last_bid) is None
     assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_vacuum_refuses_zero_retention(spark, tmp_path):
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
+    with pytest.raises(ValueError, match="retain_versions"):
+        t.vacuum(retain_versions=0)

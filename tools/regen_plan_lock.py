@@ -48,6 +48,13 @@ def main() -> None:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out: dict[str, dict[str, int]] = {}
     for name, spec in sorted(all_specs().items()):
+        # lock the COLD-cache plan: a materialized cache makes the
+        # formatted explain print the cached child plan under every
+        # InMemoryRelation occurrence, inflating node counts for
+        # persist()-using queries (x54/x57). tests/test_plans.plan_of
+        # clears the cache identically, so lock and test always
+        # compare the same (cold) shape regardless of test order.
+        spark.catalog.clearCache()
         df = spec.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(mode)
         out[name] = {n: node_count(plan, n) for n in NODES}
