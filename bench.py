@@ -90,6 +90,7 @@ HEADLINE = [
     "x55_split_leakage",
     "x56_training_manifest",
     "x57_semdedup",
+    "x58_curation_funnel",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -31,6 +31,9 @@ started (reference has no analog — it is a per-table ETL scheduler):
   sample ∩ train split, laid out by x52's shard/order with per-doc
   token counts and cumulative in-shard offsets; the index file a
   data loader seeks by.
+- x58 curation funnel: the run report — per-stage survivor counts
+  (raw → quality → dedup → train split → sample) from the IDENTICAL
+  shared stage predicates, via one explode(1..level) aggregate.
 
 Scale shapes: x51/x52 are scan-local after a |strata|-row broadcast
 (x51) or nothing at all (x52's shard column); x50 is two keyed
@@ -630,4 +633,132 @@ def write_training_shards(docs: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+_STAGE_NAME = (
+    "CASE stage_id WHEN 1 THEN 'raw' WHEN 2 THEN 'quality' "
+    "WHEN 3 THEN 'dedup' WHEN 4 THEN 'train_split' ELSE 'sampled' END"
+)
+
+
+def _x58_oracle() -> str:
+    from etl_spark.extensions.dedup import _duck_dup_clusters
+    from etl_spark.extensions.pipeline import SPLIT_TRAIN_PCT, _duck_quality_keep
+
+    bucket = "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    permille = (
+        "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000"
+    )
+    return f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+                   POW(CAST(COUNT(*) AS DOUBLE), {MIX_ALPHA}) AS wn
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT SUM(n) AS total, SUM(wn) AS wsum FROM c),
+        r AS (SELECT lang, {_MIX_THR} AS thr FROM c, t),
+        lvl AS (
+            SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+                   CASE WHEN NOT ({_duck_quality_keep()}) THEN 1
+                        WHEN NOT (cc.doc_id IS NULL OR cc.is_canonical) THEN 2
+                        WHEN {bucket} >= {SPLIT_TRAIN_PCT} THEN 3
+                        WHEN {permille} >= r.thr THEN 4
+                        ELSE 5 END AS lvl
+            FROM documents d
+            LEFT JOIN ({_duck_dup_clusters()}) cc USING (doc_id)
+            JOIN r USING (lang)
+        ),
+        agg AS (
+            SELECT stage_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest(range(1, lvl + 1)) AS stage_id, n_tok FROM lvl)
+            GROUP BY stage_id
+        ),
+        raw AS (SELECT CAST(COUNT(*) AS DOUBLE) AS raw_docs FROM documents)
+        SELECT CAST(stage_id AS BIGINT) AS stage_id,
+               {_STAGE_NAME} AS stage,
+               n_docs, n_tokens,
+               ROUND(CAST(n_docs AS DOUBLE) / raw_docs, 6) AS frac_of_raw
+        FROM agg, raw
+    """
+
+
+@register(
+    "x58_curation_funnel",
+    oracle=_x58_oracle(),
+    tags=("pipeline", "dedup", "textstats"),
+)
+def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation run report: how many documents (and tokens)
+    survive each successive stage — raw → x17 quality gate → x46
+    dedup verdict → x40 train split → x51 temperature sample — with
+    each stage's retention as a fraction of raw. This is the funnel
+    every pipeline run logs; a stage whose retention moves between
+    runs is the first diff an operator looks at. Stage predicates are
+    the IDENTICAL shared expressions the standalone operators use, so
+    the funnel can never disagree with the stages it summarizes.
+
+    Scale shape: one pass computes each doc's highest surviving stage
+    (scan-local CASE over the quality/split/sample predicates, plus
+    the pairs-sized dedup-verdict join), then explode(1..lvl) turns
+    cumulative counting into ONE keyed aggregate — 5 output rows, no
+    per-stage rescans of the corpus."""
+    from etl_spark.extensions.dedup import x46_dedup_verdict
+    from etl_spark.extensions.pipeline import _split_col
+    from etl_spark.extensions.textstats import x17_quality_filter
+
+    docs = load(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
+    )
+    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
+    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
+    q = x17_quality_filter(spark, sf).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    k = x46_dedup_verdict(spark, sf).select(
+        "doc_id", F.col("keep").alias("d_keep")
+    )
+    permille = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000"
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            _split_col().alias("split"),
+            permille.alias("permille"),
+        )
+        .join(q, "doc_id")
+        .join(k, "doc_id")
+        .join(F.broadcast(r), "lang")
+    )
+    lvl = (
+        F.when(~F.col("q_keep"), F.lit(1))
+        .when(~F.col("d_keep"), F.lit(2))
+        .when(F.col("split") != "train", F.lit(3))
+        .when(F.col("permille") >= F.col("thr"), F.lit(4))
+        .otherwise(F.lit(5))
+    )
+    staged = base.withColumn("lvl", lvl).select(
+        F.explode(F.expr("sequence(1, lvl)")).alias("stage_id"), "n_tok"
+    )
+    agg = staged.groupBy("stage_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    raw = docs.agg(F.count(F.lit(1)).cast("double").alias("raw_docs"))
+    return agg.crossJoin(F.broadcast(raw)).select(
+        F.col("stage_id").cast("long").alias("stage_id"),
+        F.expr(_STAGE_NAME).alias("stage"),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("raw_docs"), 6).alias(
+            "frac_of_raw"
+        ),
     )

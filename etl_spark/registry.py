@@ -177,6 +177,14 @@ def all_specs() -> dict[str, QuerySpec]:
         raise ValueError(
             f"_DRIVER_WINDOW_PRIORITY names not in the registry: {sorted(unknown)}"
         )
+    # the list IS the 50-slot window: fewer wastes hard-signal slots on
+    # whatever registers first; more silently pushes the tail past the
+    # driver's cutoff while looking pinned
+    if len(_DRIVER_WINDOW_PRIORITY) != 50:
+        raise ValueError(
+            f"_DRIVER_WINDOW_PRIORITY must name exactly the 50 driver "
+            f"window slots, got {len(_DRIVER_WINDOW_PRIORITY)}"
+        )
     prio = {n: i for i, n in enumerate(_DRIVER_WINDOW_PRIORITY)}
     order = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (prio.get(n, len(prio)), order[n]))

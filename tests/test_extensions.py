@@ -749,3 +749,36 @@ def test_content_stable_assignments_survive_corpus_growth(spark, sf_dir, tmp_pat
     half_samp = set(by_doc("x27_hash_sample", half, "lang"))
     full_samp = set(by_doc("x27_hash_sample", full_dir, "lang"))
     assert half_samp == {d for d in full_samp if d in half_split}
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """x58: all five stages present; counts non-increasing; stage 1
+    equals the raw corpus; each stage count equals the independently
+    recomputed survivor set from the standalone operators."""
+    from etl_spark.extensions.pipeline import _split_col
+    from etl_spark.tables import load
+
+    rows = {r.stage_id: r for r in SPECS["x58_curation_funnel"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert [rows[i].stage for i in range(1, 6)] == [
+        "raw", "quality", "dedup", "train_split", "sampled",
+    ]
+    n_raw = load(spark, sf_dir, "documents").count()
+    assert rows[1].n_docs == n_raw and rows[1].frac_of_raw == 1.0
+    for i in range(2, 6):
+        assert rows[i].n_docs <= rows[i - 1].n_docs
+        assert rows[i].n_tokens <= rows[i - 1].n_tokens
+    assert rows[5].n_docs > 0, "funnel fully drains — thresholds degenerate"
+
+    q = {r.doc_id for r in SPECS["x17_quality_filter"].fn(spark, sf_dir).collect() if r.keep}
+    k = {r.doc_id for r in SPECS["x46_dedup_verdict"].fn(spark, sf_dir).collect() if r.keep}
+    train = {
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", _split_col().alias("s"))
+        .collect()
+        if r.s == "train"
+    }
+    assert rows[2].n_docs == len(q)
+    assert rows[3].n_docs == len(q & k)
+    assert rows[4].n_docs == len(q & k & train)
