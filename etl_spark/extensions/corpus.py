@@ -354,7 +354,12 @@ def x54_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("t")
     )
-    pairs = docs.select(
+    # single-word docs have no bigrams: DuckDB's range(1, len(t)) is
+    # simply empty at len=1, but Spark's sequence(1, size(t) - 1)
+    # DESCENDS ([1, 0] — step defaults to -1 when start > stop) and
+    # element_at(t, 2) then kills the job (ADVICE r4 hazard class;
+    # regression-tested in test_corpus_ops_degenerate_single_word_doc)
+    pairs = docs.filter(F.size("t") >= 2).select(
         "doc_id",
         "lang",
         F.explode(

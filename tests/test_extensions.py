@@ -782,3 +782,44 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
     assert rows[2].n_docs == len(q)
     assert rows[3].n_docs == len(q & k)
     assert rows[4].n_docs == len(q & k & train)
+
+
+def test_corpus_ops_degenerate_single_word_doc(spark, tmp_path):
+    """Degenerate-input hardening for the r5 corpus family: a corpus
+    holding one single-word doc and one empty-ish doc must not crash
+    any of x50/x52/x54 (the empty-sequence/element_at hazard class),
+    and the semantics must degrade correctly: no bigrams => absent
+    from x54; one segment => intact through x50."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.corpus import (
+        segment_dedup,
+        x52_training_order,
+        x54_lm_quality_score,
+    )
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["word", "a b"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([4, 3], pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    seg = {r.doc_id: r for r in segment_dedup(
+        spark.read.parquet(str(d / "documents.parquet"))
+    ).collect()}
+    assert seg[1].clean_text == "word" and seg[1].n_dropped == 0
+    assert seg[2].clean_text == "a b"
+
+    order = x52_training_order(spark, str(d)).collect()
+    assert {r.doc_id for r in order} == {1, 2}
+
+    lm = {r.doc_id: r for r in x54_lm_quality_score(spark, str(d)).collect()}
+    assert 1 not in lm, "a 1-word doc has no bigrams and must be absent"
+    assert lm[2].n_bigrams == 1
