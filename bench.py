@@ -91,6 +91,7 @@ HEADLINE = [
     "x56_training_manifest",
     "x57_semdedup",
     "x58_curation_funnel",
+    "x59_incremental_segment_dedup",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

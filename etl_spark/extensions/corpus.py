@@ -34,6 +34,10 @@ started (reference has no analog — it is a per-table ETL scheduler):
 - x58 curation funnel: the run report — per-stage survivor counts
   (raw → quality → dedup → train split → sample) from the IDENTICAL
   shared stage predicates, via one explode(1..level) aggregate.
+- x59 incremental segment dedup: x50's rule as an ingestion-time
+  delta probe (new batch vs stored segment index) — completing the
+  incremental family across all three dedup modalities (x37 MinHash
+  text, x44 embedding bands, x59 exact segments).
 
 Scale shapes: x51/x52 are scan-local after a |strata|-row broadcast
 (x51) or nothing at all (x52's shard column); x50 is two keyed
@@ -114,12 +118,11 @@ def x50_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return segment_dedup(load(spark, sf, "documents"))
 
 
-def segment_dedup(docs: DataFrame) -> DataFrame:
-    """Core of x50 over any (doc_id, text) frame — split out so
-    property tests can drive synthetic corpora through the exact
-    production plan (tests/test_extensions.py hypothesis suite)."""
+def _segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, seg) fixed-width word segments — the unit shared
+    by x50 (corpus-wide dedup) and x59 (ingestion-time probe)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    segs = toks.select(
+    return toks.select(
         "doc_id",
         "t",
         F.explode(F.expr(f"sequence(1, size(t), {SEG_WORDS})")).alias("start"),
@@ -128,6 +131,13 @@ def segment_dedup(docs: DataFrame) -> DataFrame:
         F.expr(f"(start - 1) DIV {SEG_WORDS}").alias("pos"),
         F.concat_ws(" ", F.expr(f"slice(t, start, {SEG_WORDS})")).alias("seg"),
     )
+
+
+def segment_dedup(docs: DataFrame) -> DataFrame:
+    """Core of x50 over any (doc_id, text) frame — split out so
+    property tests can drive synthetic corpora through the exact
+    production plan (tests/test_extensions.py hypothesis suite)."""
+    segs = _segments(docs)
     dup = (
         segs.groupBy("seg")
         .agg(
@@ -766,4 +776,61 @@ def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / F.col("raw_docs"), 6).alias(
             "frac_of_raw"
         ),
+    )
+
+
+@register(
+    "x59_incremental_segment_dedup",
+    oracle=f"""
+        {_DUCK_SEGS},
+        seen AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 2 = 0),
+        new_segs AS (
+            SELECT doc_id, seg FROM segs WHERE doc_id % 2 = 1
+        )
+        SELECT n.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(s.seg) AS BIGINT) AS n_seen_segments,
+               ROUND(CAST(COUNT(s.seg) AS DOUBLE) / COUNT(*), 6) AS seen_frac
+        FROM new_segs n LEFT JOIN seen s USING (seg)
+        GROUP BY n.doc_id
+    """,
+    tags=("pipeline", "dedup"),
+)
+def x59_incremental_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time segment dedup — x50's rule as a DELTA probe: a
+    NEW batch of documents (odd doc_id, standing in for today's
+    crawl) reports, per doc, how many of its fixed-width segments
+    already exist in the SEEN corpus (even doc_id) and the seen
+    fraction — the boilerplate-overlap signal an ingest gate drops or
+    trims docs on, without ever re-pairing the whole corpus. This
+    completes the incremental family across all three dedup
+    modalities: x37 (MinHash text), x44 (embedding bands), x59 (exact
+    segments).
+
+    Scale shape: the seen-segment index is computed once (DISTINCT
+    aggregate) and stored; per batch there is ONE equi-join keyed on
+    the segment string — batch-sized probe side against the index,
+    never corpus x corpus — and one (doc_id) aggregate. The LEFT join
+    against a DISTINCT index cannot fan out, so per-doc counts are
+    exact."""
+    segs = _segments(load(spark, sf, "documents"))
+    seen = (
+        segs.filter(F.col("doc_id") % 2 == 0).select("seg").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new = segs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "seg")
+    return (
+        new.join(seen, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_seen_segments"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seen_frac"),
+        )
     )

@@ -99,10 +99,11 @@ def _ensure_loaded() -> None:
 #      NEW mid-round-5 registrations x50-x55 — new-before-stale, r4's
 #      lesson — and lead the r6 rotation).
 # After this round only x23/x26/x27/x30/x31/x32 have a driver row
-# older than r3; they rotate first in r6 together with
-# x56_training_manifest and x57_semdedup (registered after the window
-# filled — the two round-5 queries deferring their first driver row),
-# then the r3/r4-checked queries oldest-first. All are covered by the identical
+# older than r3; they rotate first in r6 together with the round-5
+# queries registered after the window filled (x56 training manifest,
+# x57 semdedup, x58 curation funnel, and any later additions — all
+# deferring their first driver row), then the r3/r4-checked queries
+# oldest-first. All are covered by the identical
 # local oracle gate every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (5): registered after the r4 window filled
