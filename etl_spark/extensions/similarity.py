@@ -772,6 +772,13 @@ def x53_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.3  # within-cluster cosine above which docs are semantic dups
+# clusters larger than this skip the pairwise step entirely (members
+# keep, flagged cluster_capped) — C(n,2) inside one hot cluster is the
+# only super-linear term in the plan, so it gets the same worst-case
+# guard as x24's bucket cap; binding on the fixture (one ~70-member
+# cluster at each SF), so the driver checks the cap path, not just the
+# happy path
+X57_CLUSTER_CAP = 68
 
 
 @register(
@@ -785,9 +792,17 @@ SEMDEDUP_TAU = 0.3  # within-cluster cosine above which docs are semantic dups
                                     e.embedding::DOUBLE[]) AS n2
             FROM assign a JOIN embeddings e USING (vec_id)
         ),
+        occ AS (
+            SELECT cluster_id, COUNT(*) AS n_members
+            FROM base GROUP BY cluster_id
+        ),
+        active AS (
+            SELECT base.* FROM base JOIN occ USING (cluster_id)
+            WHERE occ.n_members <= {X57_CLUSTER_CAP}
+        ),
         dup AS (
             SELECT b.vec_id, MIN(a.vec_id) AS dup_of
-            FROM base a JOIN base b
+            FROM active a JOIN active b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.ve, b.ve)
                         / (sqrt(a.n2) * sqrt(b.n2)), 9) >= {SEMDEDUP_TAU}
@@ -797,8 +812,11 @@ SEMDEDUP_TAU = 0.3  # within-cluster cosine above which docs are semantic dups
                CAST(base.cluster_id AS BIGINT) AS cluster_id,
                CASE WHEN d.dup_of IS NULL THEN 'keep'
                     ELSE 'semantic_dup' END AS verdict,
-               d.dup_of
-        FROM base LEFT JOIN dup d USING (vec_id)
+               d.dup_of,
+               occ.n_members > {X57_CLUSTER_CAP} AS cluster_capped
+        FROM base
+        JOIN occ USING (cluster_id)
+        LEFT JOIN dup d USING (vec_id)
     """,
     tags=("similarity", "dedup"),
 )
@@ -815,14 +833,18 @@ def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the pairwise step is the whole point of clustering
     FIRST — cosine pairs are computed only within a cluster (equi-join
     on cluster_id), never across the corpus, and SemDeDup's design
-    scales k with corpus size so expected occupancy stays bounded
-    (the same guard philosophy as x24's bucket cap; a production run
-    would add the identical occupancy cap here). The clustered base
-    (id, cluster, vector, norm) is persisted because both join sides
-    and the final verdict read it — one assignment pass, reused.
-    Norms are computed once per vector, not per pair; the τ compare
-    is on ROUND(cos, 9) so double fold noise cannot flip membership
-    across engines."""
+    scales k with corpus size so EXPECTED occupancy stays bounded;
+    ``X57_CLUSTER_CAP`` bounds the WORST case the same way x24's
+    bucket cap does — an over-cap cluster skips pairing entirely and
+    its members come back ``keep`` with ``cluster_capped`` true, so
+    the skip is observable, never silent. The cap BINDS on the
+    fixture (one ~70-member cluster per SF), so the driver's oracle
+    row verifies the capped path too. The clustered base (id,
+    cluster, vector, norm) is persisted because both join sides and
+    the final verdict read it — one assignment pass, reused. Norms
+    are computed once per vector, not per pair; the τ compare is on
+    ROUND(cos, 9) so double fold noise cannot flip membership across
+    engines."""
     from pyspark.storagelevel import StorageLevel
 
     assign = x39_kmeans_assign(spark, sf).select("vec_id", "cluster_id")
@@ -837,13 +859,20 @@ def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = base.select(
+    occ = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    active = base.join(
+        F.broadcast(occ.filter(F.col("n_members") <= X57_CLUSTER_CAP)),
+        "cluster_id",
+    )
+    a = active.select(
         F.col("vec_id").alias("va"),
         "cluster_id",
         F.col("ve").alias("ea"),
         F.col("n2").alias("na2"),
     )
-    b = base.select(
+    b = active.select(
         F.col("vec_id").alias("vb"),
         "cluster_id",
         F.col("ve").alias("eb"),
@@ -861,6 +890,7 @@ def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         base.select("vec_id", "cluster_id")
+        .join(F.broadcast(occ), "cluster_id")
         .join(dup, "vec_id", "left")
         .select(
             "vec_id",
@@ -869,5 +899,6 @@ def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("semantic_dup"))
             .alias("verdict"),
             "dup_of",
+            (F.col("n_members") > X57_CLUSTER_CAP).alias("cluster_capped"),
         )
     )

@@ -674,8 +674,22 @@ def test_semdedup_verdicts_verified_driverside(spark, sf_dir):
             assert r.dup_of is not None and r.dup_of < r.vec_id
             assert cluster[r.dup_of] == r.cluster_id
             assert cos(emb[r.vec_id], emb[r.dup_of]) >= SEMDEDUP_TAU - 1e-9
+            assert not r.cluster_capped
         else:
             assert r.dup_of is None
+
+    # occupancy cap: binding on the fixture, all-keep inside, and the
+    # flag agrees with the actual cluster size in both directions
+    import collections as _c
+
+    from etl_spark.extensions.similarity import X57_CLUSTER_CAP
+
+    sizes = _c.Counter(r.cluster_id for r in rows)
+    capped = {r.cluster_id for r in rows if r.cluster_capped}
+    assert capped, "cap never binds on the fixture — vacuous guard"
+    assert capped != set(sizes), "cap binds everywhere — dedup disabled"
+    for cid, n in sizes.items():
+        assert (n > X57_CLUSTER_CAP) == (cid in capped)
 
 
 def test_write_training_shards_file_order_is_training_order(spark, sf_dir, tmp_path):
