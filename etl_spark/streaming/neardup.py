@@ -1,10 +1,14 @@
 """Ingestion-time near-dup filtering — the streaming front door of a
-training-data pipeline, for BOTH modalities:
+training-data pipeline, for all THREE dedup modalities:
 
 - text: MinHash-LSH band keys (``dedup.band_keys_of`` — x37's probe
   unit);
 - embeddings: banded hyperplane signatures
-  (``similarity.embedding_band_keys_of`` — x44's probe unit).
+  (``similarity.embedding_band_keys_of`` — x44's probe unit);
+- exact segments: fixed-width word segments (``corpus._segments`` —
+  x59's probe unit) with the overlap-fraction drop rule
+  (``min_frac``), since sharing ONE segment with the corpus is
+  normal and sharing most of them is the boilerplate signal.
 
 Each micro-batch is probed against a durable parquet band INDEX of
 everything accepted so far: rows sharing any band bucket with the
@@ -54,6 +58,7 @@ def neardup_filter_batch(
     bands_fn: Callable[[DataFrame], DataFrame],
     id_col: str,
     index_path: str,
+    min_frac: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch step, pure DataFrame-in/DataFrame-out (shared
     by the sink below and its tests): returns ``(kept, kept_bands)``
@@ -63,20 +68,47 @@ def neardup_filter_batch(
 
     ``bands_fn(batch_df)`` must return ``id_col`` plus one or more
     band columns; the probe joins on ALL non-id columns, so the same
-    code serves (band_id, band_key) text bands and (band, sig)
-    embedding bands."""
+    code serves (band_id, band_key) text bands, (band, sig) embedding
+    bands, and raw (seg,) exact segments (x59's probe unit).
+
+    ``min_frac`` selects the drop rule: 0.0 (default) drops on ANY
+    index collision — correct for LSH bands, where one shared bucket
+    IS the near-dup signal; a positive value drops only rows whose
+    fraction of distinct band values already in the index EXCEEDS it
+    — the x59 boilerplate-overlap gate, where sharing one 4-word
+    segment with the corpus is normal and sharing most of them is the
+    signal."""
     spark = batch_df.sparkSession
     bands = bands_fn(batch_df)
     band_cols = [c for c in bands.columns if c != id_col]
     if not band_cols:
         raise ValueError(f"bands_fn returned no band columns besides {id_col!r}")
     if _index_has_data(index_path):
+        from pyspark.sql import functions as F
+
         seen = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(index_path)
             .select(band_cols)
         )
-        dup_ids = bands.join(seen, band_cols, "left_semi").select(id_col).distinct()
+        if min_frac <= 0.0:
+            dup_ids = (
+                bands.join(seen, band_cols, "left_semi").select(id_col).distinct()
+            )
+        else:
+            tot = bands.groupBy(id_col).agg(
+                F.count_distinct(*band_cols).alias("n_tot")
+            )
+            hits = (
+                bands.join(seen, band_cols, "left_semi")
+                .groupBy(id_col)
+                .agg(F.count_distinct(*band_cols).alias("n_hit"))
+            )
+            dup_ids = (
+                tot.join(hits, id_col)
+                .filter(F.col("n_hit") > min_frac * F.col("n_tot"))
+                .select(id_col)
+            )
         kept = batch_df.join(dup_ids, id_col, "left_anti")
     else:
         kept = batch_df
@@ -93,10 +125,13 @@ def run_neardup_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     on_batch: Callable[[int, int, int], Any] | None = None,
+    min_frac: float = 0.0,
 ) -> StreamingQuery:
     """``foreachBatch`` sink: accepted rows land under ``out_path``,
     their band rows under ``index_path``; near-dups of anything
-    previously accepted are dropped. ``on_batch(batch_id, n_in,
+    previously accepted are dropped (``min_frac`` — see
+    ``neardup_filter_batch`` — selects any-collision LSH semantics or
+    the x59 overlap-fraction gate). ``on_batch(batch_id, n_in,
     n_kept)`` is the observability hook (the count the monitor's
     alert conditions consume)."""
 
@@ -106,7 +141,7 @@ def run_neardup_ingest(
         if os.path.isdir(out_dir) and os.path.isdir(idx_dir):
             return  # replayed batch: both commits already on disk
         kept, kept_bands = neardup_filter_batch(
-            batch_df, bands_fn, id_col, index_path
+            batch_df, bands_fn, id_col, index_path, min_frac=min_frac
         )
         kept = kept.persist()  # two consumers: count/out + band semi-join
         n_in = batch_df.count()

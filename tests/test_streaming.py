@@ -422,7 +422,9 @@ def test_enrich_stream_matches_batch_and_sees_dim_updates(
     }
 
 
-def _drain_neardup(spark, src_dir, schema_ddl, bands_fn, id_col, tmp_path, tag):
+def _drain_neardup(
+    spark, src_dir, schema_ddl, bands_fn, id_col, tmp_path, tag, min_frac=0.0
+):
     """Run the near-dup ingest over src_dir one file per micro-batch;
     return (accepted ids, [(batch_id, n_in, n_kept), ...])."""
     from etl_spark.streaming.neardup import run_neardup_ingest
@@ -441,6 +443,7 @@ def _drain_neardup(spark, src_dir, schema_ddl, bands_fn, id_col, tmp_path, tag):
         out_path=str(tmp_path / f"{tag}_out"),
         checkpoint=str(tmp_path / f"{tag}_ckpt"),
         on_batch=lambda b, n_in, n_kept: seen_batches.append((b, n_in, n_kept)),
+        min_frac=min_frac,
     )
     q.awaitTermination(120)
     out = (
@@ -555,3 +558,53 @@ def test_streaming_neardup_drops_embedding_neardup_across_batches(spark, tmp_pat
     )
     assert kept == {1, 2, 4}, kept
     assert batches == [(0, 2, 2), (1, 2, 1)]
+
+
+def test_streaming_neardup_segment_overlap_gate(spark, tmp_path):
+    """Third ingestion modality (x59's probe unit): with min_frac=0.5
+    a batch-2 doc sharing ALL its 4-word segments with batch 1 is
+    dropped, while a doc sharing only one segment (below the
+    fraction) and a fully-new doc both pass — the overlap-fraction
+    rule, not any-collision."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.corpus import _segments
+
+    seg_a = "alpha beta gamma delta"
+    seg_b = "epsilon zeta eta theta"
+    seg_c = "iota kappa lambda mu"
+    src = tmp_path / "seg_src"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }),
+            src / name,
+        )
+
+    write("b1.parquet", [(1, f"{seg_a} {seg_b}")])
+    write("b2.parquet", [
+        (2, f"{seg_b} {seg_a}"),   # 2/2 segments seen -> dropped
+        (3, f"{seg_a} {seg_c}"),   # 1/2 seen (0.5, not > 0.5) -> kept
+        (4, f"{seg_c} {seg_c}"),   # seg_c only seen within THIS batch -> kept
+    ])
+
+    kept, batches = _drain_neardup(
+        spark,
+        src,
+        "doc_id LONG, text STRING",
+        lambda df: _segments(df).select("doc_id", "seg"),
+        "doc_id",
+        tmp_path,
+        "seg",
+        min_frac=0.5,
+    )
+    # intra-batch rows never see each other (documented design): doc 4
+    # shares seg_c with doc 3 but both are in batch 2 -> both kept
+    assert kept == {1, 3, 4}
+    assert (1, 3, 2) in [(b, n_in, n_kept) for b, n_in, n_kept in batches] or \
+        any(n_in == 3 and n_kept == 2 for _, n_in, n_kept in batches)
