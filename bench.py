@@ -232,6 +232,13 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         # map-side partial-agg claim is the thing the slope verifies.
         "x50_segment_dedup",
         "x53_kmeans_update",
+        # x54: the bigram MODEL (cb table) grows with the suffixed
+        # vocabulary — the slope verifies the two-scan build stays
+        # linear. x55: shingle-keyed train-vs-eval join. x59: the
+        # batch-vs-segment-index probe, x37's slope twin.
+        "x54_lm_quality_score",
+        "x55_split_leakage",
+        "x59_incremental_segment_dedup",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
