@@ -207,6 +207,20 @@ class TxTable:
 
     # ---------- maintenance ----------
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int | None:
+        """OPTIMIZE: rewrite the current snapshot as ``target_files``
+        coalesced files in ONE new version — same rows, fewer files
+        (appends and streaming micro-batches fragment the table; scan
+        cost at 100 TB tracks file count as much as bytes). Runs as a
+        CAS commit like ``upsert``: losing the race to a concurrent
+        writer skips the compaction (returns None) rather than
+        clobbering the interloper's rows — compaction is a no-op to
+        retry later, never a correctness operation. Old versions stay
+        time-travelable until ``vacuum``."""
+        base = self.latest_version()
+        df = self.read(spark, version=base).coalesce(target_files)
+        return self._commit(df, action="overwrite", expect_version=base + 1)
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data dirs referenced by NO snapshot within the last
         ``retain_versions`` versions (plus orphans from crashed

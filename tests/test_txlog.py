@@ -198,3 +198,25 @@ def test_vacuum_refuses_zero_retention(spark, tmp_path):
     t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
     with pytest.raises(ValueError, match="retain_versions"):
         t.vacuum(retain_versions=0)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 10).repartition(6))
+    for i in range(3):
+        t.append(_df(spark, 100 + 2 * i, 102 + 2 * i).repartition(2))
+    before = sorted(r.v for r in t.read(spark).collect())
+    n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+    v = t.compact(spark)
+    assert v == t.latest_version()
+    after_files = [
+        os.path.join(self_dir, f)
+        for self_dir in [os.path.join(str(tmp_path / "t"), d) for d in t.live_dirs()]
+        for f in os.listdir(self_dir)
+        if f.endswith(".parquet")
+    ]
+    assert len(after_files) == 1 < n_files_before
+    assert sorted(r.v for r in t.read(spark).collect()) == before
+    # history intact: pre-compaction snapshot still time-travelable
+    assert sorted(r.v for r in t.read(spark, version=v - 1).collect()) == before
