@@ -419,3 +419,78 @@ def test_compact_partitioned_int_and_encoded_values(spark, tmp_path):
     assert len(file_inventory(spark, t)[pkey]) == 1
     assert spark.table(t).count() == 24
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_zorder_save_skips_files_in_both_dimensions(spark, sf_dir):
+    """Z-order vs single-column sort, judged from the actual parquet
+    footers: with a value-sorted layout a narrow event_id probe
+    overlaps EVERY file (no skipping on the unsorted column), while
+    the z-ordered layout skips files for narrow probes on EITHER
+    column — the 2-D data-skipping property that justifies the Morton
+    key. Rows must round-trip identically."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_spark.sources.writers import zorder_save, sorted_save
+    from etl_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    n_files = 8
+    sorted_save(ev, "zs_value_sorted", ["value"], n_files=n_files)
+    zorder_save(ev, "zs_zordered", "event_id", "value", n_files=n_files)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def file_envelopes(table):
+        out = []
+        for f in glob.glob(os.path.join(wh, table, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            out.append((mins, maxs))
+        return out
+
+    def overlapping(envs, colname, lo, hi):
+        return sum(
+            1 for mins, maxs in envs
+            if colname in mins and not (maxs[colname] < lo or mins[colname] > hi)
+        )
+
+    # narrow mid-span probes (~10% of each column's range)
+    import pyspark.sql.functions as F
+
+    mn_e, mx_e, mn_v, mx_v = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("value"), F.max("value")
+    ).first()
+    e_lo = mn_e + (mx_e - mn_e) * 45 // 100
+    e_hi = mn_e + (mx_e - mn_e) * 55 // 100
+    v_lo = mn_v + (mx_v - mn_v) * 0.45
+    v_hi = mn_v + (mx_v - mn_v) * 0.55
+
+    vs = file_envelopes("zs_value_sorted")
+    zo = file_envelopes("zs_zordered")
+    assert len(vs) == len(zo) == n_files
+
+    # single-column sort: skipping on its own column, NONE on the other
+    assert overlapping(vs, "value", v_lo, v_hi) < n_files
+    assert overlapping(vs, "event_id", e_lo, e_hi) == n_files
+
+    # z-order: skipping on BOTH columns
+    assert overlapping(zo, "event_id", e_lo, e_hi) < n_files
+    assert overlapping(zo, "value", v_lo, v_hi) < n_files
+
+    got = sorted(
+        (r.event_id, r.value) for r in spark.table("zs_zordered").collect()
+    )
+    want = sorted((r.event_id, r.value) for r in ev.collect())
+    assert got == want
