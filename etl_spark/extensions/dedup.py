@@ -630,9 +630,16 @@ def connected_components(
         .persist()
     )
 
+    # initialize at ROUND 1's output, not at label=self: the vertex
+    # set needs a groupBy over edges anyway, and min(self, neighbors)
+    # is exactly what the first loop iteration would compute from a
+    # self-labeled start — folding it into the init aggregate saves
+    # one whole round (two shuffles + a convergence collect) on every
+    # run (x29/x46/x47/x49 all embed this loop)
     labels = _ckpt(
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("lbl"))
     )
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
