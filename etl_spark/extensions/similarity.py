@@ -902,3 +902,68 @@ def x57_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_members") > X57_CLUSTER_CAP).alias("cluster_capped"),
         )
     )
+
+
+MODAL_AGREE_COS = 0.1  # text-dup pairs at/above this cosine "agree"
+
+
+def _x60_oracle() -> str:
+    from etl_spark.extensions.dedup import _duck_lsh_pairs
+
+    cos = """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                      ea.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[])))"""
+    return f"""
+        WITH pairs AS ({_duck_lsh_pairs()})
+        SELECT p.doc_a, p.doc_b,
+               ROUND({cos}, 4) AS cosine,
+               ROUND({cos}, 9) >= {MODAL_AGREE_COS} AS modal_agree
+        FROM pairs p
+        JOIN embeddings ea ON p.doc_a = ea.vec_id
+        JOIN embeddings eb ON p.doc_b = eb.vec_id
+    """
+
+
+@register(
+    "x60_modal_agreement",
+    oracle=_x60_oracle(),
+    tags=("similarity", "dedup", "quality"),
+)
+def x60_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal consistency audit: every x04 text near-dup pair
+    joined to its embedding cosine (fixture doc_id↔vec_id are 1:1),
+    flagged ``modal_agree`` when the vectors are also similar. In a
+    healthy multimodal corpus text near-dups embed close together —
+    a low agreement RATE is the canary for a broken embedding
+    pipeline (stale model, shuffled ids, truncated inputs), caught
+    here at curation time instead of in training loss. The fixture's
+    synthetic embeddings are uncorrelated with text, so the audit
+    reports mostly disagreement — both flag values occur, which is
+    what the driver row verifies.
+
+    Scale shape: the pair table is LSH-bounded (never corpus²); two
+    vector-table joins keyed on the ids; all math in the codegen'd
+    index-fold. The agree flag compares ROUND(cos, 9) so fold noise
+    cannot flip it cross-engine."""
+    from etl_spark.extensions.dedup import x04_minhash_lsh_pairs
+
+    pairs = x04_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    emb = load_parallel(spark, sf, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    )
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cos, 4).alias("cosine"),
+            (F.round(cos, 9) >= MODAL_AGREE_COS).alias("modal_agree"),
+        )
+    )

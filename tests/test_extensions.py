@@ -837,3 +837,17 @@ def test_corpus_ops_degenerate_single_word_doc(spark, tmp_path):
     lm = {r.doc_id: r for r in x54_lm_quality_score(spark, str(d)).collect()}
     assert 1 not in lm, "a 1-word doc has no bigrams and must be absent"
     assert lm[2].n_bigrams == 1
+
+
+def test_modal_agreement_both_flags_present(spark, sf_dir):
+    """x60: the audit must exercise both outcomes on the fixture (the
+    synthetic embeddings are uncorrelated with text, so most pairs
+    disagree but a tail agrees), and every pair must come from x04."""
+    rows = SPECS["x60_modal_agreement"].fn(spark, sf_dir).collect()
+    flags = {r.modal_agree for r in rows}
+    assert flags == {True, False}, f"only {flags} present — vacuous audit"
+    x04 = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["x04_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == x04
