@@ -275,14 +275,21 @@ def main() -> None:
     # aren't best-case-vs-best-case (VERDICT r1 bench-honesty note)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-            assert rows is not None
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+                assert rows is not None
+        except Exception as exc:  # noqa: BLE001 — fault-isolate per query
+            # one broken query must cost its own row, not the whole
+            # bench JSON the driver records for the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
     etl = _etl_bench(spark, sf_dir)
@@ -306,6 +313,7 @@ def main() -> None:
                 "scale10x": scale10,
                 "scale20x": scale20,
                 "sf": sf_val,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
