@@ -93,6 +93,7 @@ HEADLINE = [
     "x58_curation_funnel",
     "x59_incremental_segment_dedup",
     "x60_modal_agreement",
+    "x61_length_bucket_packing",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

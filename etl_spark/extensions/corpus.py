@@ -38,6 +38,9 @@ started (reference has no analog — it is a per-table ETL scheduler):
   delta probe (new batch vs stored segment index) — completing the
   incremental family across all three dedup modalities (x37 MinHash
   text, x44 embedding bands, x59 exact segments).
+- x61 length-bucket packing: fixed-width token-length buckets with
+  per-bucket padding-waste accounting — the batch-composition
+  efficiency report (no global ntile; scan-local bucket id).
 
 Scale shapes: x51/x52 are scan-local after a |strata|-row broadcast
 (x51) or nothing at all (x52's shard column); x50 is two keyed
@@ -832,5 +835,61 @@ def x59_incremental_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("seen_frac"),
+        )
+    )
+
+
+LEN_BUCKET = 16  # token-length bucket width for batch composition
+
+
+@register(
+    "x61_length_bucket_packing",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        )
+        SELECT CAST(n_tok // {LEN_BUCKET} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE)
+                         / (MAX(n_tok) * COUNT(*)), 6) AS pad_waste_frac
+        FROM sized
+        GROUP BY n_tok // {LEN_BUCKET}
+    """,
+    tags=("pipeline",),
+)
+def x61_length_bucket_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch composition with padding-waste
+    accounting: documents group into fixed-width token-length buckets
+    (batching similar lengths together is the standard defense
+    against padding waste — a batch pads every sequence to its max),
+    and each bucket reports the fraction of compute a batch drawn
+    from it would burn on pad tokens. The whole-corpus answer to
+    "how much does bucketed batching save us": compare bucket 0's
+    waste to what one global batch would waste.
+
+    Scale shape: the bucket id is scan-local integer division (no
+    ntile — a global ntile would be a single-partition window); one
+    keyed aggregate with map-side partials; output rows = number of
+    occupied buckets, independent of corpus size."""
+    sized = load(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return (
+        sized.groupBy(
+            F.expr(f"CAST(n_tok DIV {LEN_BUCKET} AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+            F.round(
+                1.0
+                - F.sum("n_tok").cast("double")
+                / (F.max("n_tok") * F.count(F.lit(1))),
+                6,
+            ).alias("pad_waste_frac"),
         )
     )
