@@ -893,3 +893,16 @@ def x61_length_bucket_packing(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("pad_waste_frac"),
         )
     )
+
+
+def write_epoch(spark: SparkSession, sf: str, path: str) -> None:
+    """The end of the pipeline: write the x56 manifest's documents as
+    x52-layout training shards. Selection (temperature sample ∩ train
+    split), layout (shard by seeded hash, in-shard hash order), and
+    bytes (the document text) land in one pass — the directory this
+    writes IS the epoch a data loader streams, with x56 as its index.
+    Membership and order are content-stable, so re-running after
+    corpus growth only appends new docs to shard tails."""
+    manifest = x56_training_manifest(spark, sf).select("doc_id")
+    docs = load(spark, sf, "documents").join(manifest, "doc_id")
+    write_training_shards(docs, path)

@@ -851,3 +851,25 @@ def test_modal_agreement_both_flags_present(spark, sf_dir):
         for r in SPECS["x04_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
     }
     assert {(r.doc_a, r.doc_b) for r in rows} == x04
+
+
+def test_write_epoch_files_match_manifest(spark, sf_dir, tmp_path):
+    """write_epoch: the written shard files contain EXACTLY the x56
+    manifest's documents, in the manifest's (shard, pos) order."""
+    import glob
+
+    from etl_spark.extensions.corpus import write_epoch
+
+    out = str(tmp_path / "epoch")
+    write_epoch(spark, sf_dir, out)
+    manifest = {}
+    for r in SPECS["x56_training_manifest"].fn(spark, sf_dir).collect():
+        manifest.setdefault(r.shard, {})[r.pos] = r.doc_id
+    total = 0
+    for d in sorted(glob.glob(f"{out}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        got = [r.doc_id for r in spark.read.parquet(d).collect()]
+        want = [manifest[shard][p] for p in range(len(manifest.get(shard, {})))]
+        assert got == want, f"shard {shard} diverges from manifest"
+        total += len(got)
+    assert total == sum(len(v) for v in manifest.values()) > 0
