@@ -242,10 +242,18 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         "x55_split_leakage",
         "x59_incremental_segment_dedup",
     ):
-        t0 = time.perf_counter()
-        n = specs[name].fn(spark, tmp).count()
+        try:
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, tmp).count()
+        except Exception as exc:  # noqa: BLE001 — same isolation as HEADLINE
+            out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         out[name] = round(time.perf_counter() - t0, 3)
         out[f"{name}_rows"] = n
+        # x54/x57-style queries persist a model table scoped to the
+        # session; drop it so it cannot occupy memory (or be reused)
+        # while LATER queries are timed
+        spark.catalog.clearCache()
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -293,6 +301,12 @@ def main() -> None:
             continue
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
+        # persist()-using queries (x54 bigram model, x57 clustered
+        # base) cache a session-scoped relation; clear it so it can't
+        # skew later queries' timings or accumulate across the suite.
+        # (Runs 2-3 of the SAME query above still benefit — the cache
+        # is only dropped after its own timings are taken.)
+        spark.catalog.clearCache()
     etl = _etl_bench(spark, sf_dir)
     timings.update(etl)
     medians.update(etl)  # single-shot writes: same number in both views

@@ -183,6 +183,30 @@ _MIX_THR = (
 )
 
 
+def _mix_rates(docs: DataFrame) -> DataFrame:
+    """(lang, thr) temperature-mix permille thresholds — ONE
+    derivation shared by x51 (the sample), x56 (the manifest), and
+    x58 (the funnel), so the three can never disagree on the mix
+    (the _split_col convention applied to rates)."""
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
+    )
+    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang", F.expr(_MIX_THR).alias("thr")
+    )
+
+
+def _permille_col():
+    """Content-stable md5 permille bucket of doc_id (x27's hashing
+    convention) — shared by every sampling predicate here."""
+    return F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000"
+    )
+
+
 @register(
     "x51_temperature_mix_sample",
     oracle=f"""
@@ -228,16 +252,8 @@ def x51_temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     both engines plus a 1e-9 floor-guard, because Σ n^α accumulates
     in engine-dependent order."""
     docs = load(spark, sf, "documents")
-    c = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
-    )
-    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
-    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
-    permille = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 1000"
-    )
+    r = _mix_rates(docs)
+    permille = _permille_col()
     return (
         docs.join(F.broadcast(r), "lang")
         .withColumn("permille", permille)
@@ -248,6 +264,19 @@ def x51_temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 N_SHARDS = 8  # training output shards
 _ORD_SEED = "ord1:"  # bump to re-shuffle the corpus deterministically
+
+
+def _hkey_col():
+    """Seeded order-hash of doc_id — the epoch-shuffle key shared by
+    x52, x56, and write_training_shards/write_epoch, so the computed
+    manifest and the written files can never disagree on order."""
+    return F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string")))
+
+
+# shard id from the order-hash: same sharing rationale as _hkey_col
+_SHARD_EXPR = (
+    f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
+)
 
 
 @register(
@@ -285,13 +314,9 @@ def x52_training_order(spark: SparkSession, sf: str) -> DataFrame:
     materializes pos only so the layout is oracle-checkable."""
     h = load(spark, sf, "documents").select(
         "doc_id",
-        F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))).alias(
-            "hkey"
-        ),
+        _hkey_col().alias("hkey"),
     )
-    shard = F.expr(
-        f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
-    )
+    shard = F.expr(_SHARD_EXPR)
     w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
     return h.select(
         "doc_id",
@@ -581,30 +606,18 @@ def x56_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
     from etl_spark.extensions.pipeline import _split_col
 
     docs = load(spark, sf, "documents")
-    c = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
-    )
-    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
-    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
-    permille = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 1000"
-    )
+    r = _mix_rates(docs)
+    permille = _permille_col()
     picked = (
         docs.join(F.broadcast(r), "lang")
         .filter((permille < F.col("thr")) & (_split_col() == "train"))
         .select(
             "doc_id",
             F.size(F.split("text", " ")).alias("n_tok"),
-            F.md5(
-                F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))
-            ).alias("hkey"),
+            _hkey_col().alias("hkey"),
         )
     )
-    shard = F.expr(
-        f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
-    )
+    shard = F.expr(_SHARD_EXPR)
     w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return picked.select(
@@ -629,14 +642,8 @@ def write_training_shards(docs: DataFrame, path: str) -> None:
     spill-sorting its own shard — the two-phase composition the x52
     docstring promises. tests/test_extensions.py verifies the on-disk
     row order equals x52's computed (shard, pos) order."""
-    h = docs.withColumn(
-        "hkey",
-        F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))),
-    ).withColumn(
-        "shard",
-        F.expr(
-            f"CAST(conv(substring(hkey, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
-        ),
+    h = docs.withColumn("hkey", _hkey_col()).withColumn(
+        "shard", F.expr(_SHARD_EXPR)
     )
     # the sort LEADS with the partition column: FileFormatWriter
     # requires rows sorted by partition keys within each task and
@@ -728,22 +735,19 @@ def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from etl_spark.extensions.textstats import x17_quality_filter
 
     docs = load(spark, sf, "documents")
-    c = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.pow(F.count(F.lit(1)).cast("double"), MIX_ALPHA).alias("wn"),
-    )
-    t = c.agg(F.sum("n").alias("total"), F.sum("wn").alias("wsum"))
-    r = c.crossJoin(F.broadcast(t)).select("lang", F.expr(_MIX_THR).alias("thr"))
+    r = _mix_rates(docs)
     q = x17_quality_filter(spark, sf).select(
         "doc_id", F.col("keep").alias("q_keep")
     )
     k = x46_dedup_verdict(spark, sf).select(
         "doc_id", F.col("keep").alias("d_keep")
     )
-    permille = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 1000"
-    )
+    permille = _permille_col()
+    # LEFT joins + coalesce(keep, false): x17 emits no row for a
+    # null/empty-text doc, so an inner join would silently drop such
+    # docs from EVERY stage including 'raw' and diverge from the
+    # oracle (whose predicate simply evaluates false). Latent on the
+    # current fixture (no empty texts) but wrong on any real corpus.
     base = (
         docs.select(
             "doc_id",
@@ -752,13 +756,16 @@ def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
             _split_col().alias("split"),
             permille.alias("permille"),
         )
-        .join(q, "doc_id")
-        .join(k, "doc_id")
+        .join(q, "doc_id", "left")
+        .join(k, "doc_id", "left")
         .join(F.broadcast(r), "lang")
     )
+    # null defaults mirror the oracle: absent from x17 => the quality
+    # predicate is false (lvl 1); absent from the x46 verdict => the
+    # doc is in no dup pair, i.e. KEEP (cc.doc_id IS NULL branch)
     lvl = (
-        F.when(~F.col("q_keep"), F.lit(1))
-        .when(~F.col("d_keep"), F.lit(2))
+        F.when(~F.coalesce(F.col("q_keep"), F.lit(False)), F.lit(1))
+        .when(~F.coalesce(F.col("d_keep"), F.lit(True)), F.lit(2))
         .when(F.col("split") != "train", F.lit(3))
         .when(F.col("permille") >= F.col("thr"), F.lit(4))
         .otherwise(F.lit(5))

@@ -59,18 +59,28 @@ class TxTable:
     def __init__(self, path: str):
         self.path = path
         self._log_path = os.path.join(path, _LOG_DIR)
+        # append_once's incremental idempotency ledger (see docstring)
+        self._seen_batch_ids: set = set()
+        self._batch_scan_upto = 0
 
     # ---------- write path ----------
 
     @classmethod
     def create(cls, path: str, df: DataFrame) -> "TxTable":
-        """Create a new tx table at ``path`` with ``df`` as version 1."""
+        """Create a new tx table at ``path`` with ``df`` as version 1.
+
+        The existence check alone would be check-then-act: two
+        concurrent creators could both pass it and the loser's reslot
+        would silently discard the winner's rows. Creating therefore
+        commits with a CAS at exactly version 1 — the loser's commit
+        returns None and raises here instead of reslotting."""
         t = cls(path)
         os.makedirs(t._log_path, exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if t.latest_version() != 0:
             raise ValueError(f"tx table already exists at {path}")
-        t._commit(df, action="overwrite")
+        if t._commit(df, action="overwrite", expect_version=1) is None:
+            raise ValueError(f"tx table already exists at {path} (lost create race)")
         return t
 
     def append(self, df: DataFrame) -> int:
@@ -153,10 +163,26 @@ class TxTable:
         recipe, with the log as the idempotency ledger. Returns the
         version, or None for a skipped replay. Assumes one streaming
         query per table (replays are sequential, never concurrent),
-        which is Structured Streaming's own execution model."""
-        if any(e.get("batch_id") == batch_id for e in self.history()):
+        which is Structured Streaming's own execution model.
+
+        The ledger check is incremental per TxTable instance: only log
+        entries committed since the previous call are read (a naive
+        full-history rescan per micro-batch would make a long-running
+        stream O(n²) in committed versions); the streaming sink holds
+        one instance for the life of the query, so the amortized cost
+        per batch is O(new versions)."""
+        latest = self.latest_version()
+        for v in range(self._batch_scan_upto + 1, latest + 1):
+            with open(os.path.join(self._log_path, f"{v:08d}.json")) as fh:
+                bid = json.load(fh).get("batch_id")
+            if bid is not None:
+                self._seen_batch_ids.add(bid)
+        self._batch_scan_upto = latest
+        if batch_id in self._seen_batch_ids:
             return None
-        return self._commit(df, action="append", extra={"batch_id": batch_id})
+        v = self._commit(df, action="append", extra={"batch_id": batch_id})
+        self._seen_batch_ids.add(batch_id)
+        return v
 
     # ---------- read path ----------
 
@@ -221,13 +247,34 @@ class TxTable:
         df = self.read(spark, version=base).coalesce(target_files)
         return self._commit(df, action="overwrite", expect_version=base + 1)
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data dirs referenced by NO snapshot within the last
         ``retain_versions`` versions (plus orphans from crashed
         commits). Returns removed dirs. Readers of retained snapshots
-        are unaffected; time travel older than the horizon is not."""
+        are unaffected; time travel older than the horizon is not.
+
+        ``grace_seconds`` protects IN-FLIGHT commits: an unreferenced
+        data dir (or .tmp log entry) may belong to a writer that has
+        finished its parquet write but not yet linked its log entry —
+        indistinguishable from a crashed writer's orphan except by
+        age. Anything younger than the grace window is left alone
+        (the same retention idea Delta's VACUUM applies for exactly
+        this race); tests pass grace_seconds=0 to reclaim known
+        orphans immediately."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1 (the live snapshot)")
+        import time
+
+        now = time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.stat(p).st_mtime >= grace_seconds
+            except FileNotFoundError:
+                return False
+
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(1, latest - retain_versions + 1), latest + 1):
@@ -236,10 +283,12 @@ class TxTable:
         data_root = os.path.join(self.path, _DATA_DIR)
         for name in sorted(os.listdir(data_root)):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in keep:
-                shutil.rmtree(os.path.join(data_root, name))
+            full = os.path.join(data_root, name)
+            if rel not in keep and _old_enough(full):
+                shutil.rmtree(full)
                 removed.append(rel)
         for name in os.listdir(self._log_path):
-            if name.startswith(".tmp-"):
-                os.remove(os.path.join(self._log_path, name))
+            full = os.path.join(self._log_path, name)
+            if name.startswith(".tmp-") and _old_enough(full):
+                os.remove(full)
         return removed

@@ -488,6 +488,11 @@ def zorder_key(df: DataFrame, x_col: str, y_col: str, bits: int = ZORDER_BITS):
     top = (1 << bits) - 1
 
     def rank(col: str, mn, mx) -> str:
+        if mn is None or mx is None:
+            # empty input or all-NULL column: a constant key makes the
+            # (empty) write proceed like sorted_save instead of dying
+            # on float(None)
+            return "(CAST(0 AS BIGINT))"
         span = float(mx) - float(mn)
         if span <= 0:
             return "(CAST(0 AS BIGINT))"

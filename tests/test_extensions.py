@@ -873,3 +873,29 @@ def test_write_epoch_files_match_manifest(spark, sf_dir, tmp_path):
         assert got == want, f"shard {shard} diverges from manifest"
         total += len(got)
     assert total == sum(len(v) for v in manifest.values()) > 0
+
+
+def test_curation_funnel_counts_empty_text_docs_in_raw(spark, tmp_path):
+    """x58 regression (r5 review): an empty-text doc has no x17 row,
+    and the old inner join dropped it from EVERY stage including
+    'raw'. It must count at stage 1 (failing the quality gate), so
+    stage-1 equals the raw corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["", "alpha beta gamma delta epsilon " * 20, "tiny"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    rows = {r.stage_id: r for r in SPECS["x58_curation_funnel"].fn(spark, str(d)).collect()}
+    assert rows[1].n_docs == len(texts)
+    assert rows[1].frac_of_raw == 1.0

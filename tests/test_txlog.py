@@ -77,7 +77,7 @@ def test_torn_writer_invisible_and_vacuumed(spark, tmp_path):
         json.dump({"version": 9, "action": "append", "add": "data/v9-deadbeef"}, fh)
     assert t.latest_version() == 1
     assert sorted(r.v for r in t.read(spark).collect()) == [0, 1, 2]
-    removed = t.vacuum()
+    removed = t.vacuum(grace_seconds=0)
     assert "data/v9-deadbeef" in removed
     assert not orphan.exists()
     assert not (tmp_path / "t" / "_txlog" / ".tmp-deadbeef.json").exists()
@@ -87,7 +87,7 @@ def test_vacuum_respects_retention(spark, tmp_path):
     t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 2))
     t.overwrite(_df(spark, 10, 12))
     t.append(_df(spark, 12, 14))
-    removed = t.vacuum(retain_versions=2)  # keep snapshots v2 and v3
+    removed = t.vacuum(retain_versions=2, grace_seconds=0)  # keep snapshots v2 and v3
     assert len(removed) == 1  # only v1's overwritten dir goes
     assert sorted(r.v for r in t.read(spark, version=2).collect()) == [10, 11]
     assert sorted(r.v for r in t.read(spark).collect()) == [10, 11, 12, 13]
@@ -220,3 +220,22 @@ def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert sorted(r.v for r in t.read(spark).collect()) == before
     # history intact: pre-compaction snapshot still time-travelable
     assert sorted(r.v for r in t.read(spark, version=v - 1).collect()) == before
+
+
+def test_vacuum_grace_protects_inflight_commit(spark, tmp_path):
+    """A fresh unreferenced data dir + tmp entry (an in-flight writer
+    between its parquet write and its log link) must survive a vacuum
+    with the default grace window; only an aged orphan is removed."""
+    import json as _json
+
+    t = TxTable.create(str(tmp_path / "t"), _df(spark, 0, 3))
+    inflight = tmp_path / "t" / "data" / "v9-aaaa"
+    _df(spark, 900, 901).write.parquet(str(inflight))
+    tmpfile = tmp_path / "t" / "_txlog" / ".tmp-aaaa.json"
+    with open(tmpfile, "w") as fh:
+        _json.dump({"version": 9, "action": "append", "add": "data/v9-aaaa"}, fh)
+    removed = t.vacuum()  # default grace: fresh files untouched
+    assert removed == []
+    assert inflight.exists() and tmpfile.exists()
+    removed = t.vacuum(grace_seconds=0)  # aged out: reclaimed
+    assert "data/v9-aaaa" in removed and not inflight.exists()
