@@ -114,3 +114,33 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def split_by_rules(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level validation SPLIT: returns ``(valid, rejected)`` where
+    a row is valid iff every rule holds (NULL = violation, matching
+    ``check_constraints``); rejected rows carry a ``_violations``
+    array naming every failed rule — the triage column a dead-letter
+    consumer needs, computed in the same single pass as the split
+    (no per-rule rescans)."""
+    if not rules:
+        return df, df.limit(0).withColumn(
+            "_violations", F.array().cast("array<string>")
+        )
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(cond).cast("boolean"), F.lit(False)),
+                    F.lit(name),
+                )
+                for name, cond in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("_violations", viol)
+    valid = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    rejected = tagged.filter(F.size("_violations") > 0)
+    return valid, rejected

@@ -186,3 +186,53 @@ def run_txlog_sink(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def run_validating_sink(
+    stream_df: DataFrame,
+    rules: dict[str, str],
+    out_path: str,
+    dlq_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    on_batch=None,
+) -> StreamingQuery:
+    """Validation-split ingest with a DEAD-LETTER QUEUE: each
+    micro-batch is split by ``quality.split_by_rules`` — rows passing
+    every row-level contract land under ``out_path``, rejects land
+    under ``dlq_path`` WITH their ``_violations`` triage column, so
+    bad data is quarantined and diagnosable instead of silently
+    dropped or poisoning the table. Replay-idempotent via the same
+    batch-subdirectory commit pattern as the near-dup ingest (a
+    re-run batch overwrites identical content). ``on_batch(batch_id,
+    n_valid, n_rejected)`` feeds the monitor's alert conditions (a
+    reject-rate spike is the canary for an upstream schema drift)."""
+    import os
+
+    from etl_spark.quality import split_by_rules
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        valid, rejected = split_by_rules(batch_df, rules)
+        valid = valid.persist()
+        rejected = rejected.persist()
+        n_valid, n_rej = valid.count(), rejected.count()
+        if n_valid:
+            valid.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch-{batch_id}")
+            )
+        if n_rej:
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(dlq_path, f"batch-{batch_id}")
+            )
+        valid.unpersist()
+        rejected.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_valid, n_rej)
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )

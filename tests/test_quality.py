@@ -89,3 +89,22 @@ def test_check_constraints_edges(spark):
     assert check_constraints(spark.range(3), {}) == {}
     empty = spark.createDataFrame([], "v INT")
     assert check_constraints(empty, {"pos": "v > 0"}) == {"pos": 0}
+
+
+def test_split_by_rules_null_counts_as_violation(spark):
+    """split_by_rules: NULL rule results reject (contract not provably
+    met — same semantics as check_constraints), multiple failures all
+    appear in _violations, and valid rows come back column-identical."""
+    from etl_spark.quality import split_by_rules
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "view"), (2, None, "view"), (3, -1.0, "weird")],
+        "id LONG, value DOUBLE, kind STRING",
+    )
+    valid, rejected = split_by_rules(
+        df, {"v_nonneg": "value >= 0", "known": "kind IN ('view','click')"}
+    )
+    assert [r.id for r in valid.collect()] == [1]
+    assert valid.columns == df.columns
+    rej = {r.id: sorted(r._violations) for r in rejected.collect()}
+    assert rej == {2: ["v_nonneg"], 3: ["known", "v_nonneg"]}

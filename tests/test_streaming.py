@@ -608,3 +608,65 @@ def test_streaming_neardup_segment_overlap_gate(spark, tmp_path):
     assert kept == {1, 3, 4}
     assert (1, 3, 2) in [(b, n_in, n_kept) for b, n_in, n_kept in batches] or \
         any(n_in == 3 and n_kept == 2 for _, n_in, n_kept in batches)
+
+
+def test_validating_sink_routes_rejects_to_dlq(spark, sf_dir, event_dir, tmp_path):
+    """Dead-letter ingest: rows violating any contract land under the
+    DLQ with a _violations column naming each failed rule; valid rows
+    land clean; the union reconstructs the input exactly."""
+    from etl_spark.streaming import stream_events
+    from etl_spark.streaming.sinks import run_validating_sink
+
+    rules = {
+        "value_nonneg": "value >= 0",
+        "known_type": "event_type IN ('view','click','purchase','error')",
+    }
+    counts = []
+    q = run_validating_sink(
+        stream_events(spark, str(event_dir)),
+        rules,
+        out_path=str(tmp_path / "good"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "ckpt_dlq"),
+        on_batch=lambda b, nv, nr: counts.append((b, nv, nr)),
+    )
+    q.awaitTermination(120)
+
+    ev = load(spark, sf_dir, "events")
+    want_bad = ev.filter(
+        "NOT (value >= 0) OR event_type NOT IN ('view','click','purchase','error')"
+    ).count()
+    good = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "good"))
+    )
+    assert good.count() == ev.count() - want_bad
+    total_v, total_r = sum(c[1] for c in counts), sum(c[2] for c in counts)
+    assert total_v == good.count()
+    if want_bad:
+        dlq = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "dlq"))
+        )
+        assert dlq.count() == want_bad == total_r
+        assert all(len(r._violations) >= 1 for r in dlq.collect())
+    else:
+        # fixture has no violations for these rules: tighten one rule
+        # so the DLQ path is actually exercised
+        import shutil as _sh
+
+        _sh.rmtree(tmp_path / "ckpt_dlq")
+        q2 = run_validating_sink(
+            stream_events(spark, str(event_dir)),
+            {"impossible": "value > 1e12"},
+            out_path=str(tmp_path / "good2"),
+            dlq_path=str(tmp_path / "dlq2"),
+            checkpoint=str(tmp_path / "ckpt_dlq2"),
+        )
+        q2.awaitTermination(120)
+        dlq = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "dlq2"))
+        )
+        assert dlq.count() == ev.count()
+        assert all(r._violations == ["impossible"] for r in dlq.collect())
