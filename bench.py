@@ -247,6 +247,9 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
             n = specs[name].fn(spark, tmp).count()
         except Exception as exc:  # noqa: BLE001 — same isolation as HEADLINE
             out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:300]
+            # a failed run may still have persisted its model table —
+            # clear on BOTH paths or the leak skews every later row
+            spark.catalog.clearCache()
             continue
         out[name] = round(time.perf_counter() - t0, 3)
         out[f"{name}_rows"] = n
@@ -298,6 +301,7 @@ def main() -> None:
             # one broken query must cost its own row, not the whole
             # bench JSON the driver records for the round
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            spark.catalog.clearCache()  # failed run may have persisted
             continue
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)

@@ -910,6 +910,18 @@ def write_epoch(spark: SparkSession, sf: str, path: str) -> None:
     writes IS the epoch a data loader streams, with x56 as its index.
     Membership and order are content-stable, so re-running after
     corpus growth only appends new docs to shard tails."""
-    manifest = x56_training_manifest(spark, sf).select("doc_id")
-    docs = load(spark, sf, "documents").join(manifest, "doc_id")
-    write_training_shards(docs, path)
+    # membership from the SHARED predicates directly, not from x56's
+    # output: the manifest's per-shard rank and offset windows are
+    # pure wasted work here (write_training_shards re-derives shard
+    # and order itself), and the selection filters are the same
+    # single definitions x56 uses, so the written files still match
+    # the manifest row-for-row (asserted in tests).
+    from etl_spark.extensions.pipeline import _split_col
+
+    docs = load(spark, sf, "documents")
+    picked = (
+        docs.join(F.broadcast(_mix_rates(docs)), "lang")
+        .filter((_permille_col() < F.col("thr")) & (_split_col() == "train"))
+        .drop("thr")
+    )
+    write_training_shards(picked, path)

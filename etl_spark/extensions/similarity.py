@@ -910,16 +910,19 @@ MODAL_AGREE_COS = 0.1  # text-dup pairs at/above this cosine "agree"
 def _x60_oracle() -> str:
     from etl_spark.extensions.dedup import _duck_lsh_pairs
 
+    # NULLIF mirrors Spark's try_divide: a zero-norm (defective)
+    # vector yields NULL cosine and a FALSE agree flag on both engines
     cos = """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
-                                      ea.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(eb.embedding::DOUBLE[],
-                                        eb.embedding::DOUBLE[])))"""
+             / NULLIF(sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                            ea.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[])), 0)"""
     return f"""
         WITH pairs AS ({_duck_lsh_pairs()})
         SELECT p.doc_a, p.doc_b,
                ROUND({cos}, 4) AS cosine,
-               ROUND({cos}, 9) >= {MODAL_AGREE_COS} AS modal_agree
+               COALESCE(ROUND({cos}, 9) >= {MODAL_AGREE_COS}, FALSE)
+                   AS modal_agree
         FROM pairs p
         JOIN embeddings ea ON p.doc_a = ea.vec_id
         JOIN embeddings eb ON p.doc_b = eb.vec_id
@@ -953,9 +956,16 @@ def x60_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_parallel(spark, sf, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+    # try_divide, not '/': ANSI mode is on session-wide, so a
+    # zero-norm (defective) embedding in a near-dup pair would
+    # otherwise abort the whole audit with DIVIDE_BY_ZERO — the exact
+    # broken data this query exists to surface. NULL cosine maps to a
+    # FALSE agree flag (a defect is a disagreement); the oracle
+    # mirrors via NULLIF + COALESCE.
+    cos = F.try_divide(
+        F.expr(_DOT.format(a="ea", b="eb")),
         F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb"))),
     )
     return (
         pairs.join(ea, "doc_a")
@@ -964,6 +974,8 @@ def x60_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(cos, 4).alias("cosine"),
-            (F.round(cos, 9) >= MODAL_AGREE_COS).alias("modal_agree"),
+            F.coalesce(
+                F.round(cos, 9) >= MODAL_AGREE_COS, F.lit(False)
+            ).alias("modal_agree"),
         )
     )

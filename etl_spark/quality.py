@@ -124,7 +124,15 @@ def split_by_rules(
     ``check_constraints``); rejected rows carry a ``_violations``
     array naming every failed rule — the triage column a dead-letter
     consumer needs, computed in the same single pass as the split
-    (no per-rule rescans)."""
+    (no per-rule rescans).
+
+    CONTRACT: rules must be TOTAL expressions. ANSI mode is on
+    session-wide, so a rule that can THROW on a malformed row
+    (division, strict casts, array indexing) aborts the whole batch
+    instead of routing that row to the DLQ — write such rules with
+    the try_* forms (``try_divide(num, den) < 10``, ``try_cast(s AS
+    INT) IS NOT NULL``), which yield NULL on the bad row and therefore
+    count as violations here."""
     if not rules:
         return df, df.limit(0).withColumn(
             "_violations", F.array().cast("array<string>")

@@ -899,3 +899,44 @@ def test_curation_funnel_counts_empty_text_docs_in_raw(spark, tmp_path):
     rows = {r.stage_id: r for r in SPECS["x58_curation_funnel"].fn(spark, str(d)).collect()}
     assert rows[1].n_docs == len(texts)
     assert rows[1].frac_of_raw == 1.0
+
+
+def test_modal_agreement_survives_zero_norm_vector(spark, tmp_path):
+    """x60 regression (r5 review): a zero-norm embedding inside a text
+    near-dup pair must yield NULL cosine + FALSE agree — not an ANSI
+    DIVIDE_BY_ZERO that kills the audit (the defective data is what
+    the audit exists to surface)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.similarity import _EMB_DIM, x60_modal_agreement
+
+    d = tmp_path / "m"
+    d.mkdir()
+    # two near-identical docs (same shingles -> x04 pairs them)
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [base + "one", base + "two"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([len(base) + 3] * 2, pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    ok = [float((i % 7) - 3) for i in range(_EMB_DIM)]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([ok, [0.0] * _EMB_DIM],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }),
+        d / "embeddings.parquet",
+    )
+    rows = x60_modal_agreement(spark, str(d)).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.cosine is None
+        assert r.modal_agree is False
