@@ -586,23 +586,30 @@ def test_streaming_neardup_segment_overlap_gate(spark, tmp_path):
             src / name,
         )
 
+    # two sequential drains on one checkpoint, NOT two files in one
+    # drain: FileStreamSource order between same-mtime files is not
+    # guaranteed, and batch 2's semantics depend on batch 1 being
+    # indexed first (flaked under full-suite load)
+    def drain():
+        return _drain_neardup(
+            spark,
+            src,
+            "doc_id LONG, text STRING",
+            lambda df: _segments(df).select("doc_id", "seg"),
+            "doc_id",
+            tmp_path,
+            "seg",
+            min_frac=0.5,
+        )
+
     write("b1.parquet", [(1, f"{seg_a} {seg_b}")])
+    drain()
     write("b2.parquet", [
         (2, f"{seg_b} {seg_a}"),   # 2/2 segments seen -> dropped
         (3, f"{seg_a} {seg_c}"),   # 1/2 seen (0.5, not > 0.5) -> kept
         (4, f"{seg_c} {seg_c}"),   # seg_c only seen within THIS batch -> kept
     ])
-
-    kept, batches = _drain_neardup(
-        spark,
-        src,
-        "doc_id LONG, text STRING",
-        lambda df: _segments(df).select("doc_id", "seg"),
-        "doc_id",
-        tmp_path,
-        "seg",
-        min_frac=0.5,
-    )
+    kept, batches = drain()
     # intra-batch rows never see each other (documented design): doc 4
     # shares seg_c with doc 3 but both are in batch 2 -> both kept
     assert kept == {1, 3, 4}
