@@ -94,6 +94,8 @@ HEADLINE = [
     "x59_incremental_segment_dedup",
     "x60_modal_agreement",
     "x61_length_bucket_packing",
+    "x62_dsir_importance",
+    "x63_source_cap",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

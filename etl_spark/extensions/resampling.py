@@ -1,0 +1,234 @@
+"""Data-selection operators: importance resampling toward a target
+domain (DSIR) and the per-source document cap.
+
+Two selection policies the curation family (x17 quality gate, x46
+dedup verdict, x51 temperature mix) does not cover (reference has no
+analog — it is a per-table ETL scheduler):
+
+- x62 DSIR importance weights: Data Selection via Importance
+  Resampling (Xie et al. '23) — score every raw document by how much
+  more likely its hashed n-gram features are under a TARGET domain's
+  feature distribution than under the raw corpus's, then keep the
+  docs that look target-like. This is the principled replacement for
+  "filter by a handful of heuristics": the target corpus itself
+  defines what good data looks like. Here the target is the English
+  partition (the fixture's stand-in for a curated corpus such as
+  Wikipedia); features are bigrams hashed into ``DSIR_BUCKETS``
+  buckets exactly as the paper hashes n-grams into a fixed-width
+  feature space.
+- x63 per-source cap: the RefinedWeb/Gopher-style anti-concentration
+  rule — no single source may contribute more than ``SOURCE_CAP``
+  documents, and WHICH documents survive is content-stable (md5
+  order), never rand() or arrival order, so a re-run or a backfill
+  selects the identical survivor set.
+
+Scale shapes: x62's feature-distribution model is one aggregate over
+the corpus's hashed-bigram stream collapsing to ``DSIR_BUCKETS`` rows
+(map-side partial aggregation absorbs the Zipf skew — buckets are a
+fixed tiny key space), and scoring joins the stream to that
+broadcast-sized table, then one (doc_id) aggregate: two corpus scans
+total, nothing quadratic, no Python. x63 is a single shuffle on
+source with a per-partition top-CAP; at web scale a scan-local
+permille prefilter bounds the window input first (see the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+# feature-space width for hashed bigrams (DSIR §2.2 hashes n-grams
+# into 10k buckets at web scale; 64 keeps every bucket populated at
+# fixture scale so the smoothing term never dominates)
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"  # the "curated corpus" stand-in
+
+_DUCK_BIGRAM_BUCKETS = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT
+                   % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+              FROM toks)
+    )
+"""
+
+
+@register(
+    "x62_dsir_importance",
+    oracle=f"""
+        {_DUCK_BIGRAM_BUCKETS},
+        cnt AS (
+            SELECT b, COUNT(*) AS raw_c,
+                   COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tgt_c
+            FROM feats GROUP BY b
+        ),
+        tot AS (
+            SELECT SUM(raw_c) AS nr, SUM(tgt_c) AS nt FROM cnt
+        ),
+        lr AS (
+            SELECT b,
+                   ln(CAST(tgt_c + 1 AS DOUBLE)
+                      / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                   - ln(CAST(raw_c + 1 AS DOUBLE)
+                        / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lratio
+            FROM cnt, tot
+        ),
+        scored AS (
+            SELECT f.doc_id, f.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   ROUND(SUM(lr.lratio), 6) AS logw
+            FROM feats f JOIN lr USING (b)
+            GROUP BY f.doc_id, f.lang
+        )
+        SELECT doc_id, lang, n_feats, logw, logw > 0 AS selected
+        FROM scored
+    """,
+    tags=("pipeline", "sampling"),
+)
+def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. '23): log importance
+    weight of every document under a hashed bigram bag-of-words
+    model, log w(doc) = Σ_features [ln p_target(b) − ln p_raw(b)]
+    with add-one smoothing over ``DSIR_BUCKETS`` hashed feature
+    buckets; ``selected`` marks docs whose features are on net more
+    target-like than the corpus average (log w > 0). The target
+    distribution is estimated from the ``DSIR_TARGET_LANG`` partition,
+    the raw distribution from the whole corpus — swap the target
+    predicate for "joins the curated seed table" in production.
+
+    Scale shape: the model build collapses the hashed-bigram stream
+    to a ``DSIR_BUCKETS``-row table in ONE aggregate (raw and target
+    counts as a conditional count in the same pass — no second scan
+    for the target); Zipf skew in bigram frequency is absorbed by
+    map-side partial aggregation because the key space is the fixed
+    bucket id, not the bigram. Scoring re-streams the features
+    against the broadcast log-ratio table and aggregates per doc_id.
+    Two corpus scans, one broadcast, one keyed shuffle — linear in
+    corpus size, independent of target size. Cross-engine float
+    discipline (x54 convention): identical ln/division expression
+    tree both engines, summation-order last-ulp noise absorbed by
+    ROUND(·, 6), and ``selected`` compares the ROUNDED weight so the
+    flag cannot flip between engines.
+    """
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    # sequence(1, size-1) DESCENDS for single-word docs (ADVICE r4
+    # hazard class) — filter them out first; DuckDB's range() is
+    # simply empty there, so both engines drop the same docs
+    feats = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "element_at(t, i) || ' ' || element_at(t, i + 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
+    )
+    tot = cnt.agg(F.sum("raw_c").alias("nr"), F.sum("tgt_c").alias("nt"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.ln(
+                (F.col("tgt_c") + 1).cast("double")
+                / (F.col("nt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.ln(
+                (F.col("raw_c") + 1).cast("double")
+                / (F.col("nr") + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("lratio"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lratio"), 6).alias("logw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "logw",
+        (F.col("logw") > 0).alias("selected"),
+    )
+
+
+# RefinedWeb-style anti-concentration: max documents one source may
+# contribute. 18 < the fixture's 25-per-source, so the cap BINDS on
+# every source at sf0.01 (non-vacuous both directions)
+SOURCE_CAP = 18
+
+
+@register(
+    "x63_source_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, rk <= {SOURCE_CAP} AS kept
+        FROM ranked
+    """,
+    tags=("pipeline", "sampling"),
+)
+def x63_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap — the anti-concentration rule of
+    RefinedWeb/Gopher-class pipelines (no domain may dominate the
+    mix): each source keeps at most ``SOURCE_CAP`` documents, chosen
+    by content-stable md5 order (doc_id tie-break), so re-runs and
+    backfills select the identical survivor set — never rand(),
+    never arrival order. Emits the full verdict table (x46
+    convention) rather than just the survivors, so the drop volume
+    is auditable.
+
+    Scale shape: one shuffle on source, then a per-partition
+    ROW_NUMBER. Sources are Zipf-skewed at web scale, so the exact
+    form's sort-within-source is the cost; the production-scale
+    refinement is a scan-local permille prefilter — keep only rows
+    with md5-permille under ~2·CAP/n_s before the exact window —
+    which bounds every partition to O(CAP) rows while provably
+    containing the true top-CAP (same two-phase shape as x24's
+    bucket cap). At fixture scale the direct window IS the right
+    plan, so that prefilter is not wired in here.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "source", (F.col("rk") <= SOURCE_CAP).alias("kept")
+        )
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.multimodal  # noqa: F401
     import etl_spark.extensions.pipeline  # noqa: F401
     import etl_spark.extensions.corpus  # noqa: F401
+    import etl_spark.extensions.resampling  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -101,9 +102,9 @@ def _ensure_loaded() -> None:
 # After this round only x23/x26/x27/x30/x31/x32 have a driver row
 # older than r3; they rotate first in r6 together with the round-5
 # queries registered after the window filled (x56 training manifest,
-# x57 semdedup, x58 curation funnel, and any later additions — all
-# deferring their first driver row), then the r3/r4-checked queries
-# oldest-first. All are covered by the identical
+# x57 semdedup, x58 curation funnel, x59-x63, and any later
+# additions — all deferring their first driver row), then the
+# r3/r4-checked queries oldest-first. All are covered by the identical
 # local oracle gate every round (tests/test_oracle.py).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (5): registered after the r4 window filled

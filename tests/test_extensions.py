@@ -940,3 +940,56 @@ def test_modal_agreement_survives_zero_norm_vector(spark, tmp_path):
     for r in rows:
         assert r.cosine is None
         assert r.modal_agree is False
+
+
+# ---------- data selection: x62 DSIR / x63 source cap ----------
+
+
+def test_dsir_importance_contracts(spark, sf_dir):
+    """x62's contracts beyond hash parity: (a) every bigram of every
+    multi-word doc is scored exactly once (Σ n_feats == corpus bigram
+    count); (b) the flag is exactly logw > 0; (c) DSIR's point —
+    target-language documents score higher ON AVERAGE than the rest
+    (their features define the target distribution)."""
+    from etl_spark.extensions.resampling import DSIR_TARGET_LANG
+
+    rows = SPECS["x62_dsir_importance"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expected_feats = sum(
+        len(r.text.split(" ")) - 1 for r in docs if len(r.text.split(" ")) >= 2
+    )
+    assert sum(r.n_feats for r in rows) == expected_feats
+    assert all(r.selected == (r.logw > 0) for r in rows)
+    tgt = [r.logw / r.n_feats for r in rows if r.lang == DSIR_TARGET_LANG]
+    rest = [r.logw / r.n_feats for r in rows if r.lang != DSIR_TARGET_LANG]
+    assert tgt and rest, "fixture must contain both partitions"
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_source_cap_selects_md5_top_cap(spark, sf_dir):
+    """x63's contracts: per-source survivor count is exactly
+    min(n_source, CAP), and the survivor SET is the md5-order
+    top-CAP a driver-side reference computes independently —
+    content-stable, so backfills reselect identically."""
+    import hashlib
+    from collections import defaultdict
+
+    from etl_spark.extensions.resampling import SOURCE_CAP
+
+    rows = SPECS["x63_source_cap"].fn(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        by_src[r.source].append(r.doc_id)
+    kept = defaultdict(set)
+    for r in rows:
+        if r.kept:
+            kept[r.source].add(r.doc_id)
+    assert len(rows) == sum(len(v) for v in by_src.values())
+    for src, ids in by_src.items():
+        expect = set(
+            sorted(
+                ids,
+                key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+            )[:SOURCE_CAP]
+        )
+        assert kept[src] == expect, f"survivor set differs for {src}"
