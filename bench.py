@@ -96,6 +96,7 @@ HEADLINE = [
     "x61_length_bucket_packing",
     "x62_dsir_importance",
     "x63_source_cap",
+    "x64_incremental_dsir",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

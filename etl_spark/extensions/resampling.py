@@ -59,27 +59,91 @@ _DUCK_BIGRAM_BUCKETS = f"""
     )
 """
 
+# model-estimation CTE template over a feature relation named by
+# ``src`` — the SAME count/ratio expressions x62 and x64 both splice
+# in, so the batch scorer and the corpus scorer cannot drift
+_DUCK_DSIR_MODEL = """
+    cnt AS (
+        SELECT b, COUNT(*) AS raw_c,
+               COUNT(*) FILTER (lang = '{target}') AS tgt_c
+        FROM {src} GROUP BY b
+    ),
+    tot AS (
+        SELECT SUM(raw_c) AS nr, SUM(tgt_c) AS nt FROM cnt
+    ),
+    lr AS (
+        SELECT b,
+               ln(CAST(tgt_c + 1 AS DOUBLE)
+                  / CAST(nt + {buckets} AS DOUBLE))
+               - ln(CAST(raw_c + 1 AS DOUBLE)
+                    / CAST(nr + {buckets} AS DOUBLE)) AS lratio
+        FROM cnt, tot
+    )
+"""
+
+
+def _bigram_bucket_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) hashed-bigram feature stream — the unit
+    shared by x62 (corpus scorer) and x64 (batch scorer)."""
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    # sequence(1, size-1) DESCENDS for single-word docs (ADVICE r4
+    # hazard class) — filter them out first; DuckDB's range() is
+    # simply empty there, so both engines drop the same docs
+    return (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "element_at(t, i) || ' ' || element_at(t, i + 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+
+
+def _dsir_model(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(lr, tot) — per-bucket smoothed log importance ratios and the
+    corpus totals they were smoothed with, estimated from a feature
+    stream. One aggregate builds both distributions (target counts
+    are a conditional count in the raw pass — no second scan)."""
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
+    )
+    tot = cnt.agg(F.sum("raw_c").alias("nr"), F.sum("tgt_c").alias("nt"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.ln(
+                (F.col("tgt_c") + 1).cast("double")
+                / (F.col("nt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.ln(
+                (F.col("raw_c") + 1).cast("double")
+                / (F.col("nr") + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("lratio"),
+    )
+    return lr, tot
+
 
 @register(
     "x62_dsir_importance",
     oracle=f"""
         {_DUCK_BIGRAM_BUCKETS},
-        cnt AS (
-            SELECT b, COUNT(*) AS raw_c,
-                   COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tgt_c
-            FROM feats GROUP BY b
-        ),
-        tot AS (
-            SELECT SUM(raw_c) AS nr, SUM(tgt_c) AS nt FROM cnt
-        ),
-        lr AS (
-            SELECT b,
-                   ln(CAST(tgt_c + 1 AS DOUBLE)
-                      / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
-                   - ln(CAST(raw_c + 1 AS DOUBLE)
-                        / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lratio
-            FROM cnt, tot
-        ),
+        {_DUCK_DSIR_MODEL.format(target=DSIR_TARGET_LANG, src="feats",
+                                 buckets=DSIR_BUCKETS)},
         scored AS (
             SELECT f.doc_id, f.lang,
                    CAST(COUNT(*) AS BIGINT) AS n_feats,
@@ -117,57 +181,85 @@ def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     ROUND(·, 6), and ``selected`` compares the ROUNDED weight so the
     flag cannot flip between engines.
     """
-    docs = load(spark, sf, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("t")
-    )
-    # sequence(1, size-1) DESCENDS for single-word docs (ADVICE r4
-    # hazard class) — filter them out first; DuckDB's range() is
-    # simply empty there, so both engines drop the same docs
-    feats = (
-        docs.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), i -> "
-                    "element_at(t, i) || ' ' || element_at(t, i + 1))"
-                )
-            ).alias("bg"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
-                f" % {DSIR_BUCKETS}"
-            ).alias("b"),
-        )
-    )
-    cnt = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
-    )
-    tot = cnt.agg(F.sum("raw_c").alias("nr"), F.sum("tgt_c").alias("nt"))
-    lr = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (
-            F.ln(
-                (F.col("tgt_c") + 1).cast("double")
-                / (F.col("nt") + DSIR_BUCKETS).cast("double")
-            )
-            - F.ln(
-                (F.col("raw_c") + 1).cast("double")
-                / (F.col("nr") + DSIR_BUCKETS).cast("double")
-            )
-        ).alias("lratio"),
-    )
+    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
+    lr, _ = _dsir_model(feats)
     scored = (
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.round(F.sum("lratio"), 6).alias("logw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "logw",
+        (F.col("logw") > 0).alias("selected"),
+    )
+
+
+@register(
+    "x64_incremental_dsir",
+    oracle=f"""
+        {_DUCK_BIGRAM_BUCKETS},
+        seen AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+        {_DUCK_DSIR_MODEL.format(target=DSIR_TARGET_LANG, src="seen",
+                                 buckets=DSIR_BUCKETS)},
+        scored AS (
+            SELECT f.doc_id, f.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   ROUND(SUM(COALESCE(lr.lratio,
+                       ln(CAST(1 AS DOUBLE)
+                          / CAST(tot.nt + {DSIR_BUCKETS} AS DOUBLE))
+                       - ln(CAST(1 AS DOUBLE)
+                            / CAST(tot.nr + {DSIR_BUCKETS} AS DOUBLE))
+                   )), 6) AS logw
+            FROM feats f LEFT JOIN lr USING (b), tot
+            WHERE f.doc_id % 2 = 1
+            GROUP BY f.doc_id, f.lang
+        )
+        SELECT doc_id, lang, n_feats, logw, logw > 0 AS selected
+        FROM scored
+    """,
+    tags=("pipeline", "sampling", "incremental"),
+)
+def x64_incremental_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time DSIR — x62's scorer as a DELTA probe: the
+    feature distributions are estimated ONCE from the SEEN corpus
+    (even doc_id) and stored; each NEW batch (odd doc_id, standing in
+    for today's crawl) is scored against that stored model without
+    touching the corpus again. A feature hashing to a bucket the seen
+    corpus never produced gets the add-one-smoothed unseen-bucket
+    ratio (count 0 in both distributions) via a LEFT join — an inner
+    join would silently DROP unseen features and misreport n_feats.
+    Completes the incremental family for data selection alongside
+    dedup's x37 (MinHash) / x44 (embedding bands) / x59 (segments).
+
+    Scale shape: per batch, ONE broadcast join of the batch's feature
+    stream against the ``DSIR_BUCKETS``-row model and one (doc_id)
+    aggregate — batch-sized work, corpus-independent. Model
+    estimation reuses x62's one-aggregate build (`_dsir_model`, the
+    shared-helper convention of `_split_col`/`_mix_rates`, so batch
+    and corpus scoring cannot drift)."""
+    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
+    lr, tot = _dsir_model(feats.filter(F.col("doc_id") % 2 == 0))
+    unseen = F.ln(
+        F.lit(1).cast("double") / (F.col("nt") + DSIR_BUCKETS).cast("double")
+    ) - F.ln(
+        F.lit(1).cast("double") / (F.col("nr") + DSIR_BUCKETS).cast("double")
+    )
+    scored = (
+        feats.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(lr), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(
+                F.sum(F.coalesce(F.col("lratio"), unseen)), 6
+            ).alias("logw"),
         )
     )
     return scored.select(

@@ -993,3 +993,58 @@ def test_source_cap_selects_md5_top_cap(spark, sf_dir):
             )[:SOURCE_CAP]
         )
         assert kept[src] == expect, f"survivor set differs for {src}"
+
+
+def test_incremental_dsir_unseen_buckets_left_join(spark, tmp_path):
+    """x64's hazard contract: features hashing to buckets the SEEN
+    corpus never produced must still be counted (LEFT join + smoothed
+    unseen ratio), not silently dropped. Seen corpus = one 2-word doc
+    (1 bigram → 1 occupied bucket of 64); the new doc's 7 bigrams
+    therefore almost all probe empty buckets. Expected weights are
+    recomputed driver-side from the paper formula."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.resampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        x64_incremental_dsir,
+    )
+
+    seen_text = "alpha beta"
+    new_text = "gamma delta epsilon zeta eta theta iota kappa"
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [seen_text, new_text],
+            "lang": [DSIR_TARGET_LANG, "de"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([len(seen_text), len(new_text)], pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    rows = x64_incremental_dsir(spark, str(d)).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    n_new = len(new_text.split(" ")) - 1
+    assert rows[0].n_feats == n_new, "unseen features were dropped"
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
+        return int(h, 16) % DSIR_BUCKETS
+
+    sw = seen_text.split(" ")
+    seen_buckets = {bucket(sw[i], sw[i + 1]): (1, 1) for i in range(len(sw) - 1)}
+    nr = nt = 1  # the seen corpus has exactly one (target-lang) feature
+    logw = 0.0
+    nw = new_text.split(" ")
+    for i in range(len(nw) - 1):
+        raw_c, tgt_c = seen_buckets.get(bucket(nw[i], nw[i + 1]), (0, 0))
+        logw += math.log((tgt_c + 1) / (nt + DSIR_BUCKETS)) - math.log(
+            (raw_c + 1) / (nr + DSIR_BUCKETS)
+        )
+    assert abs(rows[0].logw - round(logw, 6)) < 1e-6
