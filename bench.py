@@ -244,6 +244,11 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         "x54_lm_quality_score",
         "x55_split_leakage",
         "x59_incremental_segment_dedup",
+        # x62/x64: the DSIR model stays DSIR_BUCKETS rows no matter
+        # the corpus, so the slope should track the feature stream
+        # (linear) — the model-size-independence claim under test
+        "x62_dsir_importance",
+        "x64_incremental_dsir",
     ):
         try:
             t0 = time.perf_counter()

@@ -677,3 +677,70 @@ def test_validating_sink_routes_rejects_to_dlq(spark, sf_dir, event_dir, tmp_pat
         )
         assert dlq.count() == ev.count()
         assert all(r._violations == ["impossible"] for r in dlq.collect())
+
+
+def test_streaming_dsir_gate_matches_x64_verdict(spark, tmp_path, sf_dir):
+    """The ingestion-time DSIR gate must agree exactly with the batch
+    scorer it streams (x64): model built from the even-doc_id corpus,
+    odd docs streamed in two micro-batches — the accepted set, and
+    every accepted doc's logw, must match x64's registered verdict on
+    the same fixture. Featureless (sub-2-word) docs are not selected."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.resampling import x64_incremental_dsir
+    from etl_spark.streaming.selection import build_dsir_model, run_dsir_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_model_rows = build_dsir_model(
+        docs.filter("doc_id % 2 = 0"), str(tmp_path / "model")
+    )
+    assert 0 < n_model_rows <= 64
+
+    odd = [r.asDict() for r in docs.filter("doc_id % 2 = 1").collect()]
+    assert len(odd) >= 4, "fixture too small to form two batches"
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    half = len(odd) // 2
+    for i, chunk in enumerate((odd[:half], odd[half:])):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                "lang": [r["lang"] for r in chunk],
+                "text": [r["text"] for r in chunk],
+            }),
+            d / f"b{i}.parquet",
+        )
+        os.utime(d / f"b{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_dsir_gate(
+        stream,
+        model_path=str(tmp_path / "model"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda b, n_in, n_kept: seen.append((b, n_in, n_kept)),
+    )
+    q.awaitTermination(120)
+
+    out = {
+        r.doc_id: r.logw
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    x64 = {r.doc_id: r for r in x64_incremental_dsir(spark, sf_dir).collect()}
+    expect_kept = {i for i, r in x64.items() if r.selected}
+    assert set(out) == expect_kept
+    for doc_id, logw in out.items():
+        assert abs(logw - x64[doc_id].logw) <= 1e-6
+    assert [b for b, _, _ in seen] == [0, 1]
+    assert sum(n_in for _, n_in, _ in seen) == len(odd)
+    assert sum(n_kept for _, _, n_kept in seen) == len(expect_kept)
