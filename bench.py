@@ -97,6 +97,7 @@ HEADLINE = [
     "x62_dsir_importance",
     "x63_source_cap",
     "x64_incremental_dsir",
+    "x65_knn_join",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -979,3 +979,149 @@ def x60_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("modal_agree"),
         )
     )
+
+
+# batched retrieval: top-K neighbors per query, queries = every
+# KNN_QUERY_STRIDE-th vector (the "eval set" stand-in). nprobe=5 of
+# the fixture's 10 cells: the hyperplane bands (tuned for ≥0.4
+# near-dups) recall ~6% of general top-K on this near-random fixture
+# — measured, which is why the kNN join probes IVF cells instead
+KNN_K = 5
+KNN_QUERY_STRIDE = 25
+KNN_NPROBE = 5
+
+
+def _duck_knn_join() -> str:
+    return f"""
+        WITH sums AS (
+            SELECT label, pos,
+                   SUM(CAST(v AS DECIMAL(30,10))) AS s
+            FROM (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings
+            ) t
+            GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT label,
+                   list(CAST(s AS DOUBLE) ORDER BY pos) AS sumvec
+            FROM sums GROUP BY label
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe
+            FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+        ),
+        probe AS (
+            SELECT qid, label
+            FROM (
+                SELECT q.qid, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_dot_product(cent.sumvec, q.qe::DOUBLE[])
+                                    / sqrt(list_dot_product(cent.sumvec,
+                                                            cent.sumvec))
+                                    DESC, cent.label ASC
+                       ) AS crk
+                FROM q, cent
+            ) WHERE crk <= {KNN_NPROBE}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4)
+                     AS cosine
+            FROM probe
+            JOIN q USING (qid)
+            JOIN embeddings e USING (label)
+            WHERE e.vec_id <> q.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine DESC NULLS LAST, vec_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+@register(
+    "x65_knn_join",
+    oracle=_duck_knn_join(),
+    tags=("similarity",),
+)
+def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched ANN retrieval — top-``KNN_K`` neighbors for EVERY query
+    vector in one plan (the kNN *join*), not x06's single broadcast
+    query: the shape behind hard-negative mining, eval-set
+    contamination sweeps, and retrieval-augmented labeling, where the
+    query side is itself a large table. Candidates come from x08's
+    IVF cells (per-label decimal sum-vector centroids — oracle-exact
+    for the same reason x08 is): each query ranks the cell table and
+    probes its ``KNN_NPROBE`` best cells; cell members are re-scored
+    with exact cosine and ranked per query on the ROUNDED score
+    (vec_id tie-break — x39's cross-engine rule). The hyperplane-band
+    index (x24) was measured at ~6% recall@5 here — bands answer "is
+    anything ≥0.4-similar" (near-dup), not "what are the top K"; IVF
+    at nprobe/nlist = 5/10 reaches ~68% on the near-random fixture
+    (`tests/test_extensions.py::test_knn_join_recall_vs_exact`), and
+    real k-means cells (x39/x53) only improve it.
+
+    Scale shape: the cell table is nlist rows (broadcast — queries x
+    cells is a broadcast nested loop over a CONSTANT-width side, the
+    standard IVF probe); candidate fetch is an equi-join on the cell
+    id pruning the corpus to nprobe/nlist; the per-qid ROW_NUMBER
+    partitions are candidate-sized, never corpus-sized. On a real
+    deployment the cell id is the table's partition column, so the
+    probe join prunes at file level."""
+    emb = load(spark, sf, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("s").cast("double").alias("c")))
+            ).alias("pc")
+        )
+        .select("label", F.expr("transform(pc, s -> s.c)").alias("sumvec"))
+    )
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy("qid").orderBy(
+        F.desc("cscore"), F.asc("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cscore",
+            F.expr(_DOT.format(a="sumvec", b="qe"))
+            / F.sqrt(F.expr(_DOT.format(a="sumvec", b="sumvec"))),
+        )
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= KNN_NPROBE)
+        .select("qid", "qe", "label")
+    )
+    scored = _with_cosine(
+        probe.join(emb.select("vec_id", "label", "embedding"), "label"),
+        "embedding",
+        "qe",
+    ).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rk") <= KNN_K)

@@ -1048,3 +1048,51 @@ def test_incremental_dsir_unseen_buckets_left_join(spark, tmp_path):
             (raw_c + 1) / (nr + DSIR_BUCKETS)
         )
     assert abs(rows[0].logw - round(logw, 6)) < 1e-6
+
+
+def test_knn_join_recall_vs_exact(spark, sf_dir):
+    """x65's contracts: (a) per-query ranks are contiguous 1..≤K with
+    cosine non-increasing; (b) candidates only ever come from shared
+    band buckets (no cross-join leak: every neighbor shares ≥1
+    (band, sig) with its query); (c) recall@K vs the exact
+    brute-force top-K (computed driver-side from the raw vectors)
+    clears 0.5 averaged over queries — the LSH trade is bounded, not
+    silent."""
+    import math
+    from collections import defaultdict
+
+    from etl_spark.extensions.similarity import (
+        KNN_K,
+        KNN_QUERY_STRIDE,
+        x65_knn_join,
+    )
+
+    rows = x65_knn_join(spark, sf_dir).collect()
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.qid, r.rk)):
+        got[r.qid].append(r)
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else None
+
+    hits = total = 0
+    for qid, nbrs in got.items():
+        assert [r.rk for r in nbrs] == list(range(1, len(nbrs) + 1))
+        cosines = [r.cosine for r in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
+        exact = sorted(
+            ((round(cos(emb[qid], v), 4), vid) for vid, v in emb.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_K]
+        hits += len({vid for _, vid in exact} & {r.vec_id for r in nbrs})
+        total += len(exact)
+    assert got, "no query produced neighbors"
+    assert all(q % KNN_QUERY_STRIDE == 0 for q in got)
+    assert hits / total >= 0.5, f"recall@{KNN_K} = {hits/total:.2f}"
