@@ -98,6 +98,7 @@ HEADLINE = [
     "x63_source_cap",
     "x64_incremental_dsir",
     "x65_knn_join",
+    "x66_epoch_upsample",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -324,3 +324,86 @@ def x63_source_cap(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "source", (F.col("rk") <= SOURCE_CAP).alias("kept")
         )
     )
+
+
+# LLaMA-style epoch table: small curated strata repeat for >1 epoch.
+# weight_s = min(CAP, sqrt(n_max / n_s)) — the α=0.5 temperature rule
+# pointed UP (x51 points it down): the largest stratum stays at 1
+# epoch, a 4x-smaller stratum gets 2, capped so a tiny stratum can't
+# dominate through repetition
+EPOCH_CAP = 3.0
+
+# identical arithmetic TEXT on both engines (the _MIX_THR convention):
+# the float tree must match operation-for-operation so the FLOOR
+# boundaries cannot disagree; 1e-9 absorbs last-ulp division noise
+_EPOCH_W = f"LEAST({EPOCH_CAP}, SQRT(CAST(nmax AS DOUBLE) / CAST(n AS DOUBLE)))"
+_EPOCH_BASE = f"CAST(FLOOR({_EPOCH_W} + 1e-9) AS BIGINT)"
+_EPOCH_FRAC_PERMILLE = (
+    f"CAST(FLOOR(1000 * ({_EPOCH_W} - {_EPOCH_BASE}) + 1e-9) AS BIGINT)"
+)
+
+
+@register(
+    "x66_epoch_upsample",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        m AS (SELECT MAX(n) AS nmax FROM c),
+        w AS (
+            SELECT lang, {_EPOCH_BASE} AS base,
+                   {_EPOCH_FRAC_PERMILLE} AS fr
+            FROM c, m
+        )
+        SELECT d.doc_id, d.lang,
+               w.base + CASE WHEN
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000 < w.fr
+                   THEN 1 ELSE 0 END AS n_repeats
+        FROM documents d JOIN w USING (lang)
+    """,
+    tags=("pipeline", "sampling"),
+)
+def x66_epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """The epoch table — per-document repeat counts that upsample
+    small strata, the way curated sources train for >1 epoch while
+    the web crawl trains for ~1 (the standard pretraining mix table;
+    Rae et al. '21 table A3 lists per-subset sampling ratios above
+    and below 1 for exactly this reason). Weight_s = min(EPOCH_CAP,
+    sqrt(n_max/n_s)) — x51's α=0.5 temperature flattening pointed UP:
+    the dominant stratum keeps 1 epoch, smaller strata repeat.
+    Fractional weights round DETERMINISTICALLY per doc: a weight of
+    1.7 repeats every doc once and gives a second repeat to the 70%
+    of docs whose content-stable md5 permille falls under 700 — so
+    the realized mix hits the target fraction exactly in expectation
+    and is reproducible doc-by-doc (never rand(); a backfill
+    recomputes the identical epoch table). Emitting counts instead of
+    materialized copies keeps the operator corpus-sized;
+    ``write_epoch`` is where repeats become physical rows.
+
+    Scale shape: one |strata|-row aggregate broadcast back onto a
+    scan-local projection — the corpus never shuffles (x51's shape).
+    Cross-engine float discipline: `_EPOCH_W`'s expression TEXT is
+    spliced into both engines so the sqrt/division tree is identical,
+    with the 1e-9 floor-guard absorbing last-ulp noise at the
+    FLOOR boundaries."""
+    docs = load(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.max("n").alias("nmax"))
+    w = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.expr(_EPOCH_BASE).alias("base"),
+        F.expr(_EPOCH_FRAC_PERMILLE).alias("fr"),
+    )
+    permille = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000"
+    )
+    return docs.join(F.broadcast(w), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.col("base")
+            + F.when(permille < F.col("fr"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_repeats"),
+    )

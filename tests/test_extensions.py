@@ -1096,3 +1096,38 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
     assert got, "no query produced neighbors"
     assert all(q % KNN_QUERY_STRIDE == 0 for q in got)
     assert hits / total >= 0.5, f"recall@{KNN_K} = {hits/total:.2f}"
+
+
+def test_epoch_upsample_hits_target_weights(spark, sf_dir):
+    """x66's contracts: (a) the dominant stratum trains for exactly 1
+    epoch (no self-upsampling); (b) every stratum's realized repeat
+    total equals the deterministic per-doc rounding of its weight
+    min(CAP, sqrt(n_max/n_s)) — recomputed driver-side doc by doc, so
+    content-stability is proven, not assumed; (c) repeats never
+    exceed ceil(CAP)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from etl_spark.extensions.resampling import EPOCH_CAP
+
+    rows = SPECS["x66_epoch_upsample"].fn(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    nmax = max(len(v) for v in by_lang.values())
+    dominant = next(l for l, v in by_lang.items() if len(v) == nmax)
+    assert all(r.n_repeats == 1 for r in by_lang[dominant])
+    for lang, docs in by_lang.items():
+        w = min(EPOCH_CAP, math.sqrt(nmax / len(docs)))
+        base = math.floor(w + 1e-9)
+        fr = math.floor(1000 * (w - base) + 1e-9)
+        for r in docs:
+            pm = (
+                int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+                % 1000
+            )
+            assert r.n_repeats == base + (1 if pm < fr else 0), (
+                f"{lang} doc {r.doc_id}"
+            )
+            assert r.n_repeats <= math.ceil(EPOCH_CAP)
