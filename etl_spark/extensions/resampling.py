@@ -112,11 +112,12 @@ def _bigram_bucket_feats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _dsir_model(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(lr, tot) — per-bucket smoothed log importance ratios and the
-    corpus totals they were smoothed with, estimated from a feature
-    stream. One aggregate builds both distributions (target counts
-    are a conditional count in the raw pass — no second scan)."""
+def _dsir_model(feats: DataFrame) -> DataFrame:
+    """(b, lratio) — per-bucket smoothed log importance ratios
+    estimated from a feature stream. One aggregate builds both
+    distributions (target counts are a conditional count in the raw
+    pass — no second scan). Buckets absent from the stream are absent
+    from the model; consumers score them 0 (no evidence — see x64)."""
     cnt = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("raw_c"),
         F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
@@ -135,7 +136,7 @@ def _dsir_model(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("lratio"),
     )
-    return lr, tot
+    return lr
 
 
 @register(
@@ -182,7 +183,7 @@ def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     flag cannot flip between engines.
     """
     feats = _bigram_bucket_feats(load(spark, sf, "documents"))
-    lr, _ = _dsir_model(feats)
+    lr = _dsir_model(feats)
     scored = (
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
@@ -210,13 +211,8 @@ def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         scored AS (
             SELECT f.doc_id, f.lang,
                    CAST(COUNT(*) AS BIGINT) AS n_feats,
-                   ROUND(SUM(COALESCE(lr.lratio,
-                       ln(CAST(1 AS DOUBLE)
-                          / CAST(tot.nt + {DSIR_BUCKETS} AS DOUBLE))
-                       - ln(CAST(1 AS DOUBLE)
-                            / CAST(tot.nr + {DSIR_BUCKETS} AS DOUBLE))
-                   )), 6) AS logw
-            FROM feats f LEFT JOIN lr USING (b), tot
+                   ROUND(SUM(COALESCE(lr.lratio, 0.0)), 6) AS logw
+            FROM feats f LEFT JOIN lr USING (b)
             WHERE f.doc_id % 2 = 1
             GROUP BY f.doc_id, f.lang
         )
@@ -231,9 +227,17 @@ def x64_incremental_dsir(spark: SparkSession, sf: str) -> DataFrame:
     (even doc_id) and stored; each NEW batch (odd doc_id, standing in
     for today's crawl) is scored against that stored model without
     touching the corpus again. A feature hashing to a bucket the seen
-    corpus never produced gets the add-one-smoothed unseen-bucket
-    ratio (count 0 in both distributions) via a LEFT join — an inner
-    join would silently DROP unseen features and misreport n_feats.
+    corpus never produced counts toward n_feats via the LEFT join (an
+    inner join would silently drop it) but contributes 0 to the
+    weight: a bucket NEITHER distribution has seen carries no
+    evidence either way. Scoring it by the add-one smoothing artifact
+    ln((nr+B)/(nt+B)) instead would ADD weight per unseen feature
+    whenever the raw corpus outnumbers the target (nr > nt — i.e.
+    always, in practice), so a fully-novel gibberish document would
+    sail through the "looks like the curated corpus" gate with the
+    HIGHEST score — fail-open, the exact opposite of the gate's
+    purpose (review r5). Neutral-0 means an all-unseen doc scores
+    exactly 0 and the strict logw > 0 gate rejects it.
     Completes the incremental family for data selection alongside
     dedup's x37 (MinHash) / x44 (embedding bands) / x59 (segments).
 
@@ -244,21 +248,15 @@ def x64_incremental_dsir(spark: SparkSession, sf: str) -> DataFrame:
     shared-helper convention of `_split_col`/`_mix_rates`, so batch
     and corpus scoring cannot drift)."""
     feats = _bigram_bucket_feats(load(spark, sf, "documents"))
-    lr, tot = _dsir_model(feats.filter(F.col("doc_id") % 2 == 0))
-    unseen = F.ln(
-        F.lit(1).cast("double") / (F.col("nt") + DSIR_BUCKETS).cast("double")
-    ) - F.ln(
-        F.lit(1).cast("double") / (F.col("nr") + DSIR_BUCKETS).cast("double")
-    )
+    lr = _dsir_model(feats.filter(F.col("doc_id") % 2 == 0))
     scored = (
         feats.filter(F.col("doc_id") % 2 == 1)
         .join(F.broadcast(lr), "b", "left")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.round(
-                F.sum(F.coalesce(F.col("lratio"), unseen)), 6
+                F.sum(F.coalesce(F.col("lratio"), F.lit(0.0))), 6
             ).alias("logw"),
         )
     )

@@ -127,27 +127,57 @@ def x07_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# exact decimal component sums per label — the cross-engine-identical
+# coarse quantizer shared by x08 (single-query ANN) and x65 (kNN join):
+# DECIMAL sums are exactly associative, so both engines derive the
+# IDENTICAL cell table no matter how the aggregation partitions
+_DUCK_SUMVEC_CENT = """
+    sums AS (
+        SELECT label, pos,
+               SUM(CAST(v AS DECIMAL(30,10))) AS s
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings
+        ) t
+        GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label,
+               list(CAST(s AS DOUBLE) ORDER BY pos) AS sumvec
+        FROM sums GROUP BY label
+    )
+"""
+
+
+def _sumvec_centroids(emb: DataFrame) -> DataFrame:
+    """(label, sumvec) per-cell decimal-exact sum vectors — the Spark
+    twin of ``_DUCK_SUMVEC_CENT``: posexplode → decimal sum per
+    (label, pos) → re-assemble in pos order. One definition serves
+    x08 and x65 so the oracle-exactness-critical quantizer cannot
+    drift between them (the `_dsir_model`/`_split_col` shared-helper
+    convention)."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("s").cast("double").alias("c")))
+            ).alias("pc")
+        )
+        .select("label", F.expr("transform(pc, s -> s.c)").alias("sumvec"))
+    )
+
+
 def _duck_ivf_topk() -> str:
-    return """
+    return f"""
         WITH q AS (
             SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
         ),
-        sums AS (
-            SELECT label, pos,
-                   SUM(CAST(v AS DECIMAL(30,10))) AS s
-            FROM (
-                SELECT label,
-                       unnest(embedding) AS v,
-                       unnest(range(1, len(embedding) + 1)) AS pos
-                FROM embeddings
-            ) t
-            GROUP BY label, pos
-        ),
-        cent AS (
-            SELECT label,
-                   list(CAST(s AS DOUBLE) ORDER BY pos) AS sumvec
-            FROM sums GROUP BY label
-        ),
+        {_DUCK_SUMVEC_CENT},
         probe AS (
             SELECT label
             FROM cent, q
@@ -195,21 +225,7 @@ def x08_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests."""
     emb = load_parallel(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-
-    # exact decimal component sums per label: posexplode → sum per
-    # (label, pos) → re-assemble in pos order as the "sum vector"
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", F.col("s").cast("double").alias("c")))
-            ).alias("pc")
-        )
-        .select("label", F.expr("transform(pc, s -> s.c)").alias("sumvec"))
-    )
+    cent = _sumvec_centroids(emb)
     cent_q = cent.crossJoin(F.broadcast(q))
     cent_scored = cent_q.withColumn(
         "cscore",
@@ -993,22 +1009,7 @@ KNN_NPROBE = 5
 
 def _duck_knn_join() -> str:
     return f"""
-        WITH sums AS (
-            SELECT label, pos,
-                   SUM(CAST(v AS DECIMAL(30,10))) AS s
-            FROM (
-                SELECT label,
-                       unnest(embedding) AS v,
-                       unnest(range(1, len(embedding) + 1)) AS pos
-                FROM embeddings
-            ) t
-            GROUP BY label, pos
-        ),
-        cent AS (
-            SELECT label,
-                   list(CAST(s AS DOUBLE) ORDER BY pos) AS sumvec
-            FROM sums GROUP BY label
-        ),
+        WITH {_DUCK_SUMVEC_CENT},
         q AS (
             SELECT vec_id AS qid, embedding AS qe
             FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
@@ -1081,18 +1082,7 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     deployment the cell id is the table's partition column, so the
     probe join prunes at file level."""
     emb = load(spark, sf, "embeddings")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", F.col("s").cast("double").alias("c")))
-            ).alias("pc")
-        )
-        .select("label", F.expr("transform(pc, s -> s.c)").alias("sumvec"))
-    )
+    cent = _sumvec_centroids(emb)
     q = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

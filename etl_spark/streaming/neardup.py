@@ -21,8 +21,8 @@ appends.
 
 Exactly-once: ``foreachBatch`` re-runs a batch after failure, so both
 appends are made idempotent by writing each batch under a
-``batch-<id>`` subdirectory and skipping work when it already exists
-— the standard file-sink commit pattern. Read the output/index with
+``batch-<id>`` subdirectory and skipping work when its ``_SUCCESS``
+marker exists — the standard file-sink commit pattern. Read the output/index with
 ``spark.read.option("recursiveFileLookup", "true").parquet(path)``
 (plain parquet reads don't descend into non-partition subdirs). State is the on-disk index, not executor memory, so a
 restart resumes from the checkpoint with the index intact.
@@ -42,6 +42,17 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+
+def batch_committed(batch_dir: str) -> bool:
+    """True iff a foreachBatch output directory is a COMPLETED write:
+    Spark's file sink drops ``_SUCCESS`` as the final commit step, so
+    its absence means the previous attempt died mid-write and the
+    batch must be re-run — a bare ``isdir`` check would treat a
+    crashed partial write as committed and silently drop the batch's
+    rows on replay (review r5). ``mode("overwrite")`` makes re-running
+    a partial directory safe."""
+    return os.path.isfile(os.path.join(batch_dir, "_SUCCESS"))
 
 
 def _index_has_data(path: str) -> bool:
@@ -138,8 +149,8 @@ def run_neardup_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
         idx_dir = os.path.join(index_path, f"batch-{batch_id}")
-        if os.path.isdir(out_dir) and os.path.isdir(idx_dir):
-            return  # replayed batch: both commits already on disk
+        if batch_committed(out_dir) and batch_committed(idx_dir):
+            return  # replayed batch: both commit markers on disk
         kept, kept_bands = neardup_filter_batch(
             batch_df, bands_fn, id_col, index_path, min_frac=min_frac
         )

@@ -8,12 +8,19 @@ written as a ``DSIR_BUCKETS``-row parquet table; each micro-batch is
 then scored with one broadcast join against that table and rows whose
 log importance weight clears the threshold are accepted. The corpus
 is never re-read per batch — exactly x64's delta-probe shape, wired
-into ``foreachBatch``.
+into ``foreachBatch``. Features in buckets the model never saw score
+0, not the add-one smoothing artifact: that artifact is positive
+whenever the raw corpus outnumbers the target, which would wave
+fully-novel gibberish through the gate with the highest scores
+(fail-open — review r5; x64's docstring has the full argument).
 
-Exactly-once follows the file-sink commit pattern of
-``neardup.py``: each batch writes under a ``batch-<id>`` subdirectory
-and a replayed batch that finds its directory is a no-op. Read the
-accepted output with ``recursiveFileLookup``.
+Exactly-once follows the file-sink commit pattern of ``neardup.py``,
+hardened: a batch directory counts as committed only when Spark's
+``_SUCCESS`` marker exists — a bare ``isdir`` check would treat a
+crashed partial write as done and silently drop the batch's rows on
+replay. ``mode("overwrite")`` makes the re-write of a partial
+directory safe. Read the accepted output with
+``recursiveFileLookup``.
 """
 
 from __future__ import annotations
@@ -26,29 +33,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_spark.extensions.resampling import (
-    DSIR_BUCKETS,
-    _bigram_bucket_feats,
-    _dsir_model,
-)
+from etl_spark.extensions.resampling import _bigram_bucket_feats, _dsir_model
+from etl_spark.streaming.neardup import batch_committed
 
 
 def build_dsir_model(docs: DataFrame, model_path: str) -> int:
     """Estimate the importance model from a seen corpus of
-    (doc_id, lang, text) rows and persist it: (b, lratio,
-    unseen_lratio), at most ``DSIR_BUCKETS`` rows. ``unseen_lratio``
-    (the add-one-smoothed ratio for a bucket the corpus never
-    produced) is carried on every row so scoring needs no second
-    table. Returns the row count written."""
-    lr, tot = _dsir_model(_bigram_bucket_feats(docs))
-    unseen = F.ln(
-        F.lit(1).cast("double") / (F.col("nt") + DSIR_BUCKETS).cast("double")
-    ) - F.ln(
-        F.lit(1).cast("double") / (F.col("nr") + DSIR_BUCKETS).cast("double")
-    )
-    model = lr.crossJoin(F.broadcast(tot)).select(
-        "b", "lratio", unseen.alias("unseen_lratio")
-    )
+    (doc_id, lang, text) rows and persist it: (b, lratio), at most
+    ``DSIR_BUCKETS`` rows. Returns the row count written."""
+    model = _dsir_model(_bigram_bucket_feats(docs))
     model.write.mode("overwrite").parquet(model_path)
     return model.sparkSession.read.parquet(model_path).count()
 
@@ -57,20 +50,19 @@ def dsir_score_batch(batch_df: DataFrame, model_df: DataFrame) -> DataFrame:
     """Score one batch of (doc_id, lang, text) rows against a stored
     model: every batch column plus ``logw`` (rounded to 6, x62/x64's
     cross-engine convention) and ``selected`` (logw > 0). Featureless
-    docs (fewer than two words — no bigrams) score 0 and are NOT
-    selected: a doc the model cannot see carries no evidence it is
-    target-like. Unseen buckets take the model's smoothed
-    ``unseen_lratio`` via the LEFT join — an inner join would drop
-    them and misweight every partially-novel doc (x64's hazard)."""
+    docs (fewer than two words — no bigrams) and features in buckets
+    the model never saw score 0 and carry no evidence, so an
+    all-novel doc is NOT selected (the strict > 0 gate — fail-closed;
+    see the module docstring). The LEFT joins keep those rows in the
+    output with their true n-feature accounting — inner joins would
+    silently drop them."""
     feats = _bigram_bucket_feats(batch_df)
-    default = model_df.agg(F.min("unseen_lratio").alias("unseen"))
     scored = (
-        feats.join(F.broadcast(model_df.select("b", "lratio")), "b", "left")
-        .crossJoin(F.broadcast(default))
+        feats.join(F.broadcast(model_df), "b", "left")
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.coalesce(F.col("lratio"), F.col("unseen"))), 6
+                F.sum(F.coalesce(F.col("lratio"), F.lit(0.0))), 6
             ).alias("logw")
         )
     )
@@ -93,23 +85,24 @@ def run_dsir_gate(
     gate land under ``out_path/batch-<id>`` (with their ``logw``, so
     downstream resampling can weight by it); the rest are dropped.
     ``on_batch(batch_id, n_in, n_kept)`` is the observability hook.
-    The model is loaded once, outside the batch loop — per batch the
-    only work is the broadcast score join (batch-sized, corpus- and
-    model-size-independent)."""
+    The model is loaded once, outside the batch loop; per batch the
+    scored frame is persisted so the batch source is scanned ONCE —
+    input count, kept count, and the write all read the cache."""
     spark = stream_df.sparkSession
     model_df = spark.read.parquet(model_path)
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
-        if os.path.isdir(out_dir):
-            return  # replayed batch: commit already on disk
-        scored = dsir_score_batch(batch_df, model_df)
-        kept = scored.filter("selected").drop("selected").persist()
+        if batch_committed(out_dir):
+            return  # replayed batch: commit marker on disk
+        scored = dsir_score_batch(batch_df, model_df).persist()
+        n_in = scored.count()
+        kept = scored.filter("selected").drop("selected")
         n_kept = kept.count()
         kept.write.mode("overwrite").parquet(out_dir)
-        kept.unpersist()
+        scored.unpersist()
         if on_batch is not None:
-            on_batch(batch_id, batch_df.count(), n_kept)
+            on_batch(batch_id, n_in, n_kept)
 
     writer = stream_df.writeStream.foreachBatch(_gate).outputMode("update")
     if checkpoint:

@@ -995,74 +995,78 @@ def test_source_cap_selects_md5_top_cap(spark, sf_dir):
         assert kept[src] == expect, f"survivor set differs for {src}"
 
 
-def test_incremental_dsir_unseen_buckets_left_join(spark, tmp_path):
-    """x64's hazard contract: features hashing to buckets the SEEN
-    corpus never produced must still be counted (LEFT join + smoothed
-    unseen ratio), not silently dropped. Seen corpus = one 2-word doc
-    (1 bigram → 1 occupied bucket of 64); the new doc's 7 bigrams
-    therefore almost all probe empty buckets. Expected weights are
-    recomputed driver-side from the paper formula."""
-    import hashlib
-    import math
-
+def test_incremental_dsir_unseen_buckets_fail_closed(spark, tmp_path):
+    """x64's hazard contracts: (a) features hashing to buckets the
+    SEEN corpus never produced must still be COUNTED (LEFT join —
+    an inner join would drop them and misreport n_feats); (b) they
+    must contribute ZERO weight, so a fully-novel document scores
+    logw = 0 and the strict > 0 gate REJECTS it (fail-closed). The
+    add-one smoothing artifact would instead score each unseen
+    feature ln((nr+B)/(nt+B)) > 0 whenever raw outnumbers target,
+    waving gibberish through with the highest scores (review r5).
+    Seen corpus = one 2-word doc (1 bigram → 1 occupied bucket of
+    64); the second new doc is larger than the target partition
+    (nr=3 > nt=1) to arm the fail-open trap."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from etl_spark.extensions.resampling import (
-        DSIR_BUCKETS,
         DSIR_TARGET_LANG,
         x64_incremental_dsir,
     )
 
-    seen_text = "alpha beta"
-    new_text = "gamma delta epsilon zeta eta theta iota kappa"
+    import hashlib
+
+    seen_texts = ["alpha beta", "alpha beta gamma"]  # nr=3, nt=1
+    novel_text = "n00 n01 n02 n03 n04 n05 n06 n07"  # 7 bigrams
+    # self-check the fixture: the novel bigrams must hash to buckets
+    # DISJOINT from the seen ones (64-bucket collisions would hand a
+    # novel feature a real lratio and void the all-unseen premise)
+    def _b(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 64
+
+    seen_b = {_b("alpha beta"), _b("beta gamma")}
+    nw_toks = novel_text.split(" ")
+    novel_b = {_b(f"{nw_toks[i]} {nw_toks[i + 1]}") for i in range(7)}
+    assert not (seen_b & novel_b), "rewrite the fixture tokens"
     d = tmp_path / "sf"
     d.mkdir()
     pq.write_table(
         pa.table({
-            "doc_id": pa.array([0, 1], pa.int64()),
-            "text": [seen_text, new_text],
-            "lang": [DSIR_TARGET_LANG, "de"],
-            "source": ["s", "s"],
-            "n_chars": pa.array([len(seen_text), len(new_text)], pa.int64()),
+            "doc_id": pa.array([0, 2, 1], pa.int64()),
+            "text": seen_texts + [novel_text],
+            "lang": [DSIR_TARGET_LANG, "de", "de"],
+            "source": ["s"] * 3,
+            "n_chars": pa.array(
+                [len(t) for t in seen_texts + [novel_text]], pa.int64()
+            ),
         }),
         d / "documents.parquet",
     )
     rows = x64_incremental_dsir(spark, str(d)).collect()
     assert len(rows) == 1 and rows[0].doc_id == 1
-    n_new = len(new_text.split(" ")) - 1
+    n_new = len(novel_text.split(" ")) - 1
     assert rows[0].n_feats == n_new, "unseen features were dropped"
-
-    def bucket(w1, w2):
-        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
-        return int(h, 16) % DSIR_BUCKETS
-
-    sw = seen_text.split(" ")
-    seen_buckets = {bucket(sw[i], sw[i + 1]): (1, 1) for i in range(len(sw) - 1)}
-    nr = nt = 1  # the seen corpus has exactly one (target-lang) feature
-    logw = 0.0
-    nw = new_text.split(" ")
-    for i in range(len(nw) - 1):
-        raw_c, tgt_c = seen_buckets.get(bucket(nw[i], nw[i + 1]), (0, 0))
-        logw += math.log((tgt_c + 1) / (nt + DSIR_BUCKETS)) - math.log(
-            (raw_c + 1) / (nr + DSIR_BUCKETS)
-        )
-    assert abs(rows[0].logw - round(logw, 6)) < 1e-6
+    assert rows[0].logw == 0.0, "unseen buckets must carry no evidence"
+    assert rows[0].selected is False, "fully-novel doc must NOT pass the gate"
 
 
 def test_knn_join_recall_vs_exact(spark, sf_dir):
     """x65's contracts: (a) per-query ranks are contiguous 1..≤K with
-    cosine non-increasing; (b) candidates only ever come from shared
-    band buckets (no cross-join leak: every neighbor shares ≥1
-    (band, sig) with its query); (c) recall@K vs the exact
+    cosine non-increasing; (b) candidate PROVENANCE — every returned
+    neighbor lives in one of its query's nprobe best cells (ranked
+    driver-side from the raw vectors; a broken cell-rank filter that
+    leaked candidates from unprobed cells would fail here even if it
+    still cleared the recall bar); (c) recall@K vs the exact
     brute-force top-K (computed driver-side from the raw vectors)
-    clears 0.5 averaged over queries — the LSH trade is bounded, not
+    clears 0.5 averaged over queries — the ANN trade is bounded, not
     silent."""
     import math
     from collections import defaultdict
 
     from etl_spark.extensions.similarity import (
         KNN_K,
+        KNN_NPROBE,
         KNN_QUERY_STRIDE,
         x65_knn_join,
     )
@@ -1071,10 +1075,9 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
     got = defaultdict(list)
     for r in sorted(rows, key=lambda r: (r.qid, r.rk)):
         got[r.qid].append(r)
-    emb = {
-        r.vec_id: r.embedding
-        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
-    }
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    emb = {r.vec_id: r.embedding for r in full}
+    label_of = {r.vec_id: r.label for r in full}
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
@@ -1082,11 +1085,30 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
         nb = math.sqrt(sum(x * x for x in b))
         return d / (na * nb) if na and nb else None
 
+    # per-label sum vectors (the cell table) for the provenance check
+    sumvec = defaultdict(lambda: [0.0] * len(next(iter(emb.values()))))
+    for r in full:
+        for i, v in enumerate(r.embedding):
+            sumvec[r.label][i] += v
+
     hits = total = 0
     for qid, nbrs in got.items():
         assert [r.rk for r in nbrs] == list(range(1, len(nbrs) + 1))
         cosines = [r.cosine for r in nbrs]
         assert cosines == sorted(cosines, reverse=True)
+        # (b) provenance: neighbor labels ⊆ the query's nprobe best
+        # cells (1e-9 tolerance on the nprobe-th cell score absorbs
+        # float-vs-decimal summation differences at near-ties)
+        cscores = sorted(
+            ((cos(sv, emb[qid]), lab) for lab, sv in sumvec.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cutoff = cscores[KNN_NPROBE - 1][0] - 1e-9
+        probed = {lab for s, lab in cscores if s >= cutoff}
+        for r in nbrs:
+            assert label_of[r.vec_id] in probed, (
+                f"q{qid}: neighbor {r.vec_id} from unprobed cell"
+            )
         exact = sorted(
             ((round(cos(emb[qid], v), 4), vid) for vid, v in emb.items() if vid != qid),
             key=lambda t: (-t[0], t[1]),
