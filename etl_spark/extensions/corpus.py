@@ -266,11 +266,18 @@ N_SHARDS = 8  # training output shards
 _ORD_SEED = "ord1:"  # bump to re-shuffle the corpus deterministically
 
 
-def _hkey_col():
+def _hkey_col(rep_col: str | None = None):
     """Seeded order-hash of doc_id — the epoch-shuffle key shared by
     x52, x56, and write_training_shards/write_epoch, so the computed
-    manifest and the written files can never disagree on order."""
-    return F.md5(F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string")))
+    manifest and the written files can never disagree on order.
+    ``rep_col`` (upsampled epochs only) mixes the repeat index into
+    the hash so a document's copies land in independent shards and
+    positions — identical hkeys would place all copies ADJACENT in
+    the training stream, the worst possible repetition schedule."""
+    base = F.concat(F.lit(_ORD_SEED), F.col("doc_id").cast("string"))
+    if rep_col is not None:
+        base = F.concat(base, F.lit("#"), F.col(rep_col).cast("string"))
+    return F.md5(base)
 
 
 # shard id from the order-hash: same sharing rationale as _hkey_col
@@ -629,20 +636,24 @@ def x56_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def write_training_shards(docs: DataFrame, path: str) -> None:
+def write_training_shards(
+    docs: DataFrame, path: str, rep_col: str | None = None
+) -> None:
     """The production form of x52: WRITE the epoch layout instead of
     materializing positions. One shuffle keyed on the shard hash, an
     executor-local sort on the order hash inside each shard, one
     parquet file per shard — the file's row order IS the training
     order, so the x52 `pos` column never exists on disk and no global
     sort ever runs. Readers stream shards round-robin for the epoch
-    permutation; bumping _ORD_SEED re-lays the next epoch.
+    permutation; bumping _ORD_SEED re-lays the next epoch. For
+    upsampled epochs pass ``rep_col`` (see ``_hkey_col``) so copies
+    of one document scatter instead of clustering.
 
     At 1000 executors this is exactly N_SHARDS reducer tasks, each
     spill-sorting its own shard — the two-phase composition the x52
     docstring promises. tests/test_extensions.py verifies the on-disk
     row order equals x52's computed (shard, pos) order."""
-    h = docs.withColumn("hkey", _hkey_col()).withColumn(
+    h = docs.withColumn("hkey", _hkey_col(rep_col)).withColumn(
         "shard", F.expr(_SHARD_EXPR)
     )
     # the sort LEADS with the partition column: FileFormatWriter
@@ -925,3 +936,29 @@ def write_epoch(spark: SparkSession, sf: str, path: str) -> None:
         .drop("thr")
     )
     write_training_shards(picked, path)
+
+
+def write_epoch_upsampled(spark: SparkSession, sf: str, path: str) -> None:
+    """write_epoch under the OTHER mix policy: instead of x51's
+    temperature DOWNSAMPLE, apply x66's epoch UPSAMPLE — train-split
+    documents are materialized ``n_repeats`` times (x66's corpus-wide
+    weight derivation via the shared ``epoch_repeats``, so the audit
+    query and the written epoch can never disagree on the mix), with
+    the repeat index mixed into the order hash so a document's copies
+    scatter across shards and positions instead of training
+    back-to-back. The explode is per-row and bounded by ceil(CAP)
+    (≤3 here) — fan-out is a small constant, never data-dependent.
+    Weights derive from the FULL corpus (|strata| rows, broadcast —
+    no corpus-vs-corpus self-join) and only train-split rows expand."""
+    from etl_spark.extensions.pipeline import _split_col
+    from etl_spark.extensions.resampling import epoch_weights, repeats_col
+
+    docs = load(spark, sf, "documents")
+    expanded = (
+        docs.filter(_split_col() == "train")
+        .join(F.broadcast(epoch_weights(docs)), "lang")
+        .withColumn("n_repeats", repeats_col())
+        .withColumn("rep", F.explode(F.expr("sequence(1, n_repeats)")))
+        .drop("n_repeats", "base", "fr")
+    )
+    write_training_shards(expanded, path, rep_col="rep")

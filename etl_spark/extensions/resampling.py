@@ -377,7 +377,9 @@ def x66_epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
     and is reproducible doc-by-doc (never rand(); a backfill
     recomputes the identical epoch table). Emitting counts instead of
     materialized copies keeps the operator corpus-sized;
-    ``write_epoch`` is where repeats become physical rows.
+    ``corpus.write_epoch_upsampled`` is where repeats become physical
+    rows (via the same ``epoch_repeats`` helper, so the audit query
+    and the written epoch can never disagree on the mix).
 
     Scale shape: one |strata|-row aggregate broadcast back onto a
     scan-local projection — the corpus never shuffles (x51's shape).
@@ -385,23 +387,38 @@ def x66_epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
     spliced into both engines so the sqrt/division tree is identical,
     with the 1e-9 floor-guard absorbing last-ulp noise at the
     FLOOR boundaries."""
-    docs = load(spark, sf, "documents")
+    return epoch_repeats(load(spark, sf, "documents"))
+
+
+def epoch_weights(docs: DataFrame) -> DataFrame:
+    """(lang, base, fr) — the |strata|-row epoch-weight table (integer
+    epochs + fractional permille threshold), derived from the FULL
+    corpus mix. Broadcast it onto whatever subset actually trains."""
     c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     m = c.agg(F.max("n").alias("nmax"))
-    w = c.crossJoin(F.broadcast(m)).select(
+    return c.crossJoin(F.broadcast(m)).select(
         "lang",
         F.expr(_EPOCH_BASE).alias("base"),
         F.expr(_EPOCH_FRAC_PERMILLE).alias("fr"),
     )
+
+
+def repeats_col():
+    """n_repeats from a row carrying (doc_id, base, fr) — the
+    deterministic fractional rounding shared by x66 and
+    ``corpus.write_epoch_upsampled``."""
     permille = F.expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
         "AS BIGINT) % 1000"
     )
-    return docs.join(F.broadcast(w), "lang").select(
-        "doc_id",
-        "lang",
-        (
-            F.col("base")
-            + F.when(permille < F.col("fr"), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_repeats"),
+    return F.col("base") + F.when(
+        permille < F.col("fr"), F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def epoch_repeats(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_repeats) — core of x66 over any (doc_id,
+    lang) frame, shared with ``corpus.write_epoch_upsampled``."""
+    return docs.join(F.broadcast(epoch_weights(docs)), "lang").select(
+        "doc_id", "lang", repeats_col().alias("n_repeats")
     )

@@ -1153,3 +1153,58 @@ def test_epoch_upsample_hits_target_weights(spark, sf_dir):
                 f"{lang} doc {r.doc_id}"
             )
             assert r.n_repeats <= math.ceil(EPOCH_CAP)
+
+
+def test_write_epoch_upsampled_multiplicity_and_scatter(spark, sf_dir, tmp_path):
+    """write_epoch_upsampled's contracts: (a) every train-split doc
+    appears EXACTLY n_repeats times (x66's table, recomputed through
+    the registered query — shared derivation, so equality here proves
+    the audit and the written epoch agree); (b) no non-train doc
+    leaks in; (c) copies of multi-epoch docs SCATTER — at least one
+    doc's copies land in different shards, and no doc's copies sit at
+    identical in-shard hkeys (adjacent copies are the worst
+    repetition schedule)."""
+    import glob
+    from collections import Counter, defaultdict
+
+    from etl_spark.extensions.corpus import write_epoch_upsampled
+    from etl_spark.extensions.pipeline import _split_col
+    from etl_spark.tables import load
+
+    out = str(tmp_path / "up")
+    write_epoch_upsampled(spark, sf_dir, out)
+
+    reps = {
+        r.doc_id: r.n_repeats
+        for r in SPECS["x66_epoch_upsample"].fn(spark, sf_dir).collect()
+    }
+    train = {
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", _split_col().alias("s"))
+        .collect()
+        if r.s == "train"
+    }
+
+    got = Counter()
+    shard_of = defaultdict(set)
+    hkeys = defaultdict(set)
+    n_rows = 0
+    for d in glob.glob(f"{out}/shard=*"):
+        shard = int(d.rsplit("=", 1)[1])
+        for r in spark.read.parquet(d).collect():
+            got[r.doc_id] += 1
+            shard_of[r.doc_id].add(shard)
+            assert r.hkey not in hkeys[r.doc_id], (
+                f"doc {r.doc_id}: two copies share an hkey"
+            )
+            hkeys[r.doc_id].add(r.hkey)
+            n_rows += 1
+
+    assert set(got) == train, "written docs != train split"
+    for doc_id in train:
+        assert got[doc_id] == reps[doc_id], f"doc {doc_id} multiplicity"
+    assert n_rows > len(train), "no doc was upsampled — vacuous fixture"
+    assert any(
+        len(shard_of[d]) > 1 for d in train if reps[d] > 1
+    ), "no multi-epoch doc scattered across shards"
