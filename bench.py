@@ -99,6 +99,7 @@ HEADLINE = [
     "x64_incremental_dsir",
     "x65_knn_join",
     "x66_epoch_upsample",
+    "x67_quality_lr_step",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -422,3 +422,112 @@ def epoch_repeats(docs: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(epoch_weights(docs)), "lang").select(
         "doc_id", "lang", repeats_col().alias("n_repeats")
     )
+
+
+# deterministic pseudo-random initial weights for the x67 classifier
+# step — derived from md5 at import (the _BAND_PLANES convention) so
+# BOTH engines receive identical literals and the oracle is exact
+def _lr_w0(b: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"lrw:{b}".encode()).hexdigest()[:15], 16)
+    return round(h / float(1 << 60) - 0.5, 6)
+
+
+_LR_W0 = [_lr_w0(b) for b in range(DSIR_BUCKETS)]
+LR_RATE = 0.1  # gradient-descent step size
+
+
+@register(
+    "x67_quality_lr_step",
+    oracle=f"""
+        {_DUCK_BIGRAM_BUCKETS},
+        cnt AS (
+            SELECT doc_id, lang, b, COUNT(*) AS c
+            FROM feats GROUP BY doc_id, lang, b
+        ),
+        w0(b, wt) AS (
+            VALUES {", ".join(f"({b}, {w!r})" for b, w in enumerate(_LR_W0))}
+        ),
+        z AS (
+            SELECT cnt.doc_id,
+                   CASE WHEN MIN(cnt.lang) = '{DSIR_TARGET_LANG}'
+                        THEN 1.0 ELSE 0.0 END AS y,
+                   SUM(cnt.c * w0.wt) AS z
+            FROM cnt JOIN w0 USING (b)
+            GROUP BY cnt.doc_id
+        ),
+        err AS (
+            SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS e FROM z
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM z),
+        grad AS (
+            SELECT cnt.b, SUM(err.e * cnt.c) / n.n_docs AS g
+            FROM cnt JOIN err USING (doc_id), n
+            GROUP BY cnt.b, n.n_docs
+        )
+        SELECT grad.b, ROUND(grad.g, 6) AS grad,
+               ROUND(w0.wt - {LR_RATE} * grad.g, 6) AS w_new
+        FROM grad JOIN w0 USING (b)
+    """,
+    tags=("pipeline", "quality", "ml"),
+)
+def x67_quality_lr_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One batch gradient-descent step of a logistic-regression
+    quality classifier over the hashed-bigram feature space — the
+    fastText-style "train a linear classifier on bag-of-n-grams"
+    primitive every production curation stack keeps beside its
+    heuristics (CCNet, GPT-3's WebText-vs-crawl filter). Labels are
+    target-language membership (swap for a curated seed in
+    production); features are each doc's ``DSIR_BUCKETS`` bucket
+    counts. Output is the full (b, grad, w_new) weight update —
+    iterate by feeding w_new back, exactly the x39/x53 k-means
+    assign/update pattern for the supervised case. Initial weights
+    are md5-derived literals folded into both plans (the
+    ``_BAND_PLANES`` convention), so the step is oracle-exact.
+
+    Scale shape: the feature matrix is sparse (doc_id, b, count) —
+    one aggregate; z is a broadcast join against the 64-row weight
+    table plus a (doc_id) aggregate; the gradient re-joins per-doc
+    error to the sparse matrix and collapses to ``DSIR_BUCKETS``
+    rows. Nothing is ever wider than the corpus scan, the model is
+    constant-size, and every shuffle is keyed — the classic
+    "data-parallel GD where the model broadcasts" layout. Float
+    discipline: one shared sigmoid/ln-free expression tree, noise
+    absorbed by ROUND(·, 6) on the OUTPUT only (z stays unrounded on
+    both engines, so the trees match exactly)."""
+    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
+    cnt = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w0 = spark.createDataFrame(
+        list(enumerate(_LR_W0)), "b int, wt double"
+    )
+    z = (
+        cnt.join(F.broadcast(w0), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.min("lang") == DSIR_TARGET_LANG, F.lit(1.0)
+            ).otherwise(F.lit(0.0)).alias("y"),
+            F.sum(F.col("c") * F.col("wt")).alias("z"),
+        )
+    )
+    err = z.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias(
+            "e"
+        ),
+    )
+    n = z.agg(F.count(F.lit(1)).alias("n_docs"))
+    grad = (
+        cnt.join(err, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("b", "n_docs")
+        .agg((F.sum(F.col("e") * F.col("c")) / F.first("n_docs")).alias("g"))
+    )
+    return grad.join(F.broadcast(w0), "b").select(
+        "b",
+        F.round("g", 6).alias("grad"),
+        F.round(F.col("wt") - LR_RATE * F.col("g"), 6).alias("w_new"),
+    )

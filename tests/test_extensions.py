@@ -1208,3 +1208,51 @@ def test_write_epoch_upsampled_multiplicity_and_scatter(spark, sf_dir, tmp_path)
     assert any(
         len(shard_of[d]) > 1 for d in train if reps[d] > 1
     ), "no multi-epoch doc scattered across shards"
+
+
+def test_quality_lr_step_descends(spark, sf_dir):
+    """x67's contracts: (a) w_new == w0 - LR_RATE * grad at every
+    bucket (rounding convention included); (b) the step DESCENDS —
+    mean logistic loss under w_new, recomputed driver-side from the
+    raw documents, is strictly lower than under w0. A sign error in
+    the gradient (the classic p-y vs y-p flip) ascends instead and
+    fails here."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_spark.extensions.resampling import (
+        _LR_W0,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        LR_RATE,
+    )
+
+    out = {r.b: r for r in SPECS["x67_quality_lr_step"].fn(spark, sf_dir).collect()}
+    for b, r in out.items():
+        assert r.w_new == round(_LR_W0[b] - LR_RATE * r.grad, 6) or abs(
+            r.w_new - (_LR_W0[b] - LR_RATE * r.grad)
+        ) < 2e-6
+
+    docs = []
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        t = r.text.split(" ")
+        if len(t) < 2:
+            continue
+        c = Counter(
+            int(hashlib.md5(f"{t[i]} {t[i + 1]}".encode()).hexdigest()[:15], 16)
+            % DSIR_BUCKETS
+            for i in range(len(t) - 1)
+        )
+        docs.append((1.0 if r.lang == DSIR_TARGET_LANG else 0.0, c))
+
+    def loss(w):
+        s = 0.0
+        for y, c in docs:
+            z = sum(w[b] * v for b, v in c.items())
+            p = min(max(1 / (1 + math.exp(-z)), 1e-12), 1 - 1e-12)
+            s += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        return s / len(docs)
+
+    w_new = [out[b].w_new if b in out else _LR_W0[b] for b in range(DSIR_BUCKETS)]
+    assert loss(w_new) < loss(list(_LR_W0)), "gradient step did not descend"
