@@ -531,3 +531,97 @@ def x67_quality_lr_step(spark: SparkSession, sf: str) -> DataFrame:
         F.round("g", 6).alias("grad"),
         F.round(F.col("wt") - LR_RATE * F.col("g"), 6).alias("w_new"),
     )
+
+
+def train_quality_lr(
+    docs: DataFrame, steps: int = 5, lr: float = LR_RATE
+) -> list[float]:
+    """Iterate x67's gradient step ``steps`` times and return the
+    trained weight vector — the x29/x39-style driver loop for the
+    supervised case. Per step: the sparse (doc_id, b, count) matrix
+    is scanned twice (forward z, backward gradient) against the
+    broadcast weight table, and only the ``DSIR_BUCKETS`` gradients
+    ever reach the driver (a 64-float collect per step — the model,
+    not the data). The feature matrix is persisted once across all
+    steps; at cluster scale swap the persist for a staging table and
+    nothing else changes.
+
+    Returned weights are ROUNDED to 6 per step (x67's convention), so
+    a re-run — or a DuckDB re-derivation — reproduces the identical
+    trajectory: training is deterministic, batch, full-data; there is
+    no rand() and no row-order dependence anywhere."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = _bigram_bucket_feats(docs)
+    cnt = (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = docs.sparkSession
+    w = list(_LR_W0)
+    try:
+        for _ in range(steps):
+            w_df = spark.createDataFrame(
+                list(enumerate(w)), "b int, wt double"
+            )
+            z = (
+                cnt.join(F.broadcast(w_df), "b")
+                .groupBy("doc_id")
+                .agg(
+                    F.when(
+                        F.min("lang") == DSIR_TARGET_LANG, F.lit(1.0)
+                    ).otherwise(F.lit(0.0)).alias("y"),
+                    F.sum(F.col("c") * F.col("wt")).alias("z"),
+                )
+            )
+            err = z.select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+                    - F.col("y")
+                ).alias("e"),
+            )
+            n = z.agg(F.count(F.lit(1)).alias("n_docs"))
+            grad_rows = (
+                cnt.join(err, "doc_id")
+                .crossJoin(F.broadcast(n))
+                .groupBy("b", "n_docs")
+                .agg(
+                    (F.sum(F.col("e") * F.col("c")) / F.first("n_docs")).alias(
+                        "g"
+                    )
+                )
+                .collect()
+            )
+            for r in grad_rows:
+                w[r.b] = round(w[r.b] - lr * r.g, 6)
+    finally:
+        cnt.unpersist()
+    return w
+
+
+def score_quality_lr(docs: DataFrame, weights: list[float]) -> DataFrame:
+    """Apply a trained x67 weight vector: (doc_id, lang, p) where p is
+    the classifier's target-likeness probability — the scoring half of
+    the fastText-style gate (filter on ``p`` downstream, or sample
+    with probability proportional to it the way GPT-3's WebText
+    filter did). One broadcast join + one (doc_id) aggregate."""
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        list(enumerate(weights)), "b int, wt double"
+    )
+    feats = _bigram_bucket_feats(docs)
+    return (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(w_df), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.sum(F.col("c") * F.col("wt")))),
+                6,
+            ).alias("p")
+        )
+    )

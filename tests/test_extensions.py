@@ -1256,3 +1256,38 @@ def test_quality_lr_step_descends(spark, sf_dir):
 
     w_new = [out[b].w_new if b in out else _LR_W0[b] for b in range(DSIR_BUCKETS)]
     assert loss(w_new) < loss(list(_LR_W0)), "gradient step did not descend"
+
+
+def test_train_quality_lr_learns_the_target(spark, sf_dir):
+    """The x67 loop end-to-end: (a) step 1 of the trajectory equals
+    the registered x67 query's w_new column (shared derivation); (b)
+    after 5 steps the classifier SEPARATES the classes — mean p of
+    target-lang docs exceeds mean p of the rest by a real margin, and
+    beats the step-0 separation (training helped)."""
+    from etl_spark.extensions.resampling import (
+        _LR_W0,
+        DSIR_TARGET_LANG,
+        score_quality_lr,
+        train_quality_lr,
+    )
+    from etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    w1 = train_quality_lr(docs, steps=1)
+    x67 = {r.b: r.w_new for r in SPECS["x67_quality_lr_step"].fn(spark, sf_dir).collect()}
+    for b, w in x67.items():
+        assert abs(w1[b] - w) < 2e-6, f"step-1 weight diverges at bucket {b}"
+
+    def separation(weights):
+        rows = score_quality_lr(docs, weights).collect()
+        tgt = [r.p for r in rows if r.lang == DSIR_TARGET_LANG]
+        rest = [r.p for r in rows if r.lang != DSIR_TARGET_LANG]
+        return sum(tgt) / len(tgt) - sum(rest) / len(rest)
+
+    w5 = train_quality_lr(docs, steps=5)
+    sep0, sep5 = separation(list(_LR_W0)), separation(w5)
+    assert sep5 > sep0, f"training did not improve separation ({sep0:.4f} -> {sep5:.4f})"
+    # the fixture vocabulary is near-random across languages, so 5
+    # steps only buys a modest margin (0.03-0.15 across fixtures) —
+    # the bar asserts correct SIGN and a real gap, not convergence
+    assert sep5 > 0.02, f"trained separation too weak: {sep5:.4f}"
