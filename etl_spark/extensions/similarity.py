@@ -1078,9 +1078,15 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     cells is a broadcast nested loop over a CONSTANT-width side, the
     standard IVF probe); candidate fetch is an equi-join on the cell
     id pruning the corpus to nprobe/nlist; the per-qid ROW_NUMBER
-    partitions are candidate-sized, never corpus-sized. On a real
-    deployment the cell id is the table's partition column, so the
-    probe join prunes at file level."""
+    partitions are candidate-sized, never corpus-sized. TOTAL work is
+    n_queries x nprobe x cell_size, so the 100 TB contract is that
+    nlist GROWS with the corpus (k-means cells via x39/x53, nlist ∝
+    √n or n/target_cell_size) keeping cell_size constant — under the
+    fixture's FIXED 10 label-cells, cell size grows linearly and the
+    join is honestly quadratic (measured 32→68 s for 10x→20x replica
+    corpora; that is why the scale bench excludes x65 — see
+    bench.py). On a real deployment the cell id is the table's
+    partition column, so the probe join prunes at file level."""
     emb = load(spark, sf, "embeddings")
     cent = _sumvec_centroids(emb)
     q = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
