@@ -1108,12 +1108,34 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("crk") <= KNN_NPROBE)
         .select("qid", "qe", "label")
     )
-    scored = _with_cosine(
-        probe.join(emb.select("vec_id", "label", "embedding"), "label"),
-        "embedding",
-        "qe",
-    ).filter(F.col("vec_id") != F.col("qid")).select(
-        "qid", "vec_id", F.round("cosine", 4).alias("cosine")
+    # norms precomputed ONCE per vector, not once per candidate pair:
+    # the naive _with_cosine runs THREE 64-term folds per pair (dot +
+    # both norms); with |candidates| >> |vectors| that's ~3x the fold
+    # work for identical results (the norm expression tree is the
+    # same, just evaluated in a projection and joined in — measured
+    # ~2x on the sf0.1 candidate volume, value-identical)
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    corpus = emb.select(
+        "vec_id", "label", "embedding", nrm.alias("cn")
+    )
+    qn = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), nrm.alias("qnrm")
+    )
+    scored = (
+        probe.join(corpus, "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qn), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.try_divide(
+                    F.expr(_DOT.format(a="embedding", b="qe")),
+                    F.col("qnrm") * F.col("cn"),
+                ),
+                4,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc_nulls_last("cosine"), F.asc("vec_id")
