@@ -406,13 +406,14 @@ def epoch_weights(docs: DataFrame) -> DataFrame:
 def repeats_col():
     """n_repeats from a row carrying (doc_id, base, fr) — the
     deterministic fractional rounding shared by x66 and
-    ``corpus.write_epoch_upsampled``."""
-    permille = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-        "AS BIGINT) % 1000"
-    )
+    ``corpus.write_epoch_upsampled``. The permille bucket is
+    ``corpus._permille_col`` itself (function-level import keeps the
+    module import graph acyclic) — one definition of the x27 hashing
+    convention, so the sampling predicates cannot drift."""
+    from etl_spark.extensions.corpus import _permille_col
+
     return F.col("base") + F.when(
-        permille < F.col("fr"), F.lit(1)
+        _permille_col() < F.col("fr"), F.lit(1)
     ).otherwise(F.lit(0))
 
 
@@ -606,17 +607,22 @@ def score_quality_lr(docs: DataFrame, weights: list[float]) -> DataFrame:
     the classifier's target-likeness probability — the scoring half of
     the fastText-style gate (filter on ``p`` downstream, or sample
     with probability proportional to it the way GPT-3's WebText
-    filter did). One broadcast join + one (doc_id) aggregate."""
+    filter did). EVERY input doc gets a row: featureless (sub-2-word)
+    docs score the no-evidence prior sigmoid(0) = 0.5 via the left
+    join back — silently omitting them would lose docs with no
+    accounting in any downstream inner join (``dsir_score_batch``'s
+    fail-closed convention). One broadcast join + one (doc_id)
+    aggregate + the scan-local join back."""
     spark = docs.sparkSession
     w_df = spark.createDataFrame(
         list(enumerate(weights)), "b int, wt double"
     )
     feats = _bigram_bucket_feats(docs)
-    return (
-        feats.groupBy("doc_id", "lang", "b")
+    scored = (
+        feats.groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .join(F.broadcast(w_df), "b")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id")
         .agg(
             F.round(
                 F.lit(1.0)
@@ -624,4 +630,7 @@ def score_quality_lr(docs: DataFrame, weights: list[float]) -> DataFrame:
                 6,
             ).alias("p")
         )
+    )
+    return docs.select("doc_id", "lang").join(scored, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce(F.col("p"), F.lit(0.5)).alias("p")
     )

@@ -1089,8 +1089,11 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     partition column, so the probe join prunes at file level."""
     emb = load(spark, sf, "embeddings")
     cent = _sumvec_centroids(emb)
+    _nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     q = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _nrm.alias("qnrm"),
     )
     from pyspark.sql import Window
 
@@ -1106,25 +1109,21 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("crk", F.row_number().over(cw))
         .filter(F.col("crk") <= KNN_NPROBE)
-        .select("qid", "qe", "label")
+        .select("qid", "qe", "qnrm", "label")
     )
     # norms precomputed ONCE per vector, not once per candidate pair:
     # the naive _with_cosine runs THREE 64-term folds per pair (dot +
     # both norms); with |candidates| >> |vectors| that's ~3x the fold
     # work for identical results (the norm expression tree is the
-    # same, just evaluated in a projection and joined in — measured
-    # ~2x on the sf0.1 candidate volume, value-identical)
-    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    # same, just evaluated in a projection — measured ~2x on the
+    # sf0.1 candidate volume, value-identical). qnrm rides the q
+    # frame through the probe, so no extra scan or join exists for it
     corpus = emb.select(
-        "vec_id", "label", "embedding", nrm.alias("cn")
-    )
-    qn = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), nrm.alias("qnrm")
+        "vec_id", "label", "embedding", _nrm.alias("cn")
     )
     scored = (
         probe.join(corpus, "label")
         .filter(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(qn), "qid")
         .select(
             "qid",
             "vec_id",

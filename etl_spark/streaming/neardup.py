@@ -56,10 +56,20 @@ def batch_committed(batch_dir: str) -> bool:
 
 
 def _index_has_data(path: str) -> bool:
+    """True iff the Spark reader would find data under ``path``. The
+    walk must skip '_'/'.'-prefixed directories (``_temporary``,
+    ``.staging``) exactly as Spark's file index does: counting a
+    crashed write's _temporary part-files here while the reader sees
+    zero data files turns the replay into an unrecoverable
+    'Unable to infer schema' crash-loop (review r5)."""
     if not os.path.isdir(path):
         return False
-    for root, _, fs in os.walk(path):
-        if any(f.endswith(".parquet") for f in fs):
+    for root, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in fs
+        ):
             return True
     return False
 
@@ -147,10 +157,24 @@ def run_neardup_ingest(
     alert conditions consume)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
         idx_dir = os.path.join(index_path, f"batch-{batch_id}")
         if batch_committed(out_dir) and batch_committed(idx_dir):
             return  # replayed batch: both commit markers on disk
+        # re-run: DELETE the uncommitted batch dirs BEFORE probing.
+        # A crashed attempt may have flushed part of this batch's own
+        # band rows into idx_dir; probing an index containing them
+        # would drop the batch's rows as near-dups of THEMSELVES and
+        # then overwrite the committed output with the shrunken set —
+        # silent data loss (review r5). Deleting restores the index
+        # to its pre-batch state, so the recompute is byte-identical
+        # to a first run. (out_dir partials go too: overwrite mode
+        # would clear them anyway, this keeps the pair symmetric.)
+        for d in (out_dir, idx_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         kept, kept_bands = neardup_filter_batch(
             batch_df, bands_fn, id_col, index_path, min_frac=min_frac
         )

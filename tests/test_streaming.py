@@ -744,3 +744,62 @@ def test_streaming_dsir_gate_matches_x64_verdict(spark, tmp_path, sf_dir):
     assert [b for b, _, _ in seen] == [0, 1]
     assert sum(n_in for _, n_in, _ in seen) == len(odd)
     assert sum(n_kept for _, _, n_kept in seen) == len(expect_kept)
+
+
+def test_streaming_neardup_replay_after_partial_index_commit(spark, tmp_path):
+    """A batch whose INDEX write lost its _SUCCESS marker (crash after
+    data flush, before commit) must re-run WITHOUT probing its own
+    partially-flushed band rows — otherwise every row collides with
+    itself, and the re-run overwrites the committed output with an
+    empty set (silent data loss). The fix deletes the uncommitted
+    batch dirs before probing, restoring the pre-batch index state."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.dedup import band_keys_of
+    from etl_spark.streaming.neardup import run_neardup_ingest
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog by the river",
+                "compilers allocate registers with graph coloring heuristics",
+            ],
+        }),
+        d / "b0.parquet",
+    )
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = run_neardup_ingest(
+            stream, band_keys_of, id_col="doc_id",
+            index_path=str(tmp_path / "idx"),
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(120)
+
+    run("first")
+    out0 = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "out")
+    )
+    assert out0.count() == 2
+
+    # simulate the crash window: index data flushed, commit marker lost
+    os.remove(tmp_path / "idx" / "batch-0" / "_SUCCESS")
+    # fresh checkpoint => the source replays the same file as batch 0
+    run("replay")
+    out1 = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "out")
+    )
+    assert {r.doc_id for r in out1.collect()} == {1, 2}, (
+        "replay dropped rows as near-dups of their own partial index"
+    )
