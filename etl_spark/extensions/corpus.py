@@ -962,3 +962,74 @@ def write_epoch_upsampled(spark: SparkSession, sf: str, path: str) -> None:
         .drop("n_repeats", "base", "fr")
     )
     write_training_shards(expanded, path, rep_col="rep")
+
+
+def delete_docs_from_shards(
+    spark: SparkSession, path: str, doc_ids: list[int]
+) -> list[int]:
+    """Takedown propagation: remove ``doc_ids`` (every copy — an
+    upsampled epoch stores several) from a ``write_training_shards``
+    layout, rewriting ONLY the shards that contain them. The shard id
+    is a pure function of the order hash, so the affected set is
+    computed driver-side from the ids alone — no corpus scan decides
+    what to touch — and content-stable sharding caps the blast radius
+    of a right-to-be-forgotten request at |affected shards| partition
+    rewrites out of N_SHARDS, never a full-corpus rewrite. Untouched
+    shard files are not rewritten (byte-identical afterwards —
+    asserted in tests). Returns the sorted affected shard ids.
+
+    In-shard order is preserved: files carry the ``hkey`` column, so
+    each rewritten shard re-sorts by (shard, hkey, doc_id) — the
+    surviving rows keep their exact training order, and the epoch
+    remains valid without re-laying anything. A doc_id that hashes to
+    an affected shard but is absent on disk is a no-op (the shard is
+    still rewritten — membership cannot be known driver-side without
+    reading, and reading IS the rewrite's scan)."""
+    import glob
+    import hashlib
+
+    if not doc_ids:
+        return []
+
+    def shard_of(key: str) -> int:
+        h = hashlib.md5(f"{_ORD_SEED}{key}".encode()).hexdigest()
+        return int(h[:15], 16) % N_SHARDS
+
+    affected: set[int] = set()
+    for d in doc_ids:
+        affected.add(shard_of(str(d)))
+    # an UPSAMPLED layout (rep column in the files) salts each copy's
+    # hkey with its repeat index, which cannot be recomputed per id
+    # without knowing the doc's repeat count — probe every possible
+    # rep-salted shard up to the epoch cap. A plain layout skips this
+    # (3 ids touch ≤3 shards, not most of them).
+    if "rep" in spark.read.parquet(path).columns:
+        import math
+
+        from etl_spark.extensions.resampling import EPOCH_CAP
+
+        for d in doc_ids:
+            for rep in range(1, math.ceil(EPOCH_CAP) + 1):
+                affected.add(shard_of(f"{d}#{rep}"))
+    affected &= {
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{path}/shard=*")
+    }
+    if not affected:
+        return []
+    ids_df = F.broadcast(
+        spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id bigint")
+    )
+    kept = (
+        spark.read.option("basePath", path)
+        .parquet(*[f"{path}/shard={s}" for s in sorted(affected)])
+        .join(ids_df, "doc_id", "left_anti")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        kept.repartition(len(affected), "shard")
+        .sortWithinPartitions("shard", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sorted(affected)

@@ -1291,3 +1291,73 @@ def test_train_quality_lr_learns_the_target(spark, sf_dir):
     # steps only buys a modest margin (0.03-0.15 across fixtures) —
     # the bar asserts correct SIGN and a real gap, not convergence
     assert sep5 > 0.02, f"trained separation too weak: {sep5:.4f}"
+
+
+def test_delete_docs_from_shards_rewrites_only_affected(spark, sf_dir, tmp_path):
+    """Takedown propagation contracts: (a) every copy of the deleted
+    doc_ids disappears (the layout under test is the UPSAMPLED epoch,
+    so some ids have 2 copies in different shards); (b) survivors are
+    byte-for-byte intact — unaffected shard files are NOT rewritten
+    (file bytes compared), and affected shards keep their surviving
+    rows in the exact original order; (c) the returned shard set
+    matches what changed on disk."""
+    import glob
+    import hashlib
+
+    from etl_spark.extensions.corpus import (
+        delete_docs_from_shards,
+        write_epoch_upsampled,
+    )
+
+    out = str(tmp_path / "shards")
+    write_epoch_upsampled(spark, sf_dir, out)
+
+    def snapshot():
+        files = {}
+        for p in sorted(glob.glob(f"{out}/shard=*/*.parquet")):
+            with open(p, "rb") as fh:
+                files[p] = hashlib.md5(fh.read()).hexdigest()
+        return files
+
+    def rows_by_shard():
+        got = {}
+        for d in sorted(glob.glob(f"{out}/shard=*")):
+            s = int(d.rsplit("=", 1)[1])
+            got[s] = [
+                (r.doc_id, r.rep) for r in spark.read.parquet(d).collect()
+            ]
+        return got
+
+    before_files = snapshot()
+    before_rows = rows_by_shard()
+    all_ids = {d for rows in before_rows.values() for d, _ in rows}
+    multi = [d for d in all_ids if sum(
+        1 for rows in before_rows.values() for x, _ in rows if x == d
+    ) > 1]
+    victims = sorted(all_ids)[:2] + multi[:1]
+
+    affected = delete_docs_from_shards(spark, out, victims)
+
+    after_files = snapshot()
+    after_rows = rows_by_shard()
+    assert not any(
+        d in victims for rows in after_rows.values() for d, _ in rows
+    ), "a deleted doc survived"
+    for s, rows in after_rows.items():
+        expect = [t for t in before_rows[s] if t[0] not in victims]
+        assert rows == expect, f"shard {s} lost its order or rows"
+    untouched = {
+        p: h for p, h in before_files.items()
+        if int(p.split("shard=")[1].split("/")[0]) not in affected
+    }
+    for p, h in untouched.items():
+        assert after_files.get(p) == h, f"unaffected shard rewritten: {p}"
+    changed = {
+        int(p.split("shard=")[1].split("/")[0])
+        for p in set(before_files) ^ set(after_files)
+    } | {
+        int(p.split("shard=")[1].split("/")[0])
+        for p in before_files
+        if p in after_files and after_files[p] != before_files[p]
+    }
+    assert changed <= set(affected), "a shard outside the affected set changed"
