@@ -662,13 +662,18 @@ def write_training_shards(
     # already satisfy that — which would scramble the hkey order.
     # With (shard, hkey, doc_id) the requirement is satisfied as a
     # prefix, the writer skips its sort, and hkey order survives to
-    # the files (tests assert the on-disk order).
-    (
-        h.repartition(N_SHARDS, "shard")
-        .sortWithinPartitions("shard", "hkey", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
+    # the files (tests assert the on-disk order). The overwrite mode
+    # is pinned STATIC for the duration: this is a full re-lay, and
+    # session-leaked dynamic mode would keep stale shards whose
+    # partition received no new rows (shrunken corpus, changed seed).
+    _with_overwrite_mode(docs.sparkSession, "static")(
+        lambda: (
+            h.repartition(N_SHARDS, "shard")
+            .sortWithinPartitions("shard", "hkey", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
     )
 
 
@@ -987,23 +992,32 @@ def delete_docs_from_shards(
     reading, and reading IS the rewrite's scan)."""
     import glob
     import hashlib
+    import shutil
 
     if not doc_ids:
         return []
+    part_files = glob.glob(f"{path}/shard=*/*.parquet")
+    if not part_files:
+        return []
+    # layout detection from ONE file footer (pyarrow, driver-side) —
+    # a spark.read over the whole layout would list and schema-infer
+    # every shard before the affected set is even known, the exact
+    # corpus-wide touch this function exists to avoid (review r5)
+    import pyarrow.parquet as _pq
+
+    upsampled = "rep" in _pq.read_schema(part_files[0]).names
 
     def shard_of(key: str) -> int:
         h = hashlib.md5(f"{_ORD_SEED}{key}".encode()).hexdigest()
         return int(h[:15], 16) % N_SHARDS
 
+    # an UPSAMPLED layout salts every copy's hkey with its repeat
+    # index (no row uses the unsalted form), so probe exactly the
+    # possible rep-salted shards; a plain layout probes exactly the
+    # unsalted ones — mixing both would inflate the blast radius
+    # with shards that cannot contain a victim (review r5)
     affected: set[int] = set()
-    for d in doc_ids:
-        affected.add(shard_of(str(d)))
-    # an UPSAMPLED layout (rep column in the files) salts each copy's
-    # hkey with its repeat index, which cannot be recomputed per id
-    # without knowing the doc's repeat count — probe every possible
-    # rep-salted shard up to the epoch cap. A plain layout skips this
-    # (3 ids touch ≤3 shards, not most of them).
-    if "rep" in spark.read.parquet(path).columns:
+    if upsampled:
         import math
 
         from etl_spark.extensions.resampling import EPOCH_CAP
@@ -1011,6 +1025,9 @@ def delete_docs_from_shards(
         for d in doc_ids:
             for rep in range(1, math.ceil(EPOCH_CAP) + 1):
                 affected.add(shard_of(f"{d}#{rep}"))
+    else:
+        for d in doc_ids:
+            affected.add(shard_of(str(d)))
     affected &= {
         int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{path}/shard=*")
     }
@@ -1023,13 +1040,49 @@ def delete_docs_from_shards(
         spark.read.option("basePath", path)
         .parquet(*[f"{path}/shard={s}" for s in sorted(affected)])
         .join(ids_df, "doc_id", "left_anti")
+        .persist()
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        kept.repartition(len(affected), "shard")
-        .sortWithinPartitions("shard", "hkey", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    try:
+        survivors = {
+            r.shard for r in kept.select("shard").distinct().collect()
+        }
+        # dynamic overwrite only touches partitions that RECEIVE rows:
+        # a shard whose rows were all victims would silently keep its
+        # old files — the takedown's one unforgivable failure (review
+        # r5). Emptied shards are therefore deleted explicitly.
+        if survivors:
+            _with_overwrite_mode(spark, "dynamic")(
+                lambda: (
+                    kept.repartition(len(survivors), "shard")
+                    .sortWithinPartitions("shard", "hkey", "doc_id")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(path)
+                )
+            )
+        for s in affected - survivors:
+            shutil.rmtree(f"{path}/shard={s}", ignore_errors=True)
+    finally:
+        kept.unpersist()
     return sorted(affected)
+
+
+def _with_overwrite_mode(spark: SparkSession, mode: str):
+    """Run a write under a specific partitionOverwriteMode and RESTORE
+    the previous session value — leaving 'dynamic' set would silently
+    change every later partitioned overwrite in the session (a re-laid
+    epoch would keep stale shards whose partition got no new rows)."""
+
+    def runner(fn):
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, mode)
+        try:
+            return fn()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return runner

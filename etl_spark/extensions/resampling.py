@@ -611,8 +611,10 @@ def score_quality_lr(docs: DataFrame, weights: list[float]) -> DataFrame:
     docs score the no-evidence prior sigmoid(0) = 0.5 via the left
     join back — silently omitting them would lose docs with no
     accounting in any downstream inner join (``dsir_score_batch``'s
-    fail-closed convention). One broadcast join + one (doc_id)
-    aggregate + the scan-local join back."""
+    fail-closed convention). Plan: one broadcast join on the bucket
+    id, one (doc_id) aggregate, then a doc_id-keyed join of the
+    corpus id/lang projection against the aggregate (one further
+    shuffle — the price of the every-doc guarantee)."""
     spark = docs.sparkSession
     w_df = spark.createDataFrame(
         list(enumerate(weights)), "b int, wt double"

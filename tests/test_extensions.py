@@ -1361,3 +1361,53 @@ def test_delete_docs_from_shards_rewrites_only_affected(spark, sf_dir, tmp_path)
         if p in after_files and after_files[p] != before_files[p]
     }
     assert changed <= set(affected), "a shard outside the affected set changed"
+
+
+def test_delete_docs_from_shards_emptied_shard_and_conf_restore(spark, sf_dir, tmp_path):
+    """The two review-r5 takedown hazards: (a) a shard whose rows are
+    ALL victims must end up gone from disk — dynamic partition
+    overwrite alone would silently keep its old files because the
+    write emits no rows for it; (b) the session's
+    partitionOverwriteMode is restored afterwards, so a later full
+    re-lay still truncates stale shards."""
+    import glob
+
+    from etl_spark.extensions.corpus import (
+        delete_docs_from_shards,
+        write_training_shards,
+    )
+    from etl_spark.tables import load
+
+    out = str(tmp_path / "shards")
+    write_training_shards(load(spark, sf_dir, "documents"), out)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before_mode = spark.conf.get(key, None)
+
+    # victims = EVERY doc in one shard (plus one doc elsewhere so the
+    # write path and the rmtree path both execute)
+    shard0 = sorted(glob.glob(f"{out}/shard=*"))[0]
+    sid = int(shard0.rsplit("=", 1)[1])
+    victims = [r.doc_id for r in spark.read.parquet(shard0).collect()]
+    other = next(
+        int(p.rsplit("=", 1)[1])
+        for p in sorted(glob.glob(f"{out}/shard=*"))
+        if int(p.rsplit("=", 1)[1]) != sid
+    )
+    victims.append(
+        spark.read.parquet(f"{out}/shard={other}").first().doc_id
+    )
+
+    affected = delete_docs_from_shards(spark, out, victims)
+    assert sid in affected
+    assert not glob.glob(f"{out}/shard={sid}"), (
+        "fully-victim shard still on disk — takedown silently failed"
+    )
+    survivors = {
+        r.doc_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("doc_id")
+        .collect()
+    }
+    assert not (set(victims) & survivors)
+    assert spark.conf.get(key, None) == before_mode, "conf leaked"
