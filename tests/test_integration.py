@@ -131,3 +131,140 @@ def test_reference_workflow_end_to_end(spark, idb, tmp_path):
     # 4. audit trail exists on both sides (T10)
     assert orch.logs().count() == 1
     assert engine.alert_logs().count() == 1
+
+
+def test_llm_ingest_loop_end_to_end(spark, sf_dir, tmp_path):
+    """The full streaming ingest loop for a training-data pipeline,
+    three stages CHAINED (each stage's accepted output is the next
+    stage's stream source):
+
+      raw batches → [validate + DLQ] → [near-dup filter vs durable
+      index] → [DSIR selection gate] → accepted corpus
+
+    Fixture: 2 micro-batches of 4 docs — one schema-invalid (NULL
+    text), one near-dup of a batch-1 doc, one clearly off-target
+    (non-target bigrams), and clean target-like docs. Asserts each
+    row is dropped at exactly the stage that owns its defect, and the
+    final corpus is exactly the clean target-like survivors."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.dedup import band_keys_of
+    from etl_spark.extensions.resampling import DSIR_TARGET_LANG
+    from etl_spark.streaming.neardup import run_neardup_ingest
+    from etl_spark.streaming.selection import build_dsir_model, run_dsir_gate
+    from etl_spark.streaming.sinks import run_validating_sink
+
+    # the model's "curated corpus": the fixture docs; target-like
+    # fixture texts are chosen BY THE SCORER itself (x62 selected —
+    # verbatim text reproduces the same logw under the same model),
+    # so the test never guesses what the model considers on-target
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_dsir_model(docs, str(tmp_path / "model"))
+    from etl_spark.registry import all_specs
+
+    selected_ids = [
+        r.doc_id
+        for r in sorted(
+            all_specs()["x62_dsir_importance"].fn(spark, sf_dir).collect(),
+            key=lambda r: -r.logw,
+        )
+        if r.selected
+    ][:2]
+    assert len(selected_ids) == 2, "fixture has too few selected docs"
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(
+            docs.doc_id.isin([int(i) for i in selected_ids])
+        ).collect()
+    }
+    tgt_text_1, tgt_text_2 = (texts[i] for i in selected_ids)
+    words_1 = tgt_text_1.split(" ")
+    dup_of_1 = " ".join(words_1[:-1] + ["changed"])
+    off_target = " ".join(f"zz{i:02d}" for i in range(40))
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }),
+            raw / name,
+        )
+        os.utime(raw / name, (mtime, mtime))
+
+    write_batch("b0.parquet", [
+        (1, DSIR_TARGET_LANG, tgt_text_1),
+        (2, DSIR_TARGET_LANG, None),          # invalid: NULL text
+    ], 1000000000)
+    write_batch("b1.parquet", [
+        (3, DSIR_TARGET_LANG, dup_of_1),      # near-dup of doc 1
+        (4, DSIR_TARGET_LANG, tgt_text_2),
+        (5, "de", off_target),                # gate should reject
+    ], 1000000100)
+
+    schema = "doc_id bigint, lang string, text string"
+
+    def stream_of(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(path))
+        )
+
+    # stage 1: validation + dead-letter queue
+    q = run_validating_sink(
+        stream_of(raw),
+        rules={"text_present": "text IS NOT NULL AND length(text) > 0"},
+        out_path=str(tmp_path / "valid"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    dlq = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "dlq")
+    )
+    assert {r.doc_id for r in dlq.collect()} == {2}
+    assert "_violations" in dlq.columns
+
+    # stage 2: near-dup filter against a durable band index
+    q = run_neardup_ingest(
+        stream_of(tmp_path / "valid"),
+        band_keys_of,
+        id_col="doc_id",
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "nodup"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+    nodup_ids = {
+        r.doc_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "nodup"))
+        .collect()
+    }
+    assert 3 not in nodup_ids, "near-dup slipped past the band index"
+    assert {1, 4, 5} <= nodup_ids
+
+    # stage 3: DSIR selection gate
+    q = run_dsir_gate(
+        stream_of(tmp_path / "nodup"),
+        model_path=str(tmp_path / "model"),
+        out_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(120)
+    final = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "corpus")
+    )
+    got = {r.doc_id for r in final.collect()}
+    assert 5 not in got, "off-target doc passed the selection gate"
+    assert got == {1, 4}, got
+    assert "logw" in final.columns  # selection evidence rides along
