@@ -100,6 +100,7 @@ HEADLINE = [
     "x65_knn_join",
     "x66_epoch_upsample",
     "x67_quality_lr_step",
+    "x68_shard_stats",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

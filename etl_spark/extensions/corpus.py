@@ -1086,3 +1086,58 @@ def _with_overwrite_mode(spark: SparkSession, mode: str):
                 spark.conf.set(key, prev)
 
     return runner
+
+
+@register(
+    "x68_shard_stats",
+    oracle=f"""
+        WITH h AS (
+            SELECT ('0x' || substr(
+                       md5('{_ORD_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   )::BIGINT % {N_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        s AS (
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM h GROUP BY shard
+        ),
+        t AS (SELECT SUM(n_tokens) AS tot FROM s)
+        SELECT shard, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / t.tot, 6) AS tok_frac
+        FROM s, t
+    """,
+    tags=("pipeline",),
+)
+def x68_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-balance audit for the x52 layout — per-shard document and
+    token totals plus each shard's fraction of the corpus: the number
+    a training job's stragglers trace back to (one hot shard = one
+    slow data-loader worker every step of every epoch). Content-hash
+    sharding should keep tok_frac within noise of 1/N_SHARDS; a skewed
+    report here means pathological doc-length correlation with the
+    hash, caught at layout time instead of at step time. Same
+    derivation as x52/write_training_shards (`_hkey_col`/`_SHARD_EXPR`)
+    so the audit can never disagree with the written layout.
+
+    Scale shape: the shard id is scan-local, then one N_SHARDS-row
+    aggregate and a 1-row broadcast total — the corpus never
+    shuffles on anything wider than the N_SHARDS key space."""
+    h = load(spark, sf, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tok"),
+        _hkey_col().alias("hkey"),
+    ).select("n_tok", F.expr(_SHARD_EXPR).alias("shard"))
+    s = h.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").alias("tot"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "tok_frac"
+        ),
+    )

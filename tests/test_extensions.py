@@ -1411,3 +1411,82 @@ def test_delete_docs_from_shards_emptied_shard_and_conf_restore(spark, sf_dir, t
     }
     assert not (set(victims) & survivors)
     assert spark.conf.get(key, None) == before_mode, "conf leaked"
+
+
+# ---------- property test: DSIR scorer vs pure-Python reference ----------
+
+_DSIR_WORDS = st.sampled_from(["a", "b", "cc", "δδ", "火", "naïve"])
+_DSIR_DOC = st.lists(_DSIR_WORDS, min_size=1, max_size=9).map(" ".join)
+
+
+@given(st.lists(st.tuples(_DSIR_DOC, st.booleans()), min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_dsir_scorer_matches_reference(docs_spec):
+    """Property: on arbitrary tiny corpora — unicode tokens included,
+    since both engines must hash the same UTF-8 bytes — x62's Spark
+    pipeline equals a pure-Python reference of the DSIR formula:
+    per-bucket add-one-smoothed log ratios summed per doc, single-word
+    docs absent, selected ⇔ logw > 0."""
+    import hashlib
+    import math
+
+    from etl_spark.extensions.resampling import (
+        _bigram_bucket_feats,
+        _dsir_model,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [t for t, _ in docs_spec]
+    langs = [DSIR_TARGET_LANG if is_t else "xx" for _, is_t in docs_spec]
+
+    # pure-Python reference
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    feats = []  # (doc_id, lang, bucket)
+    for i, (t, lang) in enumerate(zip(texts, langs)):
+        w = t.split(" ")
+        for j in range(len(w) - 1):
+            feats.append((i, lang, bucket(f"{w[j]} {w[j+1]}")))
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, lang, b in feats:
+        raw[b] = raw.get(b, 0) + 1
+        if lang == DSIR_TARGET_LANG:
+            tgt[b] = tgt.get(b, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt.get(b, 0) + 1) / (nt + DSIR_BUCKETS))
+        - math.log((raw[b] + 1) / (nr + DSIR_BUCKETS))
+        for b in raw
+    }
+    want: dict[int, tuple[int, float]] = {}
+    for i, lang, b in feats:
+        n, s = want.get(i, (0, 0.0))
+        want[i] = (n + 1, s + lr[b])
+    want_rounded = {i: (n, round(s, 6)) for i, (n, s) in want.items()}
+
+    spark = _cc_spark()
+    df = spark.createDataFrame(
+        [(i, langs[i], texts[i]) for i in range(len(texts))],
+        "doc_id bigint, lang string, text string",
+    )
+    fdf = _bigram_bucket_feats(df)
+    model = _dsir_model(fdf)
+    got = {
+        r.doc_id: (r.n_feats, r.logw)
+        for r in fdf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lratio"), 6).alias("logw"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want_rounded)
+    for i, (n, s) in want_rounded.items():
+        gn, gs = got[i]
+        assert gn == n
+        assert abs(gs - s) <= 1e-6, f"doc {i}: {gs} vs {s}"
