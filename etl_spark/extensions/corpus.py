@@ -924,8 +924,13 @@ def write_epoch(spark: SparkSession, sf: str, path: str) -> None:
     split), layout (shard by seeded hash, in-shard hash order), and
     bytes (the document text) land in one pass — the directory this
     writes IS the epoch a data loader streams, with x56 as its index.
-    Membership and order are content-stable, so re-running after
-    corpus growth only appends new docs to shard tails."""
+    Membership and order are content-stable: re-running after corpus
+    growth keeps every existing doc's shard and RELATIVE order (new
+    docs interleave at their own hash positions, they do not reorder
+    what was there — the property the incrementality test proves).
+    Note this is stable-relative-order, NOT tail-append: a byte-level
+    resumable loader should key on the x56 manifest, not on file
+    offsets surviving a re-lay."""
     # membership from the SHARED predicates directly, not from x56's
     # output: the manifest's per-shard rank and offset windows are
     # pure wasted work here (write_training_shards re-derives shard

@@ -760,6 +760,23 @@ def test_content_stable_assignments_survive_corpus_growth(spark, sf_dir, tmp_pat
     full_shard = by_doc("x52_training_order", full_dir, "shard")
     assert all(full_shard[d] == s for d, s in half_shard.items())
 
+    # and RELATIVE in-shard order: growth interleaves new docs at
+    # their own hash positions but never reorders existing ones (the
+    # write_epoch stability contract — stable-relative-order, not
+    # tail-append)
+    def order_of(sf):
+        rows = SPECS["x52_training_order"].fn(spark, str(sf)).collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.pos)):
+            by_shard.setdefault(r.shard, []).append(r.doc_id)
+        return by_shard
+
+    half_ord, full_ord = order_of(half), order_of(full_dir)
+    half_ids = set(half_split)
+    for shard, ids in half_ord.items():
+        surviving = [d for d in full_ord.get(shard, []) if d in half_ids]
+        assert surviving == ids, f"shard {shard}: relative order changed"
+
     half_samp = set(by_doc("x27_hash_sample", half, "lang"))
     full_samp = set(by_doc("x27_hash_sample", full_dir, "lang"))
     assert half_samp == {d for d in full_samp if d in half_split}
