@@ -101,6 +101,7 @@ HEADLINE = [
     "x66_epoch_upsample",
     "x67_quality_lr_step",
     "x68_shard_stats",
+    "x69_cluster_size_histogram",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

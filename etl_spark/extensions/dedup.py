@@ -850,3 +850,59 @@ def x46_dedup_verdict(spark: SparkSession, sf: str) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+@register(
+    "x69_cluster_size_histogram",
+    oracle=f"""
+        WITH labels AS ({_duck_dup_clusters()}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz
+            FROM labels GROUP BY cluster_id
+        ),
+        t AS (SELECT SUM(sz) AS tot FROM sizes)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+               ROUND(CAST(COUNT(*) * sz AS DOUBLE) / t.tot, 6)
+                   AS doc_frac
+        FROM sizes, t
+        GROUP BY sz, t.tot
+    """,
+    tags=("dedup",),
+)
+def x69_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup HEALTH report:
+    how many clusters of each size exist and what fraction of the
+    clustered documents sit in them. The long tail of pair clusters
+    is normal web duplication; a mega-cluster absorbing a big
+    doc_frac is the signature of boilerplate/templated content that
+    near-dup thresholds mistake for duplication (the classic "every
+    page shares a cookie banner" failure) — caught here BEFORE x46
+    drops all but one doc per cluster and quietly deletes a slice of
+    the corpus. Sits on x29's labels exactly (shared CC derivation),
+    so the histogram always describes the clusters the verdict will
+    act on.
+
+    Scale shape: x29's CC cost plus two tiny aggregates — cluster
+    sizes (keyed on cluster_id, docs-in-pairs only) and the size
+    histogram (key space = distinct sizes). Nothing corpus-wide
+    beyond what x29 already does."""
+    labels = x29_dup_clusters(spark, sf)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    t = sizes.agg(F.sum("sz").alias("tot"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n_clusters") * F.col("sz")).cast("bigint").alias("n_docs"),
+            F.round(
+                (F.col("n_clusters") * F.col("sz")).cast("double")
+                / F.col("tot"),
+                6,
+            ).alias("doc_frac"),
+        )
+    )
