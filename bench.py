@@ -102,6 +102,7 @@ HEADLINE = [
     "x67_quality_lr_step",
     "x68_shard_stats",
     "x69_cluster_size_histogram",
+    "x70_source_league",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

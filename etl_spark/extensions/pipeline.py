@@ -690,3 +690,80 @@ def x49_multimodal_curated(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def _x70_oracle() -> str:
+    from etl_spark.extensions.dedup import _duck_dup_clusters
+
+    return f"""
+        WITH labels AS ({_duck_dup_clusters()})
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               ROUND(AVG(CASE WHEN {_duck_quality_keep()}
+                         THEN 1.0 ELSE 0.0 END), 6) AS quality_keep_frac,
+               ROUND(AVG(CASE WHEN is_canonical = false
+                         THEN 1.0 ELSE 0.0 END), 6) AS dup_drop_frac
+        FROM documents LEFT JOIN labels USING (doc_id)
+        GROUP BY source
+    """
+
+
+@register(
+    "x70_source_league",
+    oracle=_x70_oracle(),
+    tags=("pipeline", "textstats", "dedup"),
+)
+def x70_source_league(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-source league table — the report data-acquisition
+    decisions read: for every source, its volume (docs/tokens), the
+    fraction surviving the x17 quality gate, and the fraction the
+    dedup verdict would DROP (in a cluster, not its canonical). A
+    source with a low keep rate is noise you're paying to filter; a
+    source with a high dup-drop rate is content you already have —
+    both argue against the next crawl of it. Gate and verdict are the
+    SAME shared predicates x47/x49 compose (`_duck_quality_keep`, the
+    x29 label derivation), so this report and the pipeline's actual
+    drops can never disagree.
+
+    Scale shape: x29's CC over docs-in-pairs, one corpus-scan LEFT
+    join against the labels (pairs-sized), one (source) aggregate —
+    the gate itself is scan-local."""
+    from etl_spark.extensions.dedup import x29_dup_clusters
+    from etl_spark.extensions.textstats import _STOPWORDS, _sql_list
+
+    docs = load(spark, sf, "documents")
+    labels = x29_dup_clusters(spark, sf).select("doc_id", "is_canonical")
+    toks = F.split("text", " ")
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({_sql_list(_STOPWORDS)})))"
+    ) / F.size(toks)
+    mean_tok_len = F.length(
+        F.replace("text", F.lit(" "), F.lit(""))
+    ) / F.size(toks)
+    quality = (
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & F.length("text").between(50, 10000)
+        & (stop_ratio >= 0.01)
+        & (mean_tok_len <= 12)
+    )
+    return (
+        docs.join(labels, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").isNotNull(), F.size(toks))
+            ).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.when(quality, 1.0).otherwise(0.0)), 6
+            ).alias("quality_keep_frac"),
+            F.round(
+                F.avg(
+                    F.when(F.col("is_canonical") == False, 1.0).otherwise(0.0)  # noqa: E712
+                ),
+                6,
+            ).alias("dup_drop_frac"),
+        )
+    )

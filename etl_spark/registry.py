@@ -102,7 +102,7 @@ def _ensure_loaded() -> None:
 # After this round only x23/x26/x27/x30/x31/x32 have a driver row
 # older than r3; they rotate first in r6 together with the round-5
 # queries registered after the window filled (x56 training manifest,
-# x57 semdedup, x58 curation funnel, x59-x69, and any later
+# x57 semdedup, x58 curation funnel, x59-x70, and any later
 # additions — all deferring their first driver row), then the
 # r3/r4-checked queries oldest-first. All are covered by the identical
 # local oracle gate every round (tests/test_oracle.py).
