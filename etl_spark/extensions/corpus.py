@@ -637,7 +637,10 @@ def x56_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def write_training_shards(
-    docs: DataFrame, path: str, rep_col: str | None = None
+    docs: DataFrame,
+    path: str,
+    rep_col: str | None = None,
+    max_rep: int | None = None,
 ) -> None:
     """The production form of x52: WRITE the epoch layout instead of
     materializing positions. One shuffle keyed on the shard hash, an
@@ -646,13 +649,24 @@ def write_training_shards(
     order, so the x52 `pos` column never exists on disk and no global
     sort ever runs. Readers stream shards round-robin for the epoch
     permutation; bumping _ORD_SEED re-lays the next epoch. For
-    upsampled epochs pass ``rep_col`` (see ``_hkey_col``) so copies
-    of one document scatter instead of clustering.
+    upsampled epochs pass ``rep_col`` (see ``_hkey_col``) AND
+    ``max_rep`` (the largest repeat index the policy can emit) so
+    copies of one document scatter instead of clustering.
+
+    The layout records its hash parameters in ``_layout.json`` (seed,
+    shard count, rep policy): ``delete_docs_from_shards`` derives the
+    affected-shard set from the RECORDED parameters, never from the
+    current module constants — a takedown against an epoch written
+    under an earlier seed or a different cap would otherwise hash
+    victims to the wrong shards and silently remove nothing
+    (review r5).
 
     At 1000 executors this is exactly N_SHARDS reducer tasks, each
     spill-sorting its own shard — the two-phase composition the x52
     docstring promises. tests/test_extensions.py verifies the on-disk
     row order equals x52's computed (shard, pos) order."""
+    if rep_col is not None and max_rep is None:
+        raise ValueError("rep_col requires max_rep (the policy's cap)")
     h = docs.withColumn("hkey", _hkey_col(rep_col)).withColumn(
         "shard", F.expr(_SHARD_EXPR)
     )
@@ -675,6 +689,19 @@ def write_training_shards(
             .parquet(path)
         )
     )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_layout.json"), "w") as fh:
+        _json.dump(
+            {
+                "seed": _ORD_SEED,
+                "n_shards": N_SHARDS,
+                "rep_salted": rep_col is not None,
+                "max_rep": max_rep,
+            },
+            fh,
+        )
 
 
 _STAGE_NAME = (
@@ -971,7 +998,13 @@ def write_epoch_upsampled(spark: SparkSession, sf: str, path: str) -> None:
         .withColumn("rep", F.explode(F.expr("sequence(1, n_repeats)")))
         .drop("n_repeats", "base", "fr")
     )
-    write_training_shards(expanded, path, rep_col="rep")
+    import math
+
+    from etl_spark.extensions.resampling import EPOCH_CAP
+
+    write_training_shards(
+        expanded, path, rep_col="rep", max_rep=math.ceil(EPOCH_CAP)
+    )
 
 
 def delete_docs_from_shards(
@@ -991,85 +1024,105 @@ def delete_docs_from_shards(
     In-shard order is preserved: files carry the ``hkey`` column, so
     each rewritten shard re-sorts by (shard, hkey, doc_id) — the
     surviving rows keep their exact training order, and the epoch
-    remains valid without re-laying anything. A doc_id that hashes to
-    an affected shard but is absent on disk is a no-op (the shard is
-    still rewritten — membership cannot be known driver-side without
-    reading, and reading IS the rewrite's scan)."""
+    remains valid without re-laying anything. Hash parameters (seed,
+    shard count, rep policy) come from the layout's own
+    ``_layout.json``, never from the current module constants: an
+    epoch written under an earlier seed or a different cap would
+    otherwise hash victims to the wrong shards and silently remove
+    nothing. Probed shards the anti-join finds CLEAN (the id hashes
+    there but no row matches) are left byte-identical — only shards
+    actually containing victim rows are rewritten or deleted, and
+    only those are returned."""
     import glob
     import hashlib
+    import json
+    import os
     import shutil
 
     if not doc_ids:
         return []
-    part_files = glob.glob(f"{path}/shard=*/*.parquet")
-    if not part_files:
-        return []
-    # layout detection from ONE file footer (pyarrow, driver-side) —
-    # a spark.read over the whole layout would list and schema-infer
-    # every shard before the affected set is even known, the exact
-    # corpus-wide touch this function exists to avoid (review r5)
-    import pyarrow.parquet as _pq
-
-    upsampled = "rep" in _pq.read_schema(part_files[0]).names
+    meta_path = os.path.join(path, "_layout.json")
+    if not os.path.isfile(meta_path):
+        raise ValueError(
+            f"{path} has no _layout.json — not a write_training_shards "
+            f"layout (or written before layouts recorded their hash "
+            f"parameters); re-lay it before running takedowns"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    seed, n_shards = meta["seed"], int(meta["n_shards"])
 
     def shard_of(key: str) -> int:
-        h = hashlib.md5(f"{_ORD_SEED}{key}".encode()).hexdigest()
-        return int(h[:15], 16) % N_SHARDS
+        h = hashlib.md5(f"{seed}{key}".encode()).hexdigest()
+        return int(h[:15], 16) % n_shards
 
-    # an UPSAMPLED layout salts every copy's hkey with its repeat
-    # index (no row uses the unsalted form), so probe exactly the
-    # possible rep-salted shards; a plain layout probes exactly the
-    # unsalted ones — mixing both would inflate the blast radius
-    # with shards that cannot contain a victim (review r5)
-    affected: set[int] = set()
-    if upsampled:
-        import math
-
-        from etl_spark.extensions.resampling import EPOCH_CAP
-
+    probed: set[int] = set()
+    if meta.get("rep_salted"):
         for d in doc_ids:
-            for rep in range(1, math.ceil(EPOCH_CAP) + 1):
-                affected.add(shard_of(f"{d}#{rep}"))
+            for rep in range(1, int(meta["max_rep"]) + 1):
+                probed.add(shard_of(f"{d}#{rep}"))
     else:
         for d in doc_ids:
-            affected.add(shard_of(str(d)))
-    affected &= {
+            probed.add(shard_of(str(d)))
+    probed &= {
         int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{path}/shard=*")
     }
-    if not affected:
+    if not probed:
         return []
     ids_df = F.broadcast(
         spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id bigint")
     )
-    kept = (
+    src = (
         spark.read.option("basePath", path)
-        .parquet(*[f"{path}/shard={s}" for s in sorted(affected)])
-        .join(ids_df, "doc_id", "left_anti")
+        .parquet(*[f"{path}/shard={s}" for s in sorted(probed)])
         .persist()
     )
     try:
-        survivors = {
-            r.shard for r in kept.select("shard").distinct().collect()
+        # one aggregate decides each probed shard's fate: no victims →
+        # untouched (byte-identical — not even rewritten), some → the
+        # shard rewrites, all → the directory is deleted
+        counts = {
+            r.shard: (r.total, r.victims)
+            for r in src.join(
+                ids_df.withColumn("_v", F.lit(True)), "doc_id", "left"
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count("_v").alias("victims"),
+            )
+            .collect()
         }
-        # dynamic overwrite only touches partitions that RECEIVE rows:
-        # a shard whose rows were all victims would silently keep its
-        # old files — the takedown's one unforgivable failure (review
-        # r5). Emptied shards are therefore deleted explicitly.
-        if survivors:
+        rewrite = {
+            s for s, (tot, v) in counts.items() if 0 < v < tot
+        }
+        emptied = {s for s, (tot, v) in counts.items() if v == tot}
+        if rewrite:
+            kept = (
+                src.filter(F.col("shard").isin([int(s) for s in rewrite]))
+                .join(ids_df, "doc_id", "left_anti")
+            )
+            # dynamic overwrite only touches partitions that RECEIVE
+            # rows, which is exactly the rewrite set here
             _with_overwrite_mode(spark, "dynamic")(
                 lambda: (
-                    kept.repartition(len(survivors), "shard")
+                    kept.repartition(len(rewrite), "shard")
                     .sortWithinPartitions("shard", "hkey", "doc_id")
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(path)
                 )
             )
-        for s in affected - survivors:
-            shutil.rmtree(f"{path}/shard={s}", ignore_errors=True)
+        for s in emptied:
+            # errors PROPAGATE: suppressing a failed delete here would
+            # report success while the victim's bytes stay readable —
+            # the takedown's one unforgivable failure (review r5)
+            shutil.rmtree(f"{path}/shard={s}")
+            if os.path.isdir(f"{path}/shard={s}"):
+                raise OSError(f"shard={s} still present after delete")
     finally:
-        kept.unpersist()
-    return sorted(affected)
+        src.unpersist()
+    return sorted(rewrite | emptied)
 
 
 def _with_overwrite_mode(spark: SparkSession, mode: str):

@@ -730,24 +730,12 @@ def x70_source_league(spark: SparkSession, sf: str) -> DataFrame:
     join against the labels (pairs-sized), one (source) aggregate —
     the gate itself is scan-local."""
     from etl_spark.extensions.dedup import x29_dup_clusters
-    from etl_spark.extensions.textstats import _STOPWORDS, _sql_list
+    from etl_spark.extensions.textstats import quality_keep_col
 
     docs = load(spark, sf, "documents")
     labels = x29_dup_clusters(spark, sf).select("doc_id", "is_canonical")
     toks = F.split("text", " ")
-    stop_ratio = F.expr(
-        f"size(filter(split(text, ' '), t -> t IN ({_sql_list(_STOPWORDS)})))"
-    ) / F.size(toks)
-    mean_tok_len = F.length(
-        F.replace("text", F.lit(" "), F.lit(""))
-    ) / F.size(toks)
-    quality = (
-        F.col("text").isNotNull()
-        & (F.col("text") != "")
-        & F.length("text").between(50, 10000)
-        & (stop_ratio >= 0.01)
-        & (mean_tok_len <= 12)
-    )
+    quality = quality_keep_col()
     return (
         docs.join(labels, "doc_id", "left")
         .groupBy("source")

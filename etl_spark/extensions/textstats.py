@@ -255,13 +255,7 @@ def x17_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     first failing reason. The whole cascade is one codegen'd
     projection over the scan; at 100 TB this IS the pre-dedup pass
     (no shuffle, reads prune to (doc_id, text))."""
-    stoplist = _sql_list(_STOPWORDS)
-    toks = F.split("text", " ")
-    stop_ratio = F.expr(
-        f"size(filter(split(text, ' '), t -> t IN ({stoplist})))"
-    ) / F.size(toks)
-    mean_tok_len = F.length(F.replace("text", F.lit(" "), F.lit(""))) / F.size(toks)
-    len_ok = F.length("text").between(50, 10000)
+    len_ok, stop_ratio, mean_tok_len = _quality_components()
     keep = len_ok & (stop_ratio >= 0.01) & (mean_tok_len <= 12)
     reason = (
         F.when(~len_ok, "length")
@@ -273,6 +267,37 @@ def x17_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents")
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))
         .select("doc_id", keep.alias("keep"), reason.alias("drop_reason"))
+    )
+
+
+def _quality_components():
+    """(len_ok, stop_ratio, mean_tok_len) — x17's gate sub-expressions
+    over a ``text`` column, factored so x17 (keep + first-failing
+    reason) and consumers needing the bare predicate
+    (``quality_keep_col``, x70) share ONE definition and a threshold
+    change cannot desynchronize them."""
+    stoplist = _sql_list(_STOPWORDS)
+    toks = F.split("text", " ")
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({stoplist})))"
+    ) / F.size(toks)
+    mean_tok_len = F.length(F.replace("text", F.lit(" "), F.lit(""))) / F.size(toks)
+    len_ok = F.length("text").between(50, 10000)
+    return len_ok, stop_ratio, mean_tok_len
+
+
+def quality_keep_col():
+    """x17's keep verdict as one boolean Column INCLUDING the
+    null/empty-text guard (false, not null, for degenerate rows) —
+    the Spark twin of pipeline._duck_quality_keep, for callers that
+    rate the whole corpus rather than the prefiltered frame (x70)."""
+    len_ok, stop_ratio, mean_tok_len = _quality_components()
+    return (
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & len_ok
+        & (stop_ratio >= 0.01)
+        & (mean_tok_len <= 12)
     )
 
 

@@ -1507,3 +1507,19 @@ def test_dsir_scorer_matches_reference(docs_spec):
         gn, gs = got[i]
         assert gn == n
         assert abs(gs - s) <= 1e-6, f"doc {i}: {gs} vs {s}"
+
+
+def test_delete_docs_from_shards_requires_layout_manifest(spark, tmp_path):
+    """A layout without _layout.json (pre-manifest, or not written by
+    write_training_shards) must be REFUSED: hashing victims with the
+    current module constants against an unknown layout could silently
+    remove nothing (review r5)."""
+    import pytest as _pytest
+
+    from etl_spark.extensions.corpus import delete_docs_from_shards
+
+    d = tmp_path / "notalayout" / "shard=0"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"")
+    with _pytest.raises(ValueError, match="_layout.json"):
+        delete_docs_from_shards(spark, str(tmp_path / "notalayout"), [1])
