@@ -110,6 +110,29 @@ class TxTable:
                 return v
         raise RuntimeError(f"upsert to {self.path} kept losing commit races")
 
+    def delete(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write DELETE (the takedown path for transactional
+        tables, completing ``corpus.delete_docs_from_shards`` for the
+        txlog side): commits a new version containing every current
+        row NOT matching ``predicate``. Same optimistic CAS loop as
+        upsert — a concurrent writer's rows are never silently
+        resurrected or dropped, because a lost race re-derives the
+        survivor set from the NEW snapshot. The matched rows' bytes
+        leave the live snapshot immediately and leave DISK when
+        ``vacuum`` retires the superseded version's files — run
+        vacuum after a takedown to complete the erasure."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.latest_version()
+            remaining = self.read(spark, version=base).filter(
+                f"NOT ({predicate})"
+            )
+            v = self._commit(
+                remaining, action="overwrite", expect_version=base + 1
+            )
+            if v is not None:
+                return v
+        raise RuntimeError(f"delete on {self.path} kept losing commit races")
+
     def _commit(
         self, df: DataFrame, action: str, expect_version: int | None = None,
         extra: dict | None = None,

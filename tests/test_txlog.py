@@ -239,3 +239,32 @@ def test_vacuum_grace_protects_inflight_commit(spark, tmp_path):
     assert inflight.exists() and tmpfile.exists()
     removed = t.vacuum(grace_seconds=0)  # aged out: reclaimed
     assert "data/v9-aaaa" in removed and not inflight.exists()
+
+
+def test_delete_copy_on_write_and_vacuum_erases(spark, tmp_path):
+    """txlog takedown: DELETE commits a new version without the
+    matching rows (time travel still shows them — snapshot isolation),
+    and vacuum(retention=0) then removes the superseded files so the
+    victim's bytes leave disk; survivors are unaffected."""
+    import glob
+
+    t = TxTable.create(
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "keep"), (2, "victim"), (3, "keep2")], ["k", "v"]
+        ),
+    )
+    v = t.delete(spark, "k = 2")
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "keep", 3: "keep2"}
+    # pre-delete snapshot still shows the victim (time travel)
+    old = {r.k for r in t.read(spark, version=v - 1).collect()}
+    assert 2 in old
+    t.vacuum(retain_versions=1, grace_seconds=0.0)
+    # after vacuum the victim's bytes are gone from every live file
+    blobs = b"".join(
+        open(p, "rb").read()
+        for p in glob.glob(f"{tmp_path}/t/**/*.parquet", recursive=True)
+    )
+    assert b"victim" not in blobs
+    assert {r.k for r in t.read(spark).collect()} == {1, 3}
