@@ -344,22 +344,32 @@ def main() -> None:
     # 10x to 20x; superlinear blow-ups show up as a steeper slope
     scale10 = _dedup_scale_bench(spark, sf_dir, replicas=10)
     scale20 = _dedup_scale_bench(spark, sf_dir, replicas=20)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_median": round(sum(medians.values()), 3),
-                "queries_median": medians,
-                "scale10x": scale10,
-                "scale20x": scale20,
-                "sf": sf_val,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # Key order is deliberate: the driver's record keeps only the TAIL
+    # of this one-line JSON when it grows long (r5 lost the entire
+    # headline section that way — VERDICT r5 "What's wrong" #4). The
+    # numbers that matter most therefore go LAST: per-query medians,
+    # the headline best-of dict, and the suite totals. The complete
+    # JSON is also written to BENCH_LOCAL.json in-repo so the full
+    # record survives regardless of driver truncation.
+    payload = {
+        "metric": "headline_query_suite_total_wall",
+        "unit": "sec",
+        "sf": sf_val,
+        "scale10x": scale10,
+        "scale20x": scale20,
+        **({"errors": errors} if errors else {}),
+        "queries_median": medians,
+        "queries": timings,
+        "value_median": round(sum(medians.values()), 3),
+        "value": total,
+    }
+    line = json.dumps(payload)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -56,16 +56,24 @@ _DUCK_BIGRAM_BUCKETS = f"""
                    % {DSIR_BUCKETS} AS b
         FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
               FROM toks)
+    ),
+    mat AS (
+        SELECT doc_id, lang, b, COUNT(*) AS c FROM feats
+        GROUP BY doc_id, lang, b
     )
 """
 
-# model-estimation CTE template over a feature relation named by
-# ``src`` — the SAME count/ratio expressions x62 and x64 both splice
-# in, so the batch scorer and the corpus scorer cannot drift
+# model-estimation CTE template over a SPARSE-MATRIX relation named by
+# ``src`` (rows (doc_id, lang, b, c)) — the SAME count/ratio
+# expressions x62 and x64 both splice in, so the batch scorer and the
+# corpus scorer cannot drift. Counts sum the matrix's c column (not
+# COUNT(*) over the raw stream) because the Spark side derives model
+# AND scoring from one persisted matrix — one corpus scan total — and
+# the oracle mirrors that expression tree.
 _DUCK_DSIR_MODEL = """
     cnt AS (
-        SELECT b, COUNT(*) AS raw_c,
-               COUNT(*) FILTER (lang = '{target}') AS tgt_c
+        SELECT b, SUM(c) AS raw_c,
+               COALESCE(SUM(c) FILTER (lang = '{target}'), 0) AS tgt_c
         FROM {src} GROUP BY b
     ),
     tot AS (
