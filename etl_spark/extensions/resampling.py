@@ -68,8 +68,9 @@ _DUCK_BIGRAM_BUCKETS = f"""
 # expressions x62 and x64 both splice in, so the batch scorer and the
 # corpus scorer cannot drift. Counts sum the matrix's c column (not
 # COUNT(*) over the raw stream) because the Spark side derives model
-# AND scoring from one persisted matrix — one corpus scan total — and
-# the oracle mirrors that expression tree.
+# AND scoring from one shared matrix aggregate (`_bigram_bucket_matrix`
+# — its exchange is reused across both branches, one corpus scan
+# total) and the oracle mirrors that expression tree.
 _DUCK_DSIR_MODEL = """
     cnt AS (
         SELECT b, SUM(c) AS raw_c,
@@ -117,18 +118,43 @@ def _bigram_bucket_feats(docs: DataFrame) -> DataFrame:
                 f" % {DSIR_BUCKETS}"
             ).alias("b"),
         )
+        # b is never null in practice; making that explicit matters for
+        # the PLAN: the scoring join infers isnotnull(b) on its matrix
+        # subtree, and without the same filter on the model branches the
+        # subtrees are not canonically equal, so AQE cannot reuse the
+        # matrix exchange and the corpus is scanned three times (seen in
+        # the r7 plan audit). With it, one scan + one matrix shuffle
+        # feeds every branch via ReusedExchange.
+        .filter(F.col("b").isNotNull())
     )
 
 
-def _dsir_model(feats: DataFrame) -> DataFrame:
+def _bigram_bucket_matrix(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b, c) — the sparse document×bucket count matrix,
+    the ONE aggregate of the raw feature stream that x62/x64/x67 all
+    derive from. Model estimation (SUM(c) per bucket) and per-doc
+    scoring (SUM(c·lratio)) both hang off this aggregate's exchange,
+    so Catalyst's ReusedExchange computes the corpus scan + matrix
+    shuffle ONCE per plan — the oracle CTE ``mat`` mirrors it."""
+    return _bigram_bucket_feats(docs).groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def _dsir_model(mat: DataFrame) -> DataFrame:
     """(b, lratio) — per-bucket smoothed log importance ratios
-    estimated from a feature stream. One aggregate builds both
-    distributions (target counts are a conditional count in the raw
-    pass — no second scan). Buckets absent from the stream are absent
-    from the model; consumers score them 0 (no evidence — see x64)."""
-    cnt = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
+    estimated from a sparse (doc_id, lang, b, c) matrix. One aggregate
+    builds both distributions (target counts are a conditional sum in
+    the raw pass — no second scan). Buckets absent from the matrix are
+    absent from the model; consumers score them 0 (no evidence — see
+    x64)."""
+    cnt = mat.groupBy("b").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tgt_c"),
     )
     tot = cnt.agg(F.sum("raw_c").alias("nr"), F.sum("tgt_c").alias("nt"))
     lr = cnt.crossJoin(F.broadcast(tot)).select(
@@ -151,14 +177,14 @@ def _dsir_model(feats: DataFrame) -> DataFrame:
     "x62_dsir_importance",
     oracle=f"""
         {_DUCK_BIGRAM_BUCKETS},
-        {_DUCK_DSIR_MODEL.format(target=DSIR_TARGET_LANG, src="feats",
+        {_DUCK_DSIR_MODEL.format(target=DSIR_TARGET_LANG, src="mat",
                                  buckets=DSIR_BUCKETS)},
         scored AS (
-            SELECT f.doc_id, f.lang,
-                   CAST(COUNT(*) AS BIGINT) AS n_feats,
-                   ROUND(SUM(lr.lratio), 6) AS logw
-            FROM feats f JOIN lr USING (b)
-            GROUP BY f.doc_id, f.lang
+            SELECT m.doc_id, m.lang,
+                   CAST(SUM(m.c) AS BIGINT) AS n_feats,
+                   ROUND(SUM(m.c * lr.lratio), 6) AS logw
+            FROM mat m JOIN lr USING (b)
+            GROUP BY m.doc_id, m.lang
         )
         SELECT doc_id, lang, n_feats, logw, logw > 0 AS selected
         FROM scored
@@ -176,28 +202,31 @@ def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     the raw distribution from the whole corpus — swap the target
     predicate for "joins the curated seed table" in production.
 
-    Scale shape: the model build collapses the hashed-bigram stream
-    to a ``DSIR_BUCKETS``-row table in ONE aggregate (raw and target
-    counts as a conditional count in the same pass — no second scan
-    for the target); Zipf skew in bigram frequency is absorbed by
+    Scale shape: ONE corpus scan builds the sparse (doc_id, lang, b,
+    c) matrix (`_bigram_bucket_matrix`); the model collapses that
+    matrix to ``DSIR_BUCKETS`` rows in one aggregate (raw and target
+    counts as a conditional sum in the same pass — no second scan for
+    the target); Zipf skew in bigram frequency is absorbed by
     map-side partial aggregation because the key space is the fixed
-    bucket id, not the bigram. Scoring re-streams the features
-    against the broadcast log-ratio table and aggregates per doc_id.
-    Two corpus scans, one broadcast, one keyed shuffle — linear in
-    corpus size, independent of target size. Cross-engine float
-    discipline (x54 convention): identical ln/division expression
-    tree both engines, summation-order last-ulp noise absorbed by
-    ROUND(·, 6), and ``selected`` compares the ROUNDED weight so the
-    flag cannot flip between engines.
+    bucket id, not the bigram. Scoring joins the SAME matrix to the
+    broadcast log-ratio table and aggregates per doc_id — the matrix
+    aggregate's exchange appears identically in both branches, so
+    Catalyst's ReusedExchange materializes it once: one corpus scan
+    total, one broadcast, one keyed shuffle — linear in corpus size,
+    independent of target size. Cross-engine float discipline (x54
+    convention): identical SUM(c·lratio) expression tree both
+    engines, summation-order last-ulp noise absorbed by ROUND(·, 6),
+    and ``selected`` compares the ROUNDED weight so the flag cannot
+    flip between engines.
     """
-    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
-    lr = _dsir_model(feats)
+    mat = _bigram_bucket_matrix(load(spark, sf, "documents"))
+    lr = _dsir_model(mat)
     scored = (
-        feats.join(F.broadcast(lr), "b")
+        mat.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("lratio"), 6).alias("logw"),
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lratio")), 6).alias("logw"),
         )
     )
     return scored.select(
@@ -213,16 +242,16 @@ def x62_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     "x64_incremental_dsir",
     oracle=f"""
         {_DUCK_BIGRAM_BUCKETS},
-        seen AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+        seen AS (SELECT * FROM mat WHERE doc_id % 2 = 0),
         {_DUCK_DSIR_MODEL.format(target=DSIR_TARGET_LANG, src="seen",
                                  buckets=DSIR_BUCKETS)},
         scored AS (
-            SELECT f.doc_id, f.lang,
-                   CAST(COUNT(*) AS BIGINT) AS n_feats,
-                   ROUND(SUM(COALESCE(lr.lratio, 0.0)), 6) AS logw
-            FROM feats f LEFT JOIN lr USING (b)
-            WHERE f.doc_id % 2 = 1
-            GROUP BY f.doc_id, f.lang
+            SELECT m.doc_id, m.lang,
+                   CAST(SUM(m.c) AS BIGINT) AS n_feats,
+                   ROUND(SUM(m.c * COALESCE(lr.lratio, 0.0)), 6) AS logw
+            FROM mat m LEFT JOIN lr USING (b)
+            WHERE m.doc_id % 2 = 1
+            GROUP BY m.doc_id, m.lang
         )
         SELECT doc_id, lang, n_feats, logw, logw > 0 AS selected
         FROM scored
@@ -249,22 +278,27 @@ def x64_incremental_dsir(spark: SparkSession, sf: str) -> DataFrame:
     Completes the incremental family for data selection alongside
     dedup's x37 (MinHash) / x44 (embedding bands) / x59 (segments).
 
-    Scale shape: per batch, ONE broadcast join of the batch's feature
-    stream against the ``DSIR_BUCKETS``-row model and one (doc_id)
-    aggregate — batch-sized work, corpus-independent. Model
-    estimation reuses x62's one-aggregate build (`_dsir_model`, the
-    shared-helper convention of `_split_col`/`_mix_rates`, so batch
-    and corpus scoring cannot drift)."""
-    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
-    lr = _dsir_model(feats.filter(F.col("doc_id") % 2 == 0))
+    Scale shape: per batch, ONE broadcast join of the batch's sparse
+    matrix slice against the ``DSIR_BUCKETS``-row model and one
+    (doc_id) aggregate — batch-sized work, corpus-independent. Model
+    estimation reuses x62's one-aggregate build over the shared
+    (doc_id, lang, b, c) matrix (`_bigram_bucket_matrix` →
+    `_dsir_model`, the shared-helper convention of
+    `_split_col`/`_mix_rates`, so batch and corpus scoring cannot
+    drift); the matrix exchange feeds both the seen-model branch and
+    the new-batch scoring branch, so ReusedExchange keeps it one
+    corpus scan here too."""
+    mat = _bigram_bucket_matrix(load(spark, sf, "documents"))
+    lr = _dsir_model(mat.filter(F.col("doc_id") % 2 == 0))
     scored = (
-        feats.filter(F.col("doc_id") % 2 == 1)
+        mat.filter(F.col("doc_id") % 2 == 1)
         .join(F.broadcast(lr), "b", "left")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("c").alias("n_feats"),
             F.round(
-                F.sum(F.coalesce(F.col("lratio"), F.lit(0.0))), 6
+                F.sum(F.col("c") * F.coalesce(F.col("lratio"), F.lit(0.0))),
+                6,
             ).alias("logw"),
         )
     )
@@ -451,29 +485,25 @@ LR_RATE = 0.1  # gradient-descent step size
     "x67_quality_lr_step",
     oracle=f"""
         {_DUCK_BIGRAM_BUCKETS},
-        cnt AS (
-            SELECT doc_id, lang, b, COUNT(*) AS c
-            FROM feats GROUP BY doc_id, lang, b
-        ),
         w0(b, wt) AS (
             VALUES {", ".join(f"({b}, {w!r})" for b, w in enumerate(_LR_W0))}
         ),
         z AS (
-            SELECT cnt.doc_id,
-                   CASE WHEN MIN(cnt.lang) = '{DSIR_TARGET_LANG}'
+            SELECT mat.doc_id,
+                   CASE WHEN MIN(mat.lang) = '{DSIR_TARGET_LANG}'
                         THEN 1.0 ELSE 0.0 END AS y,
-                   SUM(cnt.c * w0.wt) AS z
-            FROM cnt JOIN w0 USING (b)
-            GROUP BY cnt.doc_id
+                   SUM(mat.c * w0.wt) AS z
+            FROM mat JOIN w0 USING (b)
+            GROUP BY mat.doc_id
         ),
         err AS (
             SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS e FROM z
         ),
         n AS (SELECT COUNT(*) AS n_docs FROM z),
         grad AS (
-            SELECT cnt.b, SUM(err.e * cnt.c) / n.n_docs AS g
-            FROM cnt JOIN err USING (doc_id), n
-            GROUP BY cnt.b, n.n_docs
+            SELECT mat.b, SUM(err.e * mat.c) / n.n_docs AS g
+            FROM mat JOIN err USING (doc_id), n
+            GROUP BY mat.b, n.n_docs
         )
         SELECT grad.b, ROUND(grad.g, 6) AS grad,
                ROUND(w0.wt - {LR_RATE} * grad.g, 6) AS w_new
@@ -504,11 +534,10 @@ def x67_quality_lr_step(spark: SparkSession, sf: str) -> DataFrame:
     "data-parallel GD where the model broadcasts" layout. Float
     discipline: one shared sigmoid/ln-free expression tree, noise
     absorbed by ROUND(·, 6) on the OUTPUT only (z stays unrounded on
-    both engines, so the trees match exactly)."""
-    feats = _bigram_bucket_feats(load(spark, sf, "documents"))
-    cnt = feats.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    both engines, so the trees match exactly). The sparse matrix is
+    the shared ``_bigram_bucket_matrix`` (= the oracle's ``mat`` CTE),
+    so x62/x64/x67 hold ONE definition of the feature matrix."""
+    cnt = _bigram_bucket_matrix(load(spark, sf, "documents"))
     w0 = spark.createDataFrame(
         list(enumerate(_LR_W0)), "b int, wt double"
     )
@@ -561,12 +590,7 @@ def train_quality_lr(
     no rand() and no row-order dependence anywhere."""
     from pyspark.storagelevel import StorageLevel
 
-    feats = _bigram_bucket_feats(docs)
-    cnt = (
-        feats.groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cnt = _bigram_bucket_matrix(docs).persist(StorageLevel.MEMORY_AND_DISK)
     spark = docs.sparkSession
     w = list(_LR_W0)
     try:

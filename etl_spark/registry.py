@@ -83,91 +83,86 @@ def _ensure_loaded() -> None:
 # window each round so hard-signal rows land where they're most needed;
 # unlisted queries follow in module-registration order.
 #
-# Round-5 priority (VERDICT r4 "Next round" #1, executing the rotation
-# the r4 comment here scheduled):
-#   1. the 5 round-4 late registrations that have NEVER had a driver
-#      row (j10_salted_skew_join, x44-x47 — including the flagship
-#      curation composites x46/x47);
-#   2. the 3 NEW round-5 queries (j11 hot-keys salted join, x48
-#      approx-gate agreement audit, x49 multimodal curation — first
-#      driver rows; r4's lesson was that late registrations wait a
-#      whole round, so new queries outrank staleness refreshes);
-#   3. the 4 queries whose semantics CHANGED this round — the
-#      de-vacuified 0-row greens p02/q03/j07/set02 (VERDICT r4
-#      "What's wrong" #1), which must re-verify non-empty;
-#   4. the queries whose last driver green is r2, oldest-first (32 of
-#      38 fit; x23/x26/x27/x30/x31/x32 yield their slots to the six
-#      NEW mid-round-5 registrations x50-x55 — new-before-stale, r4's
-#      lesson — and lead the r6 rotation).
-# After this round only x23/x26/x27/x30/x31/x32 have a driver row
-# older than r3; they rotate first in r6 together with the round-5
-# queries registered after the window filled (x56 training manifest,
-# x57 semdedup, x58 curation funnel, x59-x70, and any later
-# additions — all deferring their first driver row), then the
-# r3/r4-checked queries oldest-first. All are covered by the identical
-# local oracle gate every round (tests/test_oracle.py).
+# Rotation policy (enforced by tests/test_window_rotation.py, not just
+# this comment — VERDICT r6 "Next round" #3): oldest-first dominance.
+# Never-driver-checked queries count as infinitely stale and lead; then
+# queries whose last CORRECTNESS row is oldest; ``oracle=None`` queries
+# never occupy a slot (their rows-only check is a permanent weak
+# signal — burning a hard-signal slot on them is waste, r5 lesson).
+#
+# Round-7 window (executing the rotation r6 skipped — VERDICT r6 #2):
+#   1. the 15 round-5 late registrations that have NEVER had a driver
+#      row (x56-x70 — training manifest, SemDeDup, curation funnel,
+#      packing/sharding/layout, DSIR x62/x64 freshly repaired this
+#      round, source cap, epoch upsampling, LR quality step);
+#   2. the 6 queries whose last driver green is r2
+#      (x23/x26/x27/x30/x31/x32 — displaced twice, oldest debt);
+#   3. 29 of the 47 r3-green queries, module-registration order; the
+#      remaining 18 (e04/e05/e07/e08, a03/a05/a06/a12/a13, e06, p04,
+#      o03, set03, f02/f05/f11, s01/s02) rotate first in r8 with the
+#      r4 tier behind them.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (5): registered after the r4 window filled
-    "j10_salted_skew_join",
-    "x44_incremental_embedding_neardup",
-    "x45_split_token_budget",
-    "x46_dedup_verdict",
-    "x47_curated_corpus",
-    # -- new in round 5 (3): first driver rows
-    "j11_salted_hotkeys_join",
-    "x48_quality_gate_agreement",
-    "x49_multimodal_curated",
-    # -- changed this round (4): de-vacuified, re-verify non-empty
-    "p02_like_contains",
-    "q03_shipping_priority",
-    "j07_anti",
-    "set02_except",
-    # -- last driver green is r2 (38): oldest-first refresh
-    "a07_rollup",
-    "a08_count_distinct",
-    "a09_pivot",
-    "a10_unpivot",
-    "a11_grouping_sets",
-    "f10_explode_unnest",
-    "j08_range_join",
-    "q08_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q20_promo_shippers",
-    "w05_ntile_quartiles",
-    "w06_trailing_window",
-    "x06_knn_bruteforce",
-    "x07_embedding_neardup",
-    "x08_ann_ivf_topk",
-    "x10_token_stats",
-    "x11_quality_score",
-    "x12_langid_heuristic",
-    "x13_fingerprint",
-    "x14_bow_clusters",
-    "x15_media_decode",
-    "x16_binary_meta",
-    "x17_quality_filter",
-    "x18_tfidf_top_terms",
-    "x19_corpus_stats",
-    "x20_bpe_token_count",
-    "x21_cosine_lsh_buckets",
-    "x22_approx_aggs",
-    "x25_decontaminate",
-    # -- new mid-round-5 (6): segment dedup / mixture sampling /
-    #    training order / k-means update / LM quality score / split
-    #    leakage. New registrations outrank staleness refreshes (r4's
-    #    lesson), so these take the last 6 window slots; the displaced
-    #    r2-stale x23/x26/x27/x30/x31/x32 rotate first in r6 (x23
-    #    additionally gets a fresh scale-bench row every round).
-    "x50_segment_dedup",
-    "x51_temperature_mix_sample",
-    "x52_training_order",
-    "x53_kmeans_update",
-    "x54_lm_quality_score",
-    "x55_split_leakage",
+    # -- never driver-checked (15): registered after the r5 window filled
+    "x69_cluster_size_histogram",
+    "x57_semdedup",
+    "x60_modal_agreement",
+    "x65_knn_join",
+    "x70_source_league",
+    "x56_training_manifest",
+    "x58_curation_funnel",
+    "x59_incremental_segment_dedup",
+    "x61_length_bucket_packing",
+    "x68_shard_stats",
+    "x62_dsir_importance",
+    "x64_incremental_dsir",
+    "x63_source_cap",
+    "x66_epoch_upsample",
+    "x67_quality_lr_step",
+    # -- last driver green is r2 (6): oldest outstanding debt
+    "x23_jaccard_capped_pairs",
+    "x31_quality_percentile_gate",
+    "x32_length_histogram",
+    "x26_repetition_stats",
+    "x27_hash_sample",
+    "x30_chunk_docs",
+    # -- last driver green is r3 (29 of 47), registration order
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
+    "x05_simhash",
+    "x37_incremental_neardup",
+    "x38_minhash_error",
+    "x33_word_freq_zipf",
+    "x34_bigram_counts",
+    "x35_type_token_ratio",
+    "x28_sequence_pack",
+    "w03_lag_lead_delta",
+    "w04_sessionize",
+    "j09_asof_join",
+    "f09_json_extract",
+    "w07_percent_rank",
+    "a14_filtered_agg",
+    "a15_median_mode",
+    "f12_string_agg",
+    "f13_price_histogram",
+    "q21_sole_returned_supplier",
+    "q22_dormant_customers",
+    "q23_gapfill_daily",
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    "q12_late_shipment_priority",
+    "e01_funnel_steps",
+    "e02_retention_cohorts",
+    "e03_event_transitions",
 )
+
+# Queries whose SEMANTICS changed this round and therefore justify a
+# window slot even though their last driver row is recent (the r5
+# de-vacuification precedent). tests/test_window_rotation.py exempts
+# these from the oldest-first dominance check; clear it when the
+# re-verification lands.
+REVERIFY_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_specs() -> dict[str, QuerySpec]:

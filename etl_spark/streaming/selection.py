@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_spark.extensions.resampling import _bigram_bucket_feats, _dsir_model
+from etl_spark.extensions.resampling import (
+    _bigram_bucket_feats,
+    _bigram_bucket_matrix,
+    _dsir_model,
+)
 from etl_spark.streaming.neardup import batch_committed
 
 
@@ -41,7 +45,7 @@ def build_dsir_model(docs: DataFrame, model_path: str) -> int:
     """Estimate the importance model from a seen corpus of
     (doc_id, lang, text) rows and persist it: (b, lratio), at most
     ``DSIR_BUCKETS`` rows. Returns the row count written."""
-    model = _dsir_model(_bigram_bucket_feats(docs))
+    model = _dsir_model(_bigram_bucket_matrix(docs))
     model.write.mode("overwrite").parquet(model_path)
     return model.sparkSession.read.parquet(model_path).count()
 

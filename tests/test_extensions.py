@@ -1448,7 +1448,7 @@ def test_dsir_scorer_matches_reference(docs_spec):
     import math
 
     from etl_spark.extensions.resampling import (
-        _bigram_bucket_feats,
+        _bigram_bucket_matrix,
         _dsir_model,
         DSIR_BUCKETS,
         DSIR_TARGET_LANG,
@@ -1490,15 +1490,15 @@ def test_dsir_scorer_matches_reference(docs_spec):
         [(i, langs[i], texts[i]) for i in range(len(texts))],
         "doc_id bigint, lang string, text string",
     )
-    fdf = _bigram_bucket_feats(df)
-    model = _dsir_model(fdf)
+    mat = _bigram_bucket_matrix(df)
+    model = _dsir_model(mat)
     got = {
         r.doc_id: (r.n_feats, r.logw)
-        for r in fdf.join(F.broadcast(model), "b")
+        for r in mat.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("lratio"), 6).alias("logw"),
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lratio")), 6).alias("logw"),
         )
         .collect()
     }
