@@ -657,3 +657,126 @@ def test_write_excel_decimal_cells_are_numbers(spark, tmp_path):
     cell = {c.get("r"): c for c in sheet.findall(".//m:row/m:c", ns)}["A2"]
     assert cell.get("t") is None  # numeric, not inlineStr
     assert cell.find("m:v", ns).text == "12.34"
+
+
+# ---------------------------------------------------------------------------
+# Dialect-parameterized SQL generation (VERDICT r5 #7 / r6 #8): no
+# MySQL/PostgreSQL server exists in the container, so assert the
+# generated SQL/option TEXT per dialect — the exact quoting and type
+# decisions the reference hard-codes in web_scheduler.py:4390-4480.
+# ---------------------------------------------------------------------------
+
+from etl_spark.sources.dialects import (  # noqa: E402
+    DIALECTS,
+    MYSQL,
+    POSTGRESQL,
+    SQLITE,
+    dialect_write_options,
+)
+
+
+@pytest.mark.parametrize(
+    ("dialect", "want"),
+    [
+        # web_scheduler.py:4410-4412 — backticks + %s
+        (MYSQL, "INSERT INTO `t1` (`id`, `name`) VALUES (%s, %s)"),
+        # web_scheduler.py:4443-4445 — double quotes + %s
+        (POSTGRESQL, 'INSERT INTO "t1" ("id", "name") VALUES (%s, %s)'),
+        # web_scheduler.py:4468-4470 — double quotes + ?
+        (SQLITE, 'INSERT INTO "t1" ("id", "name") VALUES (?, ?)'),
+    ],
+    ids=["mysql", "postgresql", "sqlite"],
+)
+def test_dialect_insert_sql_matches_reference(dialect, want):
+    assert dialect.insert_sql("t1", ["id", "name"]) == want
+
+
+@pytest.mark.parametrize("dialect", list(DIALECTS.values()), ids=list(DIALECTS))
+def test_dialect_ident_quoting_escapes_embedded_quote(dialect):
+    q = dialect.quote
+    assert dialect.quote_ident("plain") == f"{q}plain{q}"
+    # embedded quote char doubles — `we`ird` / "we""ird"
+    assert dialect.quote_ident(f"we{q}ird") == f"{q}we{q}{q}ird{q}"
+    with pytest.raises(ValueError, match="NUL"):
+        dialect.quote_ident("bad\x00name")
+
+
+def test_dialect_jdbc_urls_carry_engine_defaults():
+    # default ports mirror web_scheduler.py:4395 (3306) / :4422 (5432);
+    # MySQL carries the reference's utf8mb4 charset (:4400) and the
+    # 30 s connect budget (:913-914, milliseconds on the JDBC side)
+    u = MYSQL.jdbc_url("dbhost", "etl")
+    assert u.startswith("jdbc:mysql://dbhost:3306/etl?")
+    assert "characterEncoding=utf8mb4" in u
+    assert "connectTimeout=30000" in u
+    p = POSTGRESQL.jdbc_url("dbhost", "etl")
+    assert p.startswith("jdbc:postgresql://dbhost:5432/etl?")
+    assert "connectTimeout=30" in p
+    assert MYSQL.jdbc_url("h", "d", port=9030) == (
+        # the reference's OLAP endpoint speaks MySQL protocol on :9030
+        "jdbc:mysql://h:9030/d?useUnicode=true&characterEncoding=utf8mb4"
+        "&connectTimeout=30000"
+    )
+
+
+@pytest.mark.parametrize(
+    ("dialect", "want"),
+    [
+        (
+            MYSQL,
+            "id BIGINT, qty INT, price DECIMAL(12,2), ratio DOUBLE, "
+            "name TEXT, ok TINYINT(1), d DATE, ts TIMESTAMP",
+        ),
+        (
+            POSTGRESQL,
+            "id BIGINT, qty INTEGER, price DECIMAL(12,2), "
+            "ratio DOUBLE PRECISION, name TEXT, ok BOOLEAN, d DATE, "
+            "ts TIMESTAMP",
+        ),
+        (
+            SQLITE,
+            "id INTEGER, qty INTEGER, price DECIMAL(12,2), ratio REAL, "
+            "name TEXT, ok INTEGER, d TEXT, ts TEXT",
+        ),
+    ],
+    ids=["mysql", "postgresql", "sqlite"],
+)
+def test_dialect_auto_create_type_mapping(dialect, want):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    assert dialect.create_table_column_types(schema) == want
+
+
+def test_dialect_write_options_compose_url_driver_and_types():
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    opts = dialect_write_options(
+        POSTGRESQL, "dbhost", "etl", "public.target", schema=schema
+    )
+    assert opts["url"].startswith("jdbc:postgresql://dbhost:5432/etl")
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["dbtable"] == "public.target"
+    assert opts["createTableColumnTypes"] == "id BIGINT"
+    # the S5 batching + isolation defaults still come from jdbc.py
+    assert opts["batchsize"] == "10000"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+
+
+def test_dialect_unmapped_type_fails_loudly():
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="no mysql mapping"):
+        MYSQL.ddl_type(T.BinaryType())
