@@ -259,12 +259,14 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         # nprobe x cell_size, and the replica corpus keeps nlist
         # FIXED at the 10 fixture labels, so cell_size grows with the
         # corpus and the join is honestly O(n^2/stride) in this setup
-        # (measured: 32 s @10x, 68 s @20x at sf0.001 base). The scale
-        # mitigation is nlist ∝ n via x39/x53 k-means cells (constant
-        # cell size), which the label-cell fixture cannot express —
-        # see the x65 docstring. x67: the sparse feature-matrix GD
+        # (measured: 32 s @10x, 68 s @20x at sf0.001 base). x71 is the
+        # scale path that replaces it here: nlist = ceil(sqrt(n))
+        # k-means cells, so cell size and probed fraction shrink as
+        # the corpus grows; its slope row is the scale contract the
+        # x65 docstring promises. x67: the sparse feature-matrix GD
         # step — two keyed aggregates + broadcast weight joins, linear
         "x67_quality_lr_step",
+        "x71_kmeans_ivf_knn_join",
     ):
         try:
             t0 = time.perf_counter()

@@ -1523,3 +1523,118 @@ def test_delete_docs_from_shards_requires_layout_manifest(spark, tmp_path):
     (d / "part-0.parquet").write_bytes(b"")
     with _pytest.raises(ValueError, match="_layout.json"):
         delete_docs_from_shards(spark, str(tmp_path / "notalayout"), [1])
+
+
+def test_kmeans_ivf_knn_recall_clustered(spark):
+    """x71's recall contract, measured where recall is EARNABLE: the
+    sf fixtures' embeddings are structureless (same-label mean cosine
+    0.0016 vs 0.0004 cross-label), so any sublinear probe's recall
+    there equals the probed fraction — x65's 68% is the 5/10-cells
+    probed fraction in disguise. On a clustered corpus (20 true
+    clusters, the regime every real embedding corpus lives in) the
+    k-means cells must beat that bar while probing ~nprobe/sqrt(n)
+    ~= 16% of the corpus: recall@5 >= 0.68 vs the exact numpy top-5."""
+    import numpy as np
+
+    from etl_spark.extensions.similarity import (
+        KNN_QUERY_STRIDE,
+        kmeans_ivf_knn_join,
+    )
+
+    rng = np.random.default_rng(42)
+    k_true, per, dim = 20, 50, 16
+    centers = rng.normal(size=(k_true, dim)) * 2.0
+    X = np.repeat(centers, per, axis=0) + rng.normal(
+        size=(k_true * per, dim)
+    ) * 0.4
+    n = len(X)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = kmeans_ivf_knn_join(df).collect()
+    from collections import defaultdict
+
+    by_q = defaultdict(set)
+    for r in got:
+        by_q[r.qid].add(r.vec_id)
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qids = [i for i in range(n) if i % KNN_QUERY_STRIDE == 0]
+    hits = total = 0
+    for qid in qids:
+        sims = Xn @ Xn[qid]
+        sims[qid] = -2.0
+        exact = set(np.argsort(-sims)[:5].tolist())
+        hits += len(exact & by_q.get(qid, set()))
+        total += 5
+    recall = hits / total
+    assert recall >= 0.68, f"recall@5 {recall:.3f} < 0.68 on clustered corpus"
+
+
+def test_kmeans_ivf_knn_accepts_trained_centroids(spark):
+    """The deployment path: the quantizer table is TRAINED (numpy
+    Lloyd iterations standing in for the offline x39->x53 loop) and
+    passed in; recall on the clustered corpus must then be at least
+    as good as a same-size seed quantizer, and the output must keep
+    the rank contract (contiguous 1..<=K, cosine non-increasing)."""
+    import numpy as np
+
+    from etl_spark.extensions.similarity import (
+        KNN_QUERY_STRIDE,
+        kmeans_ivf_knn_join,
+    )
+
+    rng = np.random.default_rng(7)
+    k_true, per, dim = 10, 60, 16
+    centers = rng.normal(size=(k_true, dim)) * 2.0
+    X = np.repeat(centers, per, axis=0) + rng.normal(
+        size=(k_true * per, dim)
+    ) * 0.4
+    n = len(X)
+    nlist = int(np.ceil(np.sqrt(n)))
+    # Lloyd from the same seeds the default quantizer would use
+    C = X[:nlist].copy()
+    for _ in range(5):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(nlist):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(c, [float(v) for v in C[c]]) for c in range(nlist)],
+        "cid bigint, ce array<double>",
+    )
+    got_trained = kmeans_ivf_knn_join(df, centroids=cent).collect()
+    got_seed = kmeans_ivf_knn_join(df).collect()
+
+    from collections import defaultdict
+
+    def recall(rows):
+        by_q = defaultdict(set)
+        for r in rows:
+            by_q[r.qid].add(r.vec_id)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        hits = total = 0
+        for qid in range(0, n, KNN_QUERY_STRIDE):
+            sims = Xn @ Xn[qid]
+            sims[qid] = -2.0
+            exact = set(np.argsort(-sims)[:5].tolist())
+            hits += len(exact & by_q.get(qid, set()))
+            total += 5
+        return hits / total
+
+    by_q = defaultdict(list)
+    for r in sorted(got_trained, key=lambda r: (r.qid, r.rk)):
+        by_q[r.qid].append(r)
+    for qid, nbrs in by_q.items():
+        assert [r.rk for r in nbrs] == list(range(1, len(nbrs) + 1))
+        cosines = [r.cosine for r in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
+    r_t, r_s = recall(got_trained), recall(got_seed)
+    assert r_t >= r_s - 1e-9, f"trained {r_t:.3f} < seed {r_s:.3f}"
+    assert r_t >= 0.68
