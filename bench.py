@@ -268,16 +268,26 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         "x67_quality_lr_step",
         "x71_kmeans_ivf_knn_join",
     ):
+        # best-of-2: the scale rows were single-shot through r6, and a
+        # single GC stall or page-cache miss landed entirely on one
+        # row — r6's x25 "9x slope" (and a 4.7x in an r7 dry run) did
+        # not reproduce at n=3 on a quiet host (1.56x,
+        # BENCH_QUIET_r07.json). Two runs bound that mode at modest
+        # extra wall time; the HEADLINE section is already best-of-3.
         try:
-            t0 = time.perf_counter()
-            n = specs[name].fn(spark, tmp).count()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = specs[name].fn(spark, tmp).count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 — same isolation as HEADLINE
             out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:300]
             # a failed run may still have persisted its model table —
             # clear on BOTH paths or the leak skews every later row
             spark.catalog.clearCache()
             continue
-        out[name] = round(time.perf_counter() - t0, 3)
+        out[name] = round(min(runs), 3)
         out[f"{name}_rows"] = n
         # x54/x57-style queries persist a model table scoped to the
         # session; drop it so it cannot occupy memory (or be reused)

@@ -1085,8 +1085,11 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     fixture's FIXED 10 label-cells, cell size grows linearly and the
     join is honestly quadratic (measured 32→68 s for 10x→20x replica
     corpora; that is why the scale bench excludes x65 — see
-    bench.py). On a real deployment the cell id is the table's
-    partition column, so the probe join prunes at file level."""
+    bench.py). x71_kmeans_ivf_knn_join IS that contract delivered:
+    same scorer, nlist = ceil(sqrt(n)) k-means cells, measured slope
+    2.16 per 2x data in the scale bench. On a real deployment the
+    cell id is the table's partition column, so the probe join prunes
+    at file level."""
     emb = load(spark, sf, "embeddings")
     cent = _sumvec_centroids(emb)
     _nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
@@ -1172,6 +1175,122 @@ def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 X71_NPROBE = 5
 
 
+def _ivf_udfs(spark, centroid_rows, nprobe: int):
+    """The three Arrow/numpy kernels every IVF surface shares, built
+    over a driver-side centroid table (list of (cid, ce) rows):
+    ``assign_cell`` (nearest centroid, ROUND(d2,9)+lowest-cid tie),
+    ``probe_cells`` (top-``nprobe`` centroids per query, same order),
+    ``dot_pd`` (row-wise float64 dot product). One definition serves
+    x71, x72 and the stored-index helpers so the assignment rule can
+    never drift between the batch join, the index build, and the
+    incremental probe."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([r[1] for r in centroid_rows], dtype=np.float64)
+    cids = np.array([r[0] for r in centroid_rows], dtype=np.int64)
+    order = np.argsort(cids)  # ascending cid == the tie-break order
+    C, cids = C[order], cids[order]
+    bc = spark.sparkContext.broadcast((C, cids))
+
+    def _d2(X):
+        Cm, _ = bc.value
+        return np.round(
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ Cm.T)
+            + (Cm * Cm).sum(axis=1)[None, :],
+            9,
+        )
+
+    @pandas_udf("bigint")
+    def assign_cell(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        _, ci = bc.value
+        # argmin returns the FIRST minimum; cids are sorted ascending,
+        # so ties resolve to the lowest cid — the oracle's ORDER BY
+        # ROUND(d2,9), cid
+        return pd.Series(ci[np.argmin(_d2(np.vstack(embs.values)), axis=1)])
+
+    @pandas_udf("array<bigint>")
+    def probe_cells(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        _, ci = bc.value
+        # stable argsort over cid-ascending columns == lexicographic
+        # (d2r, cid) — the oracle's probe ranking
+        top = np.argsort(
+            _d2(np.vstack(embs.values)), axis=1, kind="stable"
+        )[:, :nprobe]
+        return pd.Series([ci[row].tolist() for row in top])
+
+    @pandas_udf("double")
+    def dot_pd(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.values).astype(np.float64)
+        B = np.vstack(b.values).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return assign_cell, probe_cells, dot_pd
+
+
+def _ivf_topk(
+    q: DataFrame,
+    assign: DataFrame,
+    corpus: DataFrame,
+    probe_cells,
+    dot_pd,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Probe → candidate fetch → exact-cosine rescore → per-query
+    top-``k`` (rounded score, vec_id tie-break). ``q`` is (qid, qe);
+    ``assign`` (vec_id, cid); ``corpus`` (vec_id, emb_d). Candidates
+    stay SKINNY (qid, vec_id) through every shuffle; both embedding
+    sides re-attach by key right before the cosine projection."""
+    from pyspark.sql import Window
+
+    probe = q.select("qid", F.explode(probe_cells("qe")).alias("cid"))
+    cand = probe.join(assign, "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    scored = (
+        cand.select("qid", "vec_id")
+        .join(corpus, "vec_id")
+        .join(q, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.try_divide(
+                    dot_pd("emb_d", "qe"),
+                    F.sqrt(dot_pd("qe", "qe")) * F.sqrt(dot_pd("emb_d", "emb_d")),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rk") <= k)
+
+
+def _seed_centroids(emb: DataFrame, nlist: int) -> DataFrame:
+    """The default quantizer: the ``nlist`` lowest vec_ids as seeds
+    (deterministic, oracle-expressible; swap for x39->x53-trained
+    centroids at deployment)."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+
+
 def kmeans_ivf_knn_join(
     emb: DataFrame,
     k: int = KNN_K,
@@ -1216,102 +1335,27 @@ def kmeans_ivf_knn_join(
     ~1e-13 against rounding quanta of 1e-9/1e-4."""
     import math
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
-
+    spark = emb.sparkSession
     n = emb.count()
     nlist = int(math.ceil(math.sqrt(n)))
     if centroids is None:
-        centroids = (
-            emb.orderBy("vec_id")
-            .limit(nlist)
-            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-        )
-    crows = centroids.select("cid", "ce").collect()
-    C = np.array([r.ce for r in crows], dtype=np.float64)
-    cids = np.array([r.cid for r in crows], dtype=np.int64)
-    order = np.argsort(cids)  # ascending cid == the tie-break order
-    C, cids = C[order], cids[order]
-    bc = emb.sparkSession.sparkContext.broadcast((C, cids))
-
-    def _d2(X: np.ndarray) -> np.ndarray:
-        Cm, _ = bc.value
-        return np.round(
-            (X * X).sum(axis=1)[:, None]
-            - 2.0 * (X @ Cm.T)
-            + (Cm * Cm).sum(axis=1)[None, :],
-            9,
-        )
-
-    @pandas_udf("bigint")
-    def assign_cell(embs):
-        if len(embs) == 0:
-            return pd.Series([], dtype="int64")
-        _, ci = bc.value
-        # argmin returns the FIRST minimum; cids are sorted ascending,
-        # so ties resolve to the lowest cid — the oracle's ORDER BY
-        # ROUND(d2,9), cid
-        return pd.Series(ci[np.argmin(_d2(np.vstack(embs.values)), axis=1)])
-
-    @pandas_udf("array<bigint>")
-    def probe_cells(embs):
-        if len(embs) == 0:
-            return pd.Series([], dtype="object")
-        _, ci = bc.value
-        # stable argsort over cid-ascending columns == lexicographic
-        # (d2r, cid) — the oracle's probe ranking
-        top = np.argsort(
-            _d2(np.vstack(embs.values)), axis=1, kind="stable"
-        )[:, :nprobe]
-        return pd.Series([ci[row].tolist() for row in top])
-
-    @pandas_udf("double")
-    def dot_pd(a, b):
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.vstack(a.values).astype(np.float64)
-        B = np.vstack(b.values).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
+        centroids = _seed_centroids(emb, nlist)
+    assign_cell, probe_cells, dot_pd = _ivf_udfs(
+        spark,
+        [(r[0], r[1]) for r in centroids.select("cid", "ce").collect()],
+        nprobe,
+    )
     assign = emb.select("vec_id", assign_cell("embedding").alias("cid"))
     q = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )
-    probe = q.select(
-        "qid", F.explode(probe_cells("qe")).alias("cid")
-    )
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
     )
-    cand = (
-        probe.join(assign, "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
+    return _ivf_topk(
+        q, assign, corpus, probe_cells, dot_pd, k, exclude_self=True
     )
-    scored = (
-        cand.join(corpus, "vec_id")
-        .join(q, "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                F.try_divide(
-                    dot_pd("emb_d", "qe"),
-                    F.sqrt(dot_pd("qe", "qe")) * F.sqrt(dot_pd("emb_d", "emb_d")),
-                ),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc_nulls_last("cosine"), F.asc("vec_id")
-    )
-    return scored.withColumn(
-        "rk", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rk") <= k)
 
 
 def _duck_kmeans_knn_join() -> str:
@@ -1404,3 +1448,214 @@ def x71_kmeans_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     instead of the seeds (tested in
     test_kmeans_ivf_knn_accepts_trained_centroids)."""
     return kmeans_ivf_knn_join(load(spark, sf, "embeddings"))
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int | None = None,
+    centroids: DataFrame | None = None,
+) -> int:
+    """Materialize the IVF index as the retrieval family's durable
+    artifact (the x44/x59 stored-index convention, for ANN): the
+    centroid table at ``path``/centroids and the corpus vectors
+    CLUSTER-PARTITIONED at ``path``/cells — parquet partitioned by
+    ``cid``, so a probe reads ONLY the probed cells' files via
+    partition pruning. This is the x65/x71 docstring's "the cell id
+    is the table's partition column" made physical: at 100 TB a
+    5-cell probe touches nprobe/nlist of the bytes, decided by the
+    file listing, not a scan. Returns nlist."""
+    import math
+
+    spark = emb.sparkSession
+    if nlist is None:
+        nlist = int(math.ceil(math.sqrt(emb.count())))
+    if centroids is None:
+        centroids = _seed_centroids(emb, nlist)
+    centroids.select(
+        "cid", F.col("ce").cast("array<double>").alias("ce")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    crows = [
+        (r[0], r[1])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    assign_cell, _, _ = _ivf_udfs(spark, crows, nprobe=1)
+    (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb_d"),
+            assign_cell("embedding").alias("cid"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/cells")
+    )
+    return nlist
+
+
+def ivf_index_probe(
+    batch_df: DataFrame,
+    path: str,
+    k: int = KNN_K,
+    nprobe: int = X71_NPROBE,
+) -> DataFrame:
+    """Score a NEW batch of (vec_id, embedding) queries against a
+    ``build_ivf_index`` artifact without touching the indexed corpus
+    beyond the probed cells: the candidate fetch filters the
+    cluster-partitioned cell store on the probed cid set, which Spark
+    turns into partition pruning (PartitionFilters on cid — asserted
+    in tests), so IO is nprobe/nlist of the index. Batch-sized work,
+    corpus-independent except for the probed cells — the retrieval
+    twin of x37/x44/x59/x64's incremental probes."""
+    spark = batch_df.sparkSession
+    crows = [
+        (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    _, probe_cells, dot_pd = _ivf_udfs(spark, crows, nprobe)
+    q = batch_df.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    # STATIC partition pruning, not DPP heuristics: the batch's probed
+    # cid set is batch-sized (<= nlist ints), so collect it and filter
+    # the cell store on the literal list — the scan then carries a
+    # plain PartitionFilters entry and only the probed cells' files
+    # are listed, guaranteed (asserted in tests). The probe step runs
+    # twice (once for this collect, once in the join plan) — batch-
+    # sized both times, corpus-independent.
+    probed = sorted(
+        r[0]
+        for r in q.select(F.explode(probe_cells("qe")).alias("cid"))
+        .distinct()
+        .collect()
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cid").isin(probed)
+    )
+    assign = cells.select("vec_id", "cid")
+    corpus = cells.select("vec_id", "emb_d")
+    return _ivf_topk(
+        q, assign, corpus, probe_cells, dot_pd, k, exclude_self=False
+    )
+
+
+def _duck_incremental_knn() -> str:
+    return f"""
+        WITH seen AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        nn AS (
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM seen
+        ),
+        seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM seen, nn
+            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= nn.nlist
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM seen
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND(list_dot_product(ve, ve)
+                                          - 2 * list_dot_product(ve, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS rn
+                FROM v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY ROUND(list_dot_product(qe, qe)
+                                          - 2 * list_dot_product(qe, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS crk
+                FROM q CROSS JOIN seeds s
+            ) WHERE crk <= {X71_NPROBE}
+        ),
+        scored AS (
+            SELECT p.qid, a.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4)
+                     AS cosine
+            FROM probe p
+            JOIN assign a USING (cid)
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine DESC NULLS LAST, vec_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+@register(
+    "x72_incremental_knn_join",
+    oracle=_duck_incremental_knn(),
+    tags=("similarity", "incremental"),
+)
+def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time ANN retrieval — x71's kNN join as a DELTA probe,
+    completing the incremental family for the retrieval side
+    (alongside dedup's x37 MinHash / x44 embedding bands / x59
+    segments and selection's x64 DSIR): the IVF index (centroids +
+    cell assignment) is built ONCE from the SEEN corpus (even vec_id)
+    and stored; each NEW batch (odd vec_id — today's crawl) retrieves
+    its top-K seen neighbors against that stored index without
+    touching the seen corpus beyond the probed cells. This is the
+    retrieval loop of dedup-by-retrieval, hard-negative mining and
+    RAG labeling at ingestion time.
+
+    This registered form derives index and batch from one fixture
+    in-plan so DuckDB can replay it exactly; the production pair is
+    ``build_ivf_index`` (cluster-PARTITIONED cell store — probes
+    prune at file level, asserted in tests) + ``ivf_index_probe``,
+    which produce identical results (parity asserted in
+    test_ivf_index_roundtrip_matches_inplan). Scale shape: per batch,
+    one broadcast of the nlist-row centroid table into the Arrow
+    probe kernel, one equi-join on cid against the pruned cells, one
+    per-qid top-K — batch-sized work, corpus-independent."""
+    emb = load(spark, sf, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    import math
+
+    nlist = int(math.ceil(math.sqrt(seen.count())))
+    centroids = _seed_centroids(seen, nlist)
+    assign_cell, probe_cells, dot_pd = _ivf_udfs(
+        spark,
+        [(r[0], r[1]) for r in centroids.select("cid", "ce").collect()],
+        X71_NPROBE,
+    )
+    assign = seen.select("vec_id", assign_cell("embedding").alias("cid"))
+    corpus = seen.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    q = batch.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    return _ivf_topk(
+        q, assign, corpus, probe_cells, dot_pd, KNN_K, exclude_self=False
+    )

@@ -97,12 +97,13 @@ def _ensure_loaded() -> None:
 #      round, source cap, epoch upsampling, LR quality step);
 #   2. the 6 queries whose last driver green is r2
 #      (x23/x26/x27/x30/x31/x32 — displaced twice, oldest debt);
-#   3. the query registered new this round (x71, x65's k-means-cell
-#      scale path — new-before-stale, the r4 lesson);
-#   4. 28 of the 47 r3-green queries, module-registration order; the
-#      remaining 19 (e03/e04/e05/e07/e08, a03/a05/a06/a12/a13, e06,
-#      p04, o03, set03, f02/f05/f11, s01/s02) rotate first in r8 with
-#      the r4 tier behind them.
+#   3. the queries registered new this round (x71, x65's k-means-cell
+#      scale path, and x72, its stored-index incremental twin —
+#      new-before-stale, the r4 lesson);
+#   4. 27 of the 47 r3-green queries, module-registration order; the
+#      remaining 20 (e02/e03/e04/e05/e07/e08, a03/a05/a06/a12/a13,
+#      e06, p04, o03, set03, f02/f05/f11, s01/s02) rotate first in r8
+#      with the r4 tier behind them.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (15): registered after the r5 window filled
     "x69_cluster_size_histogram",
@@ -127,9 +128,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x26_repetition_stats",
     "x27_hash_sample",
     "x30_chunk_docs",
-    # -- new this round (1): x65's k-means-cell scale path
+    # -- new this round (2): x65's k-means-cell scale path + its
+    #    stored-index incremental twin
     "x71_kmeans_ivf_knn_join",
-    # -- last driver green is r3 (28 of 47), registration order
+    "x72_incremental_knn_join",
+    # -- last driver green is r3 (27 of 47), registration order
     "x01_dedup_exact",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_signatures",
@@ -157,7 +160,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q09_product_profit",
     "q12_late_shipment_priority",
     "e01_funnel_steps",
-    "e02_retention_cohorts",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -194,6 +194,17 @@ class TxTable:
         stream O(n²) in committed versions); the streaming sink holds
         one instance for the life of the query, so the amortized cost
         per batch is O(new versions)."""
+        if self._batch_replayed(batch_id):
+            return None
+        v = self._commit(df, action="append", extra={"batch_id": batch_id})
+        self._seen_batch_ids.add(batch_id)
+        return v
+
+    def _batch_replayed(self, batch_id: int | str) -> bool:
+        """Incrementally refresh the batch-id ledger from log entries
+        committed since the last call, then answer whether
+        ``batch_id`` has already committed (shared by ``append_once``
+        and ``delete_once`` — one ledger, one scan cursor)."""
         latest = self.latest_version()
         for v in range(self._batch_scan_upto + 1, latest + 1):
             with open(os.path.join(self._log_path, f"{v:08d}.json")) as fh:
@@ -201,11 +212,43 @@ class TxTable:
             if bid is not None:
                 self._seen_batch_ids.add(bid)
         self._batch_scan_upto = latest
-        if batch_id in self._seen_batch_ids:
+        return batch_id in self._seen_batch_ids
+
+    def delete_once(
+        self, spark: SparkSession, predicate: str, batch_id: int | str
+    ) -> int | None:
+        """Idempotent copy-on-write DELETE for streaming foreachBatch
+        — ``delete`` with ``append_once``'s ledger: the batch id rides
+        the commit entry, so a replayed takedown micro-batch (restart
+        in the commit-then-advance-checkpoint window) is detected and
+        skipped instead of committing a second, identical-content
+        version. Returns the version, or None for a skipped replay.
+
+        Callers multiplexing streams onto one table must namespace the
+        id (``streaming.sinks.run_takedown_sink`` commits
+        ``takedown-<n>``) — Structured Streaming numbers every query's
+        batches from 0, so a takedown stream and an ingest stream
+        sharing a raw integer ledger would mask each other's first
+        batches."""
+        if self._batch_replayed(batch_id):
             return None
-        v = self._commit(df, action="append", extra={"batch_id": batch_id})
-        self._seen_batch_ids.add(batch_id)
-        return v
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.latest_version()
+            remaining = self.read(spark, version=base).filter(
+                f"NOT ({predicate})"
+            )
+            v = self._commit(
+                remaining,
+                action="overwrite",
+                expect_version=base + 1,
+                extra={"batch_id": batch_id},
+            )
+            if v is not None:
+                self._seen_batch_ids.add(batch_id)
+                return v
+        raise RuntimeError(
+            f"delete_once on {self.path} kept losing commit races"
+        )
 
     # ---------- read path ----------
 

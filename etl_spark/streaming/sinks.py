@@ -236,3 +236,66 @@ def run_validating_sink(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def run_takedown_sink(
+    stream_df: DataFrame,
+    tx_table,
+    checkpoint: str,
+    layout_paths: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    on_batch=None,
+) -> StreamingQuery:
+    """Streaming right-to-be-forgotten: each micro-batch is a set of
+    document ids to erase, applied to BOTH storage tiers the corpus
+    lives in — the transactional table (txlog copy-on-write
+    ``delete_once``) and any ``write_training_shards`` layouts
+    (``corpus.delete_docs_from_shards``, which rewrites only the
+    shards the ids hash to). ``on_batch(batch_id, ids, affected_shards,
+    version)`` is the audit hook (version None = replayed batch).
+
+    Replay idempotence is layered to survive a crash ANYWHERE between
+    the two tiers: shard layouts are erased FIRST and are naturally
+    idempotent (a replay probes the victims' shards, finds them
+    already clean via the anti-join, and rewrites nothing — untouched
+    files stay byte-identical); the txlog delete then commits with the
+    batch id in its ledger (namespaced ``takedown-<n>`` so an ingest
+    stream's ids can't collide), so a replay after a completed commit
+    is detected and skipped rather than committing a duplicate
+    version. Net effect: exactly-once erasure per request batch, with
+    the txlog commit as the durable completion marker.
+
+    Scale: the request batch is collected to the driver — takedown
+    requests are human/legal-scale (thousands), not corpus-scale, and
+    ``delete_docs_from_shards``'s contract needs the ids driver-side
+    to compute the affected shards WITHOUT scanning the corpus. The
+    txlog delete is one copy-on-write rewrite of live data per batch;
+    run ``vacuum`` afterwards to retire the superseded bytes from
+    disk and complete the erasure."""
+    from etl_spark.extensions.corpus import delete_docs_from_shards
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ids = sorted(
+            int(r[0])
+            for r in batch_df.select(id_col).distinct().collect()
+            if r[0] is not None
+        )
+        if not ids:
+            return
+        spark = batch_df.sparkSession
+        affected: list[int] = []
+        for lp in layout_paths:
+            affected.extend(delete_docs_from_shards(spark, lp, ids))
+        pred = f"{id_col} IN ({', '.join(str(i) for i in ids)})"
+        version = tx_table.delete_once(spark, pred, f"takedown-{batch_id}")
+        if on_batch is not None:
+            on_batch(batch_id, ids, sorted(set(affected)), version)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )

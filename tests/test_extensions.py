@@ -1638,3 +1638,52 @@ def test_kmeans_ivf_knn_accepts_trained_centroids(spark):
     r_t, r_s = recall(got_trained), recall(got_seed)
     assert r_t >= r_s - 1e-9, f"trained {r_t:.3f} < seed {r_s:.3f}"
     assert r_t >= 0.68
+
+
+def test_ivf_index_roundtrip_matches_inplan(spark, sf_dir, tmp_path):
+    """The production index pair (build_ivf_index -> ivf_index_probe)
+    must produce EXACTLY the registered x72's in-plan result — same
+    seen corpus (even vec_id), same batch (odd), row-for-row — and
+    the candidate fetch must prune at file level: the probe plan's
+    cell-store scan carries a PartitionFilters entry on cid (the
+    cluster-partitioned layout is the point of the artifact)."""
+    from etl_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+        x72_incremental_knn_join,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    nlist = build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    assert nlist >= 2
+    got = ivf_index_probe(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    want = x72_incremental_knn_join(spark, sf_dir)
+    key = lambda r: (r.qid, r.rk)  # noqa: E731
+    got_rows = sorted(
+        ((r.qid, r.rk, r.vec_id, r.cosine) for r in got.collect())
+    )
+    want_rows = sorted(
+        ((r.qid, r.rk, r.vec_id, r.cosine) for r in want.collect())
+    )
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    # partition pruning: probing a single query must read only its
+    # nprobe cells' files, not the whole cell store — the probed cid
+    # set is collected and filtered statically, so the cells scan
+    # carries a literal PartitionFilters entry
+    one = emb.filter(F.col("vec_id") == 1)
+    probe_df = ivf_index_probe(one, idx)
+    probe_df.collect()
+    import glob
+    import re
+
+    n_cell_dirs = len(glob.glob(f"{idx}/cells/cid=*"))
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cid" in m and "IN" in m.upper()
+    ]
+    assert pf, f"no cid partition filter in cells scan (dirs={n_cell_dirs})"

@@ -803,3 +803,136 @@ def test_streaming_neardup_replay_after_partial_index_commit(spark, tmp_path):
     assert {r.doc_id for r in out1.collect()} == {1, 2}, (
         "replay dropped rows as near-dups of their own partial index"
     )
+
+
+def test_takedown_sink_erases_both_tiers_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming right-to-be-forgotten, end-to-end: a file-stream of
+    takedown requests drives run_takedown_sink against BOTH storage
+    tiers — a txlog table and a write_training_shards layout built
+    from the same documents. Contracts: (a) the victims disappear
+    from the txlog snapshot AND from every shard; (b) shard files the
+    victims do not hash to stay byte-identical; (c) a full replay of
+    the same request files (fresh checkpoint — the restart-after-
+    commit window writ large) changes NOTHING: no new txlog version,
+    every shard file byte-identical, every batch reported as a
+    skipped replay (version None)."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.corpus import write_training_shards
+    from etl_spark.sources.txlog import TxTable
+    from etl_spark.streaming.sinks import run_takedown_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    layout = str(tmp_path / "layout")
+    write_training_shards(docs, layout)
+    table = TxTable.create(str(tmp_path / "tx"), docs)
+
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    victims_b0, victims_b1 = all_ids[:3], all_ids[3:5]
+    req_dir = tmp_path / "requests"
+    req_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(victims_b0, pa.int64())}),
+        str(req_dir / "req-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(victims_b1, pa.int64())}),
+        str(req_dir / "req-1.parquet"),
+    )
+    victims = set(victims_b0) | set(victims_b1)
+
+    def shard_files():
+        files = {}
+        for p in sorted(glob.glob(f"{layout}/shard=*/*.parquet")):
+            with open(p, "rb") as fh:
+                files[p] = hashlib.md5(fh.read()).hexdigest()
+        return files
+
+    before = shard_files()
+    audit = []
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir))
+    )
+    q = run_takedown_sink(
+        stream,
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        layout_paths=(layout,),
+        on_batch=lambda b, ids, sh, v: audit.append((b, tuple(ids), v)),
+    )
+    q.awaitTermination(120)
+
+    # (a) both tiers clean
+    left_tx = {r.doc_id for r in table.read(spark).select("doc_id").collect()}
+    assert left_tx == set(all_ids) - victims
+    left_sh = {
+        r.doc_id for r in spark.read.parquet(f"{layout}/shard=*").collect()
+    }
+    assert left_sh == set(all_ids) - victims
+    assert len(audit) == 2 and all(v is not None for _, _, v in audit)
+    # (b) untouched shards byte-identical — compare per SHARD (a
+    # rewrite removes the old file and writes a new name, so a
+    # file-level diff double-counts every rewritten shard)
+    after = shard_files()
+
+    def by_shard(files):
+        out = {}
+        for p, h in files.items():
+            out.setdefault(p.split("/shard=")[1].split("/")[0], {})[p] = h
+        return out
+
+    b_sh, a_sh = by_shard(before), by_shard(after)
+    untouched = {s for s in b_sh if a_sh.get(s) == b_sh[s]}
+    assert untouched, "every shard was rewritten"
+    # the 5 victims can hash to at most 5 of the shards
+    assert len(b_sh) - len(untouched) <= len(victims)
+    surviving_rows = spark.read.parquet(f"{layout}/shard=*").count()
+    assert surviving_rows == len(all_ids) - len(victims)
+    v_after_first = table.latest_version()
+
+    # (c) full replay: fresh checkpoint, same request files
+    audit2 = []
+    q2 = run_takedown_sink(
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir)),
+        table,
+        checkpoint=str(tmp_path / "ckpt2"),
+        layout_paths=(layout,),
+        on_batch=lambda b, ids, sh, v: audit2.append((b, tuple(ids), v)),
+    )
+    q2.awaitTermination(120)
+    assert table.latest_version() == v_after_first, "replay committed a version"
+    assert shard_files() == after, "replay rewrote shard bytes"
+    assert len(audit2) == 2 and all(v is None for _, _, v in audit2)
+
+
+def test_txlog_delete_once_ledger(spark, tmp_path):
+    """delete_once: first call commits a version, replay with the same
+    batch id is a no-op even through a FRESH TxTable instance (the
+    ledger lives in the log, not the object), and a different id
+    proceeds."""
+    from etl_spark.sources.txlog import TxTable
+
+    t = TxTable.create(
+        str(tmp_path / "t"),
+        spark.createDataFrame([(i,) for i in range(10)], ["doc_id"]),
+    )
+    v1 = t.delete_once(spark, "doc_id IN (1, 2)", "takedown-0")
+    assert v1 is not None
+    assert t.delete_once(spark, "doc_id IN (1, 2)", "takedown-0") is None
+    fresh = TxTable(str(tmp_path / "t"))
+    assert fresh.delete_once(spark, "doc_id IN (1, 2)", "takedown-0") is None
+    assert {r.doc_id for r in fresh.read(spark).collect()} == set(range(10)) - {1, 2}
+    v2 = fresh.delete_once(spark, "doc_id IN (3)", "takedown-1")
+    assert v2 is not None and v2 > v1
