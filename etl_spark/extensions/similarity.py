@@ -1659,3 +1659,200 @@ def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_topk(
         q, assign, corpus, probe_cells, dot_pd, KNN_K, exclude_self=False
     )
+
+
+# --- x73: product quantization — the ANN STORAGE story ----------------
+#
+# x71/x72 shrink the SEARCH; PQ shrinks the BYTES: each vector is
+# stored as PQ_M 4-bit codes (one BIGINT for the whole vector), a
+# dim*4-byte float row becoming 8 bytes — at 100 TB of embeddings the
+# difference between an index that fits in cluster RAM and one that
+# does not (Jegou et al. '11, the IVF-PQ layout every production ANN
+# store uses). Scoring is asymmetric distance computation (ADC): the
+# QUERY stays exact, each subvector's distance to all PQ_K codes is
+# precomputed into an M x K table, and a corpus vector's distance is
+# just M table lookups summed — after encoding, ranking never touches
+# a float vector again.
+
+PQ_M = 8  # subvectors per vector (dim must divide evenly)
+PQ_K = 16  # codes per subvector codebook -> 4 bits, M nibbles = 1 BIGINT
+
+
+def _pq_codebooks(emb: DataFrame, dim: int):
+    """Deterministic per-subvector codebooks: the PQ_K lowest vec_ids'
+    subvectors, k ordered by vec_id (the _seed_centroids convention —
+    swap for per-subvector k-means at deployment). Returns numpy
+    (PQ_M, PQ_K, dim//PQ_M)."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype=np.float64)  # (K, dim)
+    sub = dim // PQ_M
+    return np.stack(
+        [X[:, m * sub : (m + 1) * sub] for m in range(PQ_M)]
+    )  # (M, K, sub)
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, code): every vector quantized to one BIGINT of PQ_M
+    nibbles — nibble m = argmin over codebook m by ROUND(d2, 9) with
+    lowest-code tie (the x71 assignment rule per subvector). Arrow/
+    numpy kernel, scan-local, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bcb = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    @pandas_udf("bigint")
+    def encode(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        CB = bcb.value  # (M, K, sub)
+        X = np.vstack(embs.values).astype(np.float64)
+        sub = CB.shape[2]
+        code = np.zeros(len(X), dtype=np.int64)
+        for m in range(CB.shape[0]):
+            S = X[:, m * sub : (m + 1) * sub]
+            d2 = np.round(
+                (S * S).sum(axis=1)[:, None]
+                - 2.0 * (S @ CB[m].T)
+                + (CB[m] * CB[m]).sum(axis=1)[None, :],
+                9,
+            )
+            code |= np.argmin(d2, axis=1).astype(np.int64) << (4 * m)
+        return pd.Series(code)
+
+    return emb.select("vec_id", encode("embedding").alias("code"))
+
+
+def pq_adc_expr(query_vec, codebooks) -> str:
+    """The ADC scoring expression over a ``code`` column: the M x K
+    distance table is computed driver-side from the exact query and
+    folded into the plan as literal arrays, so scoring is PQ_M nibble
+    extractions + element_at lookups — pure whole-stage codegen, no
+    vector bytes touched, no Python. (The 16-double literal arrays
+    are the PQ analog of x67's folded weight literals.)"""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sub = codebooks.shape[2]
+    terms = []
+    for m in range(codebooks.shape[0]):
+        qm = q[m * sub : (m + 1) * sub]
+        d = (
+            (qm * qm).sum()
+            - 2.0 * (codebooks[m] @ qm)
+            + (codebooks[m] * codebooks[m]).sum(axis=1)
+        )
+        lits = ", ".join(repr(float(x)) for x in d)
+        terms.append(
+            f"element_at(array({lits}), "
+            f"CAST((shiftright(code, {4 * m}) & 15) AS INT) + 1)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "x73_pq_adc_topk",
+    oracle=f"""
+        WITH dims AS (
+            SELECT len(embedding) AS dim FROM embeddings LIMIT 1
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m,
+                   ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY e.vec_id)
+                       - 1 AS k,
+                   (e.embedding[1 + ms.m * (dims.dim // {PQ_M})
+                                : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS cvec
+            FROM embeddings e, ms, dims
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY e.vec_id)
+                    <= {PQ_K}
+        ),
+        sub AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding[1 + ms.m * (dims.dim // {PQ_M})
+                                : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS sv
+            FROM embeddings e, ms, dims
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT s.vec_id, s.m, cb.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY ROUND(list_dot_product(sv, sv)
+                                          - 2 * list_dot_product(sv, cvec)
+                                          + list_dot_product(cvec, cvec), 9),
+                                    cb.k
+                       ) AS rn
+                FROM sub s JOIN cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT m, sv AS qv FROM sub WHERE vec_id = 0
+        ),
+        adc AS (
+            SELECT cb.m, cb.k,
+                   list_dot_product(qv, qv)
+                   - 2 * list_dot_product(qv, cvec)
+                   + list_dot_product(cvec, cvec) AS d
+            FROM cb JOIN qsub USING (m)
+        ),
+        scored AS (
+            SELECT c.vec_id, ROUND(SUM(adc.d), 6) AS adc_d2
+            FROM codes c JOIN adc ON adc.m = c.m AND adc.k = c.k
+            WHERE c.vec_id <> 0
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, adc_d2 FROM scored
+        ORDER BY adc_d2 ASC, vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def x73_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized top-10 (Jegou et al. '11): vectors stored as
+    PQ_M 4-bit codes in one BIGINT (a 64-float row becomes 8 bytes —
+    32x), ranked against the exact query via asymmetric distance
+    computation. Codebooks are the PQ_K lowest vec_ids' subvectors
+    (deterministic, oracle-expressible; per-subvector k-means at
+    deployment), encoding is the x71 assignment rule applied per
+    subvector in the Arrow kernel, and SCORING never touches a float
+    vector: the M x K ADC table is computed driver-side from the
+    query and folded into the plan as literal arrays, so each row's
+    distance is PQ_M nibble-shift + element_at lookups summed —
+    whole-stage codegen over 8-byte codes.
+
+    Scale shape: encode once, store (vec_id, code) — the scannable
+    index is PQ_M/2 bytes per vector, so ADC ranking at 100 TB of
+    raw embeddings reads ~3 TB of codes, map-side, no shuffle until
+    the global top-K (TakeOrderedAndProject). Pair with x71's cells
+    (IVF-PQ) for sublinear candidate sets. Cross-engine: codebook k
+    is vec_id-rank both engines, per-subvector argmin ties on
+    ROUND(d2,9)+k, ADC sum rounded to 6 before the rank, vec_id
+    tie-break on the boundary."""
+    emb = load(spark, sf, "embeddings")
+    first = emb.orderBy("vec_id").select("embedding").first()
+    dim = len(first[0])
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
+    cb = _pq_codebooks(emb, dim)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    codes = pq_encode(emb, cb)
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(F.expr(pq_adc_expr(qrow[0], cb)), 6).alias("adc_d2"),
+        )
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1687,3 +1687,84 @@ def test_ivf_index_roundtrip_matches_inplan(spark, sf_dir, tmp_path):
         if "cid" in m and "IN" in m.upper()
     ]
     assert pf, f"no cid partition filter in cells scan (dirs={n_cell_dirs})"
+
+
+def test_pq_adc_approximates_exact_l2(spark):
+    """PQ's accuracy contract on clustered data (where quantization
+    must be usable): ADC top-10 vs exact-L2 top-10 recall >= 0.6, and
+    ADC distances rank-correlate with exact distances. Also the
+    compression claim: every code is one BIGINT of PQ_M nibbles
+    (non-negative, < 2^(4*PQ_M)), deterministic across encodes."""
+    import numpy as np
+
+    from etl_spark.extensions.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_codebooks,
+        pq_adc_expr,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    k_true, per, dim = 12, 50, 16
+    centers = rng.normal(size=(k_true, dim)) * 2.0
+    X = np.repeat(centers, per, axis=0) + rng.normal(
+        size=(k_true * per, dim)
+    ) * 0.3
+    n = len(X)
+    # permute ids: the seed-codebook convention takes the PQ_K lowest
+    # vec_ids, and cluster-ordered ids would hand it 16 seeds from ONE
+    # cluster (a degenerate codebook no real corpus produces — ids do
+    # not correlate with geometry in practice, nor in the fixtures)
+    perm = rng.permutation(n)
+    vid_of = np.empty(n, dtype=int)
+    vid_of[perm] = np.arange(n)
+    df = spark.createDataFrame(
+        [(int(vid_of[i]), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    X = X[perm]  # re-index so X[vid] matches vec_id vid
+    cb = _pq_codebooks(df, dim)
+    codes = pq_encode(df, cb)
+    rows = codes.collect()
+    assert len(rows) == n
+    for r in rows:
+        assert 0 <= r.code < (1 << (4 * PQ_M))
+    # deterministic re-encode
+    again = {r.vec_id: r.code for r in pq_encode(df, cb).collect()}
+    assert {r.vec_id: r.code for r in rows} == again
+
+    q = X[0]
+    scored = (
+        codes.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.expr(pq_adc_expr([float(v) for v in q], cb)).alias("d")
+        )
+        .collect()
+    )
+    adc = {r.vec_id: r.d for r in scored}
+    exact = ((X - q) ** 2).sum(axis=1)
+    top_exact = set(np.argsort(exact)[1:11].tolist())
+    top_adc = set(
+        sorted(adc, key=lambda v: (adc[v], v))[:10]
+    )
+    recall = len(top_exact & top_adc) / 10
+    assert recall >= 0.6, f"ADC recall@10 {recall} < 0.6 on clustered corpus"
+    # PQ's geometry contract is COARSE: within a cluster the codes
+    # collapse to plateaus (that is the compression), so global rank
+    # correlation is meaningless — what must survive is the cluster-
+    # level ordering: ranking clusters by mean ADC distance must match
+    # ranking them by mean exact distance.
+    cluster = np.repeat(np.arange(k_true), per)[perm]
+    adc_mean = np.array(
+        [np.mean([adc[v] for v in range(n) if cluster[v] == c and v in adc])
+         for c in range(k_true)]
+    )
+    ex_mean = np.array(
+        [exact[cluster == c].mean() for c in range(k_true)]
+    )
+    ra = np.argsort(np.argsort(adc_mean))
+    re = np.argsort(np.argsort(ex_mean))
+    rho = np.corrcoef(ra, re)[0, 1]
+    assert rho >= 0.9, f"cluster-level ADC rank correlation {rho:.3f} < 0.9"
