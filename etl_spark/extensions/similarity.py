@@ -1676,6 +1676,7 @@ def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 
 PQ_M = 8  # subvectors per vector (dim must divide evenly)
 PQ_K = 16  # codes per subvector codebook -> 4 bits, M nibbles = 1 BIGINT
+X74_REFINE = 20  # ADC shortlist size the exact re-rank reads (4*K)
 
 
 def _pq_codebooks(emb: DataFrame, dim: int):
@@ -1856,3 +1857,281 @@ def x73_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def pq_adc_udf(spark, codebooks):
+    """Row-wise ADC for BATCHED queries (x73's literal-table trick
+    only works for ONE query): d(code, qe) with the codebooks
+    broadcast, vectorized per Arrow batch — nibble unpack by shifts,
+    codeword gather by fancy indexing, per-subvector distance as
+    row-wise sums. O(dim) per row, the same order as one dot product,
+    with no per-query grouping needed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bcb = spark.sparkContext.broadcast(codebooks)
+
+    @pandas_udf("double")
+    def adc_pd(codes, qes):
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        CB = bcb.value  # (M, K, sub)
+        M, _, sub = CB.shape
+        c = codes.to_numpy(dtype=np.int64)
+        Q = np.vstack(qes.values).astype(np.float64)
+        out = np.zeros(len(c), dtype=np.float64)
+        for m in range(M):
+            nib = (c >> (4 * m)) & 15
+            qm = Q[:, m * sub : (m + 1) * sub]
+            cw = CB[m][nib]  # (rows, sub)
+            out += (
+                (qm * qm).sum(axis=1)
+                - 2.0 * (qm * cw).sum(axis=1)
+                + (cw * cw).sum(axis=1)
+            )
+        return pd.Series(out)
+
+    return adc_pd
+
+
+@register(
+    "x74_ivfpq_knn_join",
+    oracle=f"""
+        WITH nn AS (
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM embeddings, nn
+            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= nn.nlist
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND(list_dot_product(ve, ve)
+                                          - 2 * list_dot_product(ve, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS rn
+                FROM v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m,
+                   ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY e.vec_id)
+                       - 1 AS k,
+                   (e.embedding[1 + ms.m * (dims.dim // {PQ_M})
+                                : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS cvec
+            FROM embeddings e, ms, dims
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY e.vec_id)
+                    <= {PQ_K}
+        ),
+        sub AS (
+            SELECT e.vec_id, ms.m,
+                   (e.embedding[1 + ms.m * (dims.dim // {PQ_M})
+                                : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS sv
+            FROM embeddings e, ms, dims
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT s.vec_id, s.m, cb.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY ROUND(list_dot_product(sv, sv)
+                                          - 2 * list_dot_product(sv, cvec)
+                                          + list_dot_product(cvec, cvec), 9),
+                                    cb.k
+                       ) AS rn
+                FROM sub s JOIN cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+        ),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY ROUND(list_dot_product(qe, qe)
+                                          - 2 * list_dot_product(qe, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS crk
+                FROM q CROSS JOIN seeds s
+            ) WHERE crk <= {X71_NPROBE}
+        ),
+        qsub AS (
+            SELECT q.qid, ms.m,
+                   (q.qe[1 + ms.m * (dims.dim // {PQ_M})
+                         : (ms.m + 1) * (dims.dim // {PQ_M})]) AS qv
+            FROM q, ms, dims
+        ),
+        adc AS (
+            SELECT qs.qid, cb.m, cb.k,
+                   list_dot_product(qv, qv)
+                   - 2 * list_dot_product(qv, cvec)
+                   + list_dot_product(cvec, cvec) AS d
+            FROM cb JOIN qsub qs ON qs.m = cb.m
+        ),
+        cand AS (
+            SELECT p.qid, a.vec_id
+            FROM probe p JOIN assign a USING (cid)
+            WHERE a.vec_id <> p.qid
+        ),
+        scored AS (
+            SELECT c.qid, c.vec_id, ROUND(SUM(adc.d), 6) AS adc_d2
+            FROM cand c
+            JOIN codes co ON co.vec_id = c.vec_id
+            JOIN adc ON adc.qid = c.qid AND adc.m = co.m AND adc.k = co.k
+            GROUP BY c.qid, c.vec_id
+        ),
+        shortlist AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY adc_d2 ASC, vec_id
+                       ) AS ark
+                FROM scored
+            ) WHERE ark <= {X74_REFINE}
+        ),
+        refined AS (
+            SELECT sl.qid, sl.vec_id,
+                   ROUND(list_dot_product(q.qe, q.qe)
+                         - 2 * list_dot_product(e.embedding::DOUBLE[], q.qe)
+                         + list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS d2
+            FROM shortlist sl
+            JOIN embeddings e ON e.vec_id = sl.vec_id
+            JOIN q ON q.qid = sl.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY d2 ASC, vec_id
+                   ) AS rk
+            FROM refined
+        )
+        SELECT qid, vec_id, d2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    tags=("similarity",),
+)
+def x74_ivfpq_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout, composed from this
+    module's two halves exactly the way Faiss/SCaNN-class systems do:
+    x71's sqrt(n) k-means cells bound the CANDIDATE SET (probe the
+    nprobe best cells per query) and x73's product-quantized codes
+    bound the BYTES (candidates are ranked by asymmetric distance
+    over their 8-byte codes — the float vectors are read once at
+    index build and never again at query time). Per 2x data the
+    candidate volume grows like x71's and each candidate costs O(dim)
+    vectorized ADC work; the ranked store the queries actually scan
+    is codes-only, PQ_M/2 bytes per vector.
+
+    The batched-query ADC runs in ``pq_adc_udf`` (x73's literal-table
+    trick is single-query; here each row gathers its own codewords by
+    nibble — same O(dim) per row as a dot product). Cross-engine:
+    cells, codes, and the per-(qid, m) distance table all reuse the
+    x71/x73 round-tie rules; the final score is ROUND(SUM over m, 6)
+    with vec_id tie-break, so the composition is oracle-exact too."""
+    return ivfpq_knn_join(load(spark, sf, "embeddings"))
+
+
+def ivfpq_knn_join(
+    emb: DataFrame,
+    k: int = KNN_K,
+    stride: int = KNN_QUERY_STRIDE,
+    nprobe: int = X71_NPROBE,
+) -> DataFrame:
+    """x74's core over any (vec_id, embedding) frame — cells bound
+    the candidates, codes bound the bytes (see x74's docstring)."""
+    import math
+
+    spark = emb.sparkSession
+    n = emb.count()
+    nlist = int(math.ceil(math.sqrt(n)))
+    first = emb.orderBy("vec_id").select("embedding").first()
+    dim = len(first[0])
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
+    centroids = _seed_centroids(emb, nlist)
+    assign_cell, probe_cells, _ = _ivf_udfs(
+        spark,
+        [(r[0], r[1]) for r in centroids.select("cid", "ce").collect()],
+        nprobe,
+    )
+    cb = _pq_codebooks(emb, dim)
+    adc_pd = pq_adc_udf(spark, cb)
+    assign = emb.select("vec_id", assign_cell("embedding").alias("cid"))
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    probe = q.select("qid", F.explode(probe_cells("qe")).alias("cid"))
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(q, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(adc_pd("code", "qe"), 6).alias("adc_d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # refine: exact re-rank of the ADC shortlist — the standard
+    # two-stage IVF-PQ search. Codes rank the candidate pool down to
+    # X74_REFINE per query; only those rows' float vectors are read
+    # for the exact distance, so the full-precision IO per query is
+    # X74_REFINE rows no matter the corpus. (The deployment upgrade
+    # beyond this is RESIDUAL encoding — PQ over vector minus cell
+    # centroid — which resolves within-cell structure in the codes
+    # themselves; raw-vector PQ + refine keeps the oracle tractable
+    # and is the honest floor.)
+    aw = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= X74_REFINE)
+        .select("qid", "vec_id")
+    )
+    _, _, dot_pd = _ivf_udfs(spark, [(0, [0.0] * dim)], 1)
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    refined = (
+        shortlist.join(corpus, "vec_id")
+        .join(q, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot_pd("qe", "qe")
+                - 2 * dot_pd("emb_d", "qe")
+                + dot_pd("emb_d", "emb_d"),
+                6,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return refined.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rk") <= k)

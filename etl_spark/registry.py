@@ -99,11 +99,12 @@ def _ensure_loaded() -> None:
 #      (x23/x26/x27/x30/x31/x32 — displaced twice, oldest debt);
 #   3. the queries registered new this round (x71, x65's k-means-cell
 #      scale path; x72, its stored-index incremental twin; x73,
-#      product-quantized code ranking — new-before-stale, r4 lesson);
-#   4. 26 of the 47 r3-green queries, module-registration order; the
-#      remaining 21 (e01-e05/e07/e08, a03/a05/a06/a12/a13, e06, p04,
-#      o03, set03, f02/f05/f11, s01/s02) rotate first in r8 with the
-#      r4 tier behind them.
+#      product-quantized code ranking; x74, the composed two-stage
+#      IVF-PQ search — new-before-stale, r4 lesson);
+#   4. 25 of the 47 r3-green queries, module-registration order; the
+#      remaining 22 (q12, e01-e05/e07/e08, a03/a05/a06/a12/a13, e06,
+#      p04, o03, set03, f02/f05/f11, s01/s02) rotate first in r8 with
+#      the r4 tier behind them.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (15): registered after the r5 window filled
     "x69_cluster_size_histogram",
@@ -128,12 +129,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x26_repetition_stats",
     "x27_hash_sample",
     "x30_chunk_docs",
-    # -- new this round (3): x65's k-means-cell scale path, its
-    #    stored-index incremental twin, and PQ compressed-code ranking
+    # -- new this round (4): x65's k-means-cell scale path, its
+    #    stored-index incremental twin, PQ compressed-code ranking,
+    #    and the composed two-stage IVF-PQ search
     "x71_kmeans_ivf_knn_join",
     "x72_incremental_knn_join",
     "x73_pq_adc_topk",
-    # -- last driver green is r3 (26 of 47), registration order
+    "x74_ivfpq_knn_join",
+    # -- last driver green is r3 (25 of 47), registration order
     "x01_dedup_exact",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_signatures",
@@ -159,7 +162,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q23_gapfill_daily",
     "q02_min_cost_supplier",
     "q09_product_profit",
-    "q12_late_shipment_priority",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

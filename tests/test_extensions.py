@@ -1768,3 +1768,53 @@ def test_pq_adc_approximates_exact_l2(spark):
     re = np.argsort(np.argsort(ex_mean))
     rho = np.corrcoef(ra, re)[0, 1]
     assert rho >= 0.9, f"cluster-level ADC rank correlation {rho:.3f} < 0.9"
+
+
+def test_ivfpq_recall_clustered(spark):
+    """The composed IVF-PQ (x74) stacks two approximations — cell
+    pruning AND code quantization — so its recall floor is the
+    contract that matters: on a clustered corpus with permuted ids
+    (see test_pq_adc_approximates_exact_l2 for why ids must not be
+    cluster-ordered), recall@5 vs the exact L2 top-5 must clear 0.6,
+    and the per-query rank/ordering contract must hold."""
+    import numpy as np
+
+    from etl_spark.extensions.similarity import (
+        KNN_QUERY_STRIDE,
+        ivfpq_knn_join,
+    )
+
+    rng = np.random.default_rng(23)
+    k_true, per, dim = 20, 25, 16
+    centers = rng.normal(size=(k_true, dim)) * 2.0
+    X = np.repeat(centers, per, axis=0) + rng.normal(
+        size=(k_true * per, dim)
+    ) * 0.35
+    n = len(X)
+    perm = rng.permutation(n)
+    vid_of = np.empty(n, dtype=int)
+    vid_of[perm] = np.arange(n)
+    df = spark.createDataFrame(
+        [(int(vid_of[i]), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    X = X[perm]
+    got = ivfpq_knn_join(df).collect()
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r.qid, r.rk)):
+        by_q[r.qid].append(r)
+    hits = total = 0
+    for qid in range(0, n, KNN_QUERY_STRIDE):
+        nbrs = by_q.get(qid, [])
+        assert [r.rk for r in nbrs] == list(range(1, len(nbrs) + 1))
+        ds = [r.d2 for r in nbrs]
+        assert ds == sorted(ds)
+        d2 = ((X - X[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        exact = set(np.argsort(d2)[:5].tolist())
+        hits += len(exact & {r.vec_id for r in nbrs})
+        total += 5
+    recall = hits / total
+    assert recall >= 0.6, f"IVF-PQ recall@5 {recall:.3f} < 0.6"
