@@ -103,6 +103,12 @@ HEADLINE = [
     "x68_shard_stats",
     "x69_cluster_size_histogram",
     "x70_source_league",
+    # r7 ANN family: k-means-cell kNN join, incremental stored-index
+    # probe, PQ code ranking, composed two-stage IVF-PQ
+    "x71_kmeans_ivf_knn_join",
+    "x72_incremental_knn_join",
+    "x73_pq_adc_topk",
+    "x74_ivfpq_knn_join",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

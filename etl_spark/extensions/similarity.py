@@ -1225,6 +1225,17 @@ def _ivf_udfs(spark, centroid_rows, nprobe: int):
         )[:, :nprobe]
         return pd.Series([ci[row].tolist() for row in top])
 
+    return assign_cell, probe_cells, _dot_udf()
+
+
+def _dot_udf():
+    """Row-wise float64 dot product as an Arrow kernel — the third
+    IVF kernel, centroid-independent so scoring surfaces (x74's
+    refine) can use it without a quantizer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     @pandas_udf("double")
     def dot_pd(a, b):
         if len(a) == 0:
@@ -1233,7 +1244,7 @@ def _ivf_udfs(spark, centroid_rows, nprobe: int):
         B = np.vstack(b.values).astype(np.float64)
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
-    return assign_cell, probe_cells, dot_pd
+    return dot_pd
 
 
 def _ivf_topk(
@@ -2113,7 +2124,7 @@ def ivfpq_knn_join(
         .filter(F.col("ark") <= X74_REFINE)
         .select("qid", "vec_id")
     )
-    _, _, dot_pd = _ivf_udfs(spark, [(0, [0.0] * dim)], 1)
+    dot_pd = _dot_udf()
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
     )

@@ -114,3 +114,54 @@ def run_dsir_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_knn_probe(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str | None = None,
+    k: int | None = None,
+    nprobe: int | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Ingestion-time ANN retrieval — the streaming face of x72, and
+    the retrieval sibling of this module's DSIR gate and neardup's
+    index probes: each micro-batch of (vec_id, embedding) rows
+    retrieves its top-k neighbors from a ``build_ivf_index`` artifact
+    (hard-negative mining / dedup-by-retrieval / RAG labeling at the
+    ingest front door) and lands them under ``out_path/batch-<id>``.
+    Replay idempotence is the file-sink recipe shared with
+    ``run_dsir_gate``: a batch directory carrying ``_SUCCESS`` is
+    committed and skipped; a partial write is overwritten.
+    ``on_batch(batch_id, n_queries, n_result_rows)`` observes.
+
+    Per batch: centroids load once per probe (nlist rows), candidate
+    IO is the probed cells' files only (static partition pruning —
+    see ``ivf_index_probe``), work is batch-sized and
+    corpus-independent."""
+    import etl_spark.extensions.similarity as _sim
+
+    kk = k if k is not None else _sim.KNN_K
+    npb = nprobe if nprobe is not None else _sim.X71_NPROBE
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(out_path, f"batch-{batch_id}")
+        if batch_committed(out_dir):
+            return  # replayed batch: commit marker on disk
+        result = _sim.ivf_index_probe(batch_df, index_path, k=kk, nprobe=npb)
+        result = result.persist()
+        n_rows = result.count()
+        n_q = batch_df.count()
+        result.write.mode("overwrite").parquet(out_dir)
+        result.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_q, n_rows)
+
+    writer = stream_df.writeStream.foreachBatch(_probe).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -936,3 +936,84 @@ def test_txlog_delete_once_ledger(spark, tmp_path):
     assert {r.doc_id for r in fresh.read(spark).collect()} == set(range(10)) - {1, 2}
     v2 = fresh.delete_once(spark, "doc_id IN (3)", "takedown-1")
     assert v2 is not None and v2 > v1
+
+
+def test_streaming_knn_probe_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """The streaming ANN probe must equal the BATCH probe row-for-row
+    on the same index (two arrival orders, one answer — the x44/x59
+    convention for retrieval), and a replayed stream (fresh
+    checkpoint, same files) must skip committed batch directories
+    untouched."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import build_ivf_index, ivf_index_probe
+    from etl_spark.streaming.selection import run_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+
+    batch_rows = emb.filter(F.col("vec_id") % 2 == 1).collect()
+    req_dir = tmp_path / "in"
+    req_dir.mkdir()
+    half = len(batch_rows) // 2
+    for i, chunk in enumerate((batch_rows[:half], batch_rows[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r.vec_id for r in chunk], pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r.embedding)) for r in chunk],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(req_dir / f"b{i}.parquet"),
+        )
+    audit = []
+    q = run_knn_probe(
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir)),
+        idx,
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda b, nq, nr: audit.append((b, nq, nr)),
+    )
+    q.awaitTermination(120)
+    assert len(audit) == 2 and all(nr > 0 for _, _, nr in audit)
+
+    got = spark.read.parquet(str(tmp_path / "out" / "batch-*")).collect()
+    want = ivf_index_probe(
+        emb.filter(F.col("vec_id") % 2 == 1), idx
+    ).collect()
+    key = lambda r: (r.qid, r.rk, r.vec_id, r.cosine)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # replay: fresh checkpoint, same input files — committed batch
+    # dirs must be skipped byte-identically
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "out" / "batch-*" / "*"))
+    }
+    audit2 = []
+    q2 = run_knn_probe(
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir)),
+        idx,
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt2"),
+        on_batch=lambda b, nq, nr: audit2.append((b, nq, nr)),
+    )
+    q2.awaitTermination(120)
+    assert audit2 == []  # every batch recognized as committed
+    assert mtimes == {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "out" / "batch-*" / "*"))
+    }
