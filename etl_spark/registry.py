@@ -90,78 +90,65 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-7 window (executing the rotation r6 skipped — VERDICT r6 #2):
-#   1. the 15 round-5 late registrations that have NEVER had a driver
-#      row (x56-x70 — training manifest, SemDeDup, curation funnel,
-#      packing/sharding/layout, DSIR x62/x64 freshly repaired this
-#      round, source cap, epoch upsampling, LR quality step);
-#   2. the 6 queries whose last driver green is r2
-#      (x23/x26/x27/x30/x31/x32 — displaced twice, oldest debt);
-#   3. the queries registered new this round (x71, x65's k-means-cell
-#      scale path; x72, its stored-index incremental twin; x73,
-#      product-quantized code ranking; x74, the composed two-stage
-#      IVF-PQ search — new-before-stale, r4 lesson);
-#   4. 25 of the 47 r3-green queries, module-registration order; the
-#      remaining 22 (q12, e01-e05/e07/e08, a03/a05/a06/a12/a13, e06,
-#      p04, o03, set03, f02/f05/f11, s01/s02) rotate first in r8 with
-#      the r4 tier behind them.
+# Round-8 window (tools/rotate_window.py output, VERDICT r7 #1):
+#   1. the 22 queries whose last driver green is r3 — three rounds
+#      stale, the oldest outstanding debt (q12, e01-e08, a12/a13,
+#      e06, p04, a03/a05/a06, o03, set03, f02/f05/f11, s01/s02);
+#   2. 28 of the r4-green tier, module-registration order; the
+#      remaining r4 queries rotate in r9.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (15): registered after the r5 window filled
-    "x69_cluster_size_histogram",
-    "x57_semdedup",
-    "x60_modal_agreement",
-    "x65_knn_join",
-    "x70_source_league",
-    "x56_training_manifest",
-    "x58_curation_funnel",
-    "x59_incremental_segment_dedup",
-    "x61_length_bucket_packing",
-    "x68_shard_stats",
-    "x62_dsir_importance",
-    "x64_incremental_dsir",
-    "x63_source_cap",
-    "x66_epoch_upsample",
-    "x67_quality_lr_step",
-    # -- last driver green is r2 (6): oldest outstanding debt
-    "x23_jaccard_capped_pairs",
-    "x31_quality_percentile_gate",
-    "x32_length_histogram",
-    "x26_repetition_stats",
-    "x27_hash_sample",
-    "x30_chunk_docs",
-    # -- new this round (4): x65's k-means-cell scale path, its
-    #    stored-index incremental twin, PQ compressed-code ranking,
-    #    and the composed two-stage IVF-PQ search
-    "x71_kmeans_ivf_knn_join",
-    "x72_incremental_knn_join",
-    "x73_pq_adc_topk",
-    "x74_ivfpq_knn_join",
-    # -- last driver green is r3 (25 of 47), registration order
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_signatures",
-    "x04_minhash_lsh_pairs",
-    "x05_simhash",
-    "x37_incremental_neardup",
-    "x38_minhash_error",
-    "x33_word_freq_zipf",
-    "x34_bigram_counts",
-    "x35_type_token_ratio",
-    "x28_sequence_pack",
-    "w03_lag_lead_delta",
-    "w04_sessionize",
-    "j09_asof_join",
-    "f09_json_extract",
-    "w07_percent_rank",
-    "a14_filtered_agg",
-    "a15_median_mode",
-    "f12_string_agg",
-    "f13_price_histogram",
-    "q21_sole_returned_supplier",
-    "q22_dormant_customers",
-    "q23_gapfill_daily",
-    "q02_min_cost_supplier",
-    "q09_product_profit",
+    # -- last driver green is r3 (22): oldest outstanding debt
+    "q12_late_shipment_priority",
+    "e01_funnel_steps",
+    "e02_retention_cohorts",
+    "e03_event_transitions",
+    "e04_value_heavy_hitters",
+    "e05_error_spike_zscore",
+    "e07_funnel_latency",
+    "e08_dau_stickiness",
+    "a12_cube",
+    "a13_percentiles",
+    "e06_value_k_correlation",
+    "p04_range_time",
+    "a03_max_per_group",
+    "a05_bool_and_gate",
+    "a06_lastn_conditional",
+    "o03_latest_row",
+    "set03_intersect",
+    "f02_regexp_extract",
+    "f05_tz_shift_interval",
+    "f11_array_hof",
+    "s01_tumbling_window",
+    "s02_session_window",
+    # -- last driver green is r4 (28 of 46), registration order
+    "x29_dup_clusters",
+    "x24_blocked_neardup",
+    "x39_kmeans_assign",
+    "x42_neardup_bucket_audit",
+    "x43_embedding_norm_stats",
+    "x36_pii_scrub",
+    "x40_stratified_split",
+    "x41_cross_source_overlap",
+    "q11_important_stock",
+    "p01_eq_filter",
+    "p03_isin",
+    "p05_compound_where",
+    "p06_not_empty_string",
+    "p07_bool_projection",
+    "prj01_alias_unicode",
+    "prj02_star",
+    "j01_inner_2way",
+    "j02_star_3way",
+    "j03_left_outer",
+    "j04_latest_per_key_join",
+    "j05_correlated_max",
+    "j06_semi",
+    "a01_count_total",
+    "a02_count_threshold",
+    "a04_distinct",
+    "w01_topk_per_group",
+    "w02_running_sum",
+    "o01_top10_orders",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

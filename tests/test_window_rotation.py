@@ -32,6 +32,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from etl_spark.registry import REVERIFY_THIS_ROUND, all_specs
 
@@ -40,12 +41,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50  # the driver snapshots the first 50 registered queries
 
 
-def _snapshots() -> list[tuple[str, set[str]]]:
+def _snapshots() -> list[tuple[int, set[str]]]:
     out = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
         with open(path) as fh:
             d = json.load(fh)
-        out.append((os.path.basename(path), set(d.get("queries", d))))
+        out.append((int(m.group(1)), set(d.get("queries", d))))
     return out
 
 
@@ -74,10 +78,9 @@ def test_window_is_oldest_first():
     window, rest = _window_and_rest()
     wset = set(window)
     last: dict[str, int] = {}
-    for fname, keys in _snapshots():
+    for rnd, keys in _snapshots():
         if keys == wset:
             continue  # produced by the current window — see module doc
-        rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
         for k in keys:
             last[k] = max(last.get(k, -1), rnd)
     stale = lambda n: last.get(n, -1)  # noqa: E731
@@ -105,7 +108,7 @@ def test_window_rotates_after_one_snapshot():
     hard-signal budget re-verified already-green rows."""
     window, _ = _window_and_rest()
     wset = set(window)
-    produced = [f for f, keys in _snapshots() if keys == wset]
+    produced = [rnd for rnd, keys in _snapshots() if keys == wset]
     assert len(produced) <= 1, (
         f"the current driver window already produced snapshots "
         f"{produced} — it must rotate before the next round runs"
