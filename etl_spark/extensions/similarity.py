@@ -34,6 +34,17 @@ _DOT = (
 )
 
 
+def _round9_half_away(x):
+    """ROUND(x, 9) with DuckDB/Spark semantics — half away from zero.
+    ``np.round`` is half-to-even, a third rounding rule that would
+    tie-break a d2 landing exactly on a 0.5e-9 boundary differently
+    from both oracles (ADVICE r7). Sign-aware so (measure-zero but
+    possible) tiny negative float residues round like SQL too."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5) / 1e9
+
+
 def _with_cosine(df: DataFrame, a: str, b: str) -> DataFrame:
     dot = F.expr(_DOT.format(a=a, b=b))
     na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
@@ -1196,11 +1207,10 @@ def _ivf_udfs(spark, centroid_rows, nprobe: int):
 
     def _d2(X):
         Cm, _ = bc.value
-        return np.round(
+        return _round9_half_away(
             (X * X).sum(axis=1)[:, None]
             - 2.0 * (X @ Cm.T)
-            + (Cm * Cm).sum(axis=1)[None, :],
-            9,
+            + (Cm * Cm).sum(axis=1)[None, :]
         )
 
     @pandas_udf("bigint")
@@ -1732,11 +1742,10 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
         code = np.zeros(len(X), dtype=np.int64)
         for m in range(CB.shape[0]):
             S = X[:, m * sub : (m + 1) * sub]
-            d2 = np.round(
+            d2 = _round9_half_away(
                 (S * S).sum(axis=1)[:, None]
                 - 2.0 * (S @ CB[m].T)
-                + (CB[m] * CB[m]).sum(axis=1)[None, :],
-                9,
+                + (CB[m] * CB[m]).sum(axis=1)[None, :]
             )
             code |= np.argmin(d2, axis=1).astype(np.int64) << (4 * m)
         return pd.Series(code)

@@ -74,7 +74,19 @@ class Dialect:
 
     def jdbc_url(self, host: str, database: str, port: int | None = None) -> str:
         """jdbc:<scheme>://host:port/db with the dialect's fixed
-        properties (MySQL carries the reference's utf8mb4 charset)."""
+        properties (MySQL carries the reference's utf8mb4 charset).
+        SQLite is file-based — the Xerial driver expects
+        ``jdbc:sqlite:<path>`` and would treat a ``//host:port/db``
+        authority as a filesystem path, so ``database`` is the file
+        path and host/port are rejected rather than silently
+        mis-encoded (ADVICE r7)."""
+        if self.jdbc_scheme == "sqlite":
+            if host or port:
+                raise ValueError(
+                    "SQLite JDBC URLs are file-form jdbc:sqlite:<path>; "
+                    "pass the db file path as `database` and no host/port"
+                )
+            return f"jdbc:{self.jdbc_scheme}:{database}"
         p = port or self.default_port
         url = f"jdbc:{self.jdbc_scheme}://{host}:{p}/{database}"
         if self.url_props:

@@ -123,8 +123,12 @@ class TxTable:
         vacuum after a takedown to complete the erasure."""
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.latest_version()
+            # NOT(p) keeps only rows where p is FALSE — a NULL
+            # predicate row (e.g. NULL doc_id vs `doc_id IN (...)`)
+            # would be silently erased. SQL DELETE removes only rows
+            # where p is TRUE, so keep TRUE-and-NULL-safe survivors.
             remaining = self.read(spark, version=base).filter(
-                f"NOT ({predicate})"
+                f"NOT coalesce(({predicate}), false)"
             )
             v = self._commit(
                 remaining, action="overwrite", expect_version=base + 1
@@ -234,8 +238,12 @@ class TxTable:
             return None
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.latest_version()
+            # NOT(p) keeps only rows where p is FALSE — a NULL
+            # predicate row (e.g. NULL doc_id vs `doc_id IN (...)`)
+            # would be silently erased. SQL DELETE removes only rows
+            # where p is TRUE, so keep TRUE-and-NULL-safe survivors.
             remaining = self.read(spark, version=base).filter(
-                f"NOT ({predicate})"
+                f"NOT coalesce(({predicate}), false)"
             )
             v = self._commit(
                 remaining,

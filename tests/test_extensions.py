@@ -1818,3 +1818,19 @@ def test_ivfpq_recall_clustered(spark):
         total += 5
     recall = hits / total
     assert recall >= 0.6, f"IVF-PQ recall@5 {recall:.3f} < 0.6"
+
+
+def test_round9_half_away_matches_sql_round():
+    """The IVF/PQ Arrow kernels must round d2 with the SQL engines'
+    half-AWAY-from-zero rule, not numpy's half-to-even (ADVICE r7):
+    a d2 on an exact 0.5e-9 boundary otherwise flips cell assignment
+    between the Spark kernel and the DuckDB oracle."""
+    import numpy as np
+
+    from etl_spark.extensions.similarity import _round9_half_away
+
+    x = np.array([1.5e-9, 2.5e-9, -1.5e-9, -2.5e-9, 0.1234567895])
+    got = _round9_half_away(x)
+    # np.round would give 2e-9 for both 1.5e-9 and 2.5e-9 (to-even)
+    want = np.array([2e-9, 3e-9, -2e-9, -3e-9, 0.12345679])
+    assert np.allclose(got, want, rtol=0, atol=1e-15), got

@@ -717,6 +717,14 @@ def test_dialect_jdbc_urls_carry_engine_defaults():
         "jdbc:mysql://h:9030/d?useUnicode=true&characterEncoding=utf8mb4"
         "&connectTimeout=30000"
     )
+    # SQLite is file-form (Xerial): jdbc:sqlite:<path>, never an
+    # authority — //host:0/db would be read as a filesystem path
+    # (ADVICE r7). Host/port are rejected, not silently mis-encoded.
+    assert SQLITE.jdbc_url("", "/tmp/etl.db") == "jdbc:sqlite:/tmp/etl.db"
+    with pytest.raises(ValueError, match="file-form"):
+        SQLITE.jdbc_url("dbhost", "etl")
+    with pytest.raises(ValueError, match="file-form"):
+        SQLITE.jdbc_url("", "etl.db", port=5)
 
 
 @pytest.mark.parametrize(

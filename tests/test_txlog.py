@@ -268,3 +268,29 @@ def test_delete_copy_on_write_and_vacuum_erases(spark, tmp_path):
     )
     assert b"victim" not in blobs
     assert {r.k for r in t.read(spark).collect()} == {1, 3}
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE removes only rows where the predicate is TRUE; a row
+    where it evaluates to NULL (here: NULL doc_id vs `doc_id IN (...)`)
+    must SURVIVE. A bare `NOT (p)` filter erases it (ADVICE r7 —
+    writers.py:309 documents the same trap); both delete and
+    delete_once must coalesce the predicate to false."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = TxTable.create(
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "victim"), (None, "null-row"), (3, "keep")], schema
+        ),
+    )
+    t.delete(spark, "doc_id IN (1)")
+    got = {r.v for r in t.read(spark).collect()}
+    assert got == {"null-row", "keep"}
+    t.delete_once(spark, "doc_id IN (3)", "takedown-nulltest-0")
+    got = {r.v for r in t.read(spark).collect()}
+    assert got == {"null-row"}
