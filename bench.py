@@ -97,7 +97,9 @@ HEADLINE = [
     "x62_dsir_importance",
     "x63_source_cap",
     "x64_incremental_dsir",
-    "x65_knn_join",
+    # x65_knn_join was demoted r8 to a test-oracle baseline (fixed
+    # 10-cell quantizer, quadratic on the replica corpus); x71 is the
+    # registered kNN join and carries the bench row
     "x66_epoch_upsample",
     "x67_quality_lr_step",
     "x68_shard_stats",

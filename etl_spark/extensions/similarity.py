@@ -1063,13 +1063,17 @@ def _duck_knn_join() -> str:
     """
 
 
-@register(
-    "x65_knn_join",
-    oracle=_duck_knn_join(),
-    tags=("similarity",),
-)
 def x65_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Batched ANN retrieval — top-``KNN_K`` neighbors for EVERY query
+    """**Test-oracle baseline ONLY — demoted r8 (the x07 precedent,
+    VERDICT r7 #2): x71_kmeans_ivf_knn_join is the registered kNN
+    join.** Under the fixture's FIXED 10 label cells this plan is
+    honestly quadratic (measured 32→68 s at 10×→20×), so it no
+    longer occupies a registry slot anyone could mistake for the
+    scale path; the recall/provenance tests keep exercising it as
+    the known-good IVF-probe shape (DuckDB oracle preserved below in
+    ``_duck_knn_join`` for those tests).
+
+    Batched ANN retrieval — top-``KNN_K`` neighbors for EVERY query
     vector in one plan (the kNN *join*), not x06's single broadcast
     query: the shape behind hard-negative mining, eval-set
     contamination sweeps, and retrieval-augmented labeling, where the

@@ -1834,3 +1834,24 @@ def test_round9_half_away_matches_sql_round():
     # np.round would give 2e-9 for both 1.5e-9 and 2.5e-9 (to-even)
     want = np.array([2e-9, 3e-9, -2e-9, -3e-9, 0.12345679])
     assert np.allclose(got, want, rtol=0, atol=1e-15), got
+
+
+def test_x65_baseline_keeps_oracle_parity(spark, sf_dir):
+    """x65 was demoted r8 from the registry (quadratic fixture
+    quantizer — x71 is the registered kNN join) but stays the recall
+    tests' known-good IVF-probe baseline, so its DuckDB oracle parity
+    is pinned here instead of by the registry sweep."""
+    from etl_spark.extensions.similarity import _duck_knn_join, x65_knn_join
+    from tests.test_oracle import _duck, _normalize
+
+    sdf = x65_knn_join(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _duck(sf_dir)
+    drel = con.sql(_duck_knn_join())
+    drows, dcols = drel.fetchall(), list(drel.columns)
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    _, sn = _normalize(srows, sdf.columns)
+    _, dn = _normalize(drows, dcols)
+    assert sn == dn
