@@ -90,65 +90,66 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-8 window (tools/rotate_window.py output, VERDICT r7 #1):
-#   1. the 22 queries whose last driver green is r3 — three rounds
-#      stale, the oldest outstanding debt (q12, e01-e08, a12/a13,
-#      e06, p04, a03/a05/a06, o03, set03, f02/f05/f11, s01/s02);
-#   2. 28 of the r4-green tier, module-registration order; the
-#      remaining r4 queries rotate in r9.
+# Round-9 window (tools/rotate_window.py output, VERDICT r8 #1):
+#   1. the 18 queries whose last driver green is r4 — four rounds
+#      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
+#      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
+#      q18/q19, t01 the reference dashboard query);
+#   2. 32 of the r6-green tier, module-registration order; the 16
+#      remaining r6 queries rotate in r10.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- last driver green is r3 (22): oldest outstanding debt
-    "q12_late_shipment_priority",
-    "e01_funnel_steps",
-    "e02_retention_cohorts",
-    "e03_event_transitions",
-    "e04_value_heavy_hitters",
-    "e05_error_spike_zscore",
-    "e07_funnel_latency",
-    "e08_dau_stickiness",
-    "a12_cube",
-    "a13_percentiles",
-    "e06_value_k_correlation",
-    "p04_range_time",
-    "a03_max_per_group",
-    "a05_bool_and_gate",
-    "a06_lastn_conditional",
-    "o03_latest_row",
-    "set03_intersect",
-    "f02_regexp_extract",
-    "f05_tz_shift_interval",
-    "f11_array_hof",
-    "s01_tumbling_window",
-    "s02_session_window",
-    # -- last driver green is r4 (28 of 46), registration order
-    "x29_dup_clusters",
-    "x24_blocked_neardup",
-    "x39_kmeans_assign",
-    "x42_neardup_bucket_audit",
-    "x43_embedding_norm_stats",
-    "x36_pii_scrub",
-    "x40_stratified_split",
-    "x41_cross_source_overlap",
-    "q11_important_stock",
-    "p01_eq_filter",
-    "p03_isin",
-    "p05_compound_where",
-    "p06_not_empty_string",
-    "p07_bool_projection",
-    "prj01_alias_unicode",
-    "prj02_star",
-    "j01_inner_2way",
-    "j02_star_3way",
-    "j03_left_outer",
-    "j04_latest_per_key_join",
-    "j05_correlated_max",
-    "j06_semi",
-    "a01_count_total",
-    "a02_count_threshold",
-    "a04_distinct",
-    "w01_topk_per_group",
-    "w02_running_sum",
-    "o01_top10_orders",
+    # -- last green r4
+    "o02_multikey_page",
+    "set01_union",
+    "f01_split_array_ops",
+    "f03_multiformat_dates",
+    "f04_date_format_parts",
+    "f06_hashes",
+    "f07_coalesce_fallback",
+    "f08_string_ops",
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q06_shop_day_rollup",
+    "t01_dashboard_listing",
+    "q04_priority_exists",
+    "q10_returned_items",
+    "q07_nation_volume",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    # -- last green r6
+    "x46_dedup_verdict",
+    "x06_knn_bruteforce",
+    "x07_embedding_neardup",
+    "x08_ann_ivf_topk",
+    "x21_cosine_lsh_buckets",
+    "x44_incremental_embedding_neardup",
+    "x53_kmeans_update",
+    "x10_token_stats",
+    "x11_quality_score",
+    "x12_langid_heuristic",
+    "x13_fingerprint",
+    "x14_bow_clusters",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
+    "x19_corpus_stats",
+    "x20_bpe_token_count",
+    "x48_quality_gate_agreement",
+    "x16_binary_meta",
+    "x25_decontaminate",
+    "x45_split_token_budget",
+    "x47_curated_corpus",
+    "x49_multimodal_curated",
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x54_lm_quality_score",
+    "x55_split_leakage",
+    "a07_rollup",
+    "a08_count_distinct",
+    "j08_range_join",
+    "f10_explode_unnest",
+    "a09_pivot",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
