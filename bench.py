@@ -374,6 +374,12 @@ def main() -> None:
     payload = {
         "metric": "headline_query_suite_total_wall",
         "unit": "sec",
+        # x65 left the HEADLINE set in r8 (demoted quadratic) — the
+        # suite geomean/median population changed, so value/
+        # value_median are not directly comparable to BENCH_r07 and
+        # earlier; compare per-query rows across that boundary
+        # (ADVICE r8).
+        "headline_set_rev": "r8-no-x65",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,
