@@ -10,6 +10,8 @@ table and Spark prunes files by it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,7 +41,12 @@ def _round9_half_away(x):
     ``np.round`` is half-to-even, a third rounding rule that would
     tie-break a d2 landing exactly on a 0.5e-9 boundary differently
     from both oracles (ADVICE r7). Sign-aware so (measure-zero but
-    possible) tiny negative float residues round like SQL too."""
+    possible) tiny negative float residues round like SQL too.
+
+    Exactness domain: |x| < ~9e6 — beyond that |x|*1e9 exceeds 2^53
+    and the +0.5 is absorbed by float spacing (ADVICE r8). Same bound
+    as the np.round it replaced, so no caller regressed; d2 over
+    unit-norm-ish embeddings stays orders of magnitude inside it."""
     import numpy as np
 
     return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5) / 1e9
@@ -1316,12 +1323,81 @@ def _seed_centroids(emb: DataFrame, nlist: int) -> DataFrame:
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame, nlist: int | None = None, iters: int = 3
+) -> DataFrame:
+    """The x39->x53 Lloyd loop wired as the IVF quantizer TRAINER —
+    the deployment centroid path for ``kmeans_ivf_knn_join`` and
+    ``build_ivf_index`` (pass ``centroids="train"``). Starts from the
+    deterministic seeds, then per iteration: one distributed
+    assignment pass (x39's ROUND(d2,9)+lowest-cid rule in the shared
+    Arrow kernel) and one per-(cid, dim) mean aggregate (x53's update
+    shape — k x d output rows regardless of corpus size, map-side
+    partial agg). Only the k x d centroid matrix ever reaches the
+    driver per iteration — the same bounded-artifact convention as
+    the centroid broadcast itself (~16 MB at sqrt(1e9) x 64 doubles).
+    Means are rounded to 6 dp (x53's cross-engine convention) so the
+    trajectory is deterministic and index builds replay identically.
+    Cells that lose all members keep their previous centroid (the
+    standard empty-cluster rule). Returns (cid, ce)."""
+    import math
+
+    spark = emb.sparkSession
+    if nlist is None:
+        nlist = int(math.ceil(math.sqrt(emb.count())))
+    cent = {
+        r[0]: [float(v) for v in r[1]]
+        for r in _seed_centroids(emb, nlist).collect()
+    }
+    for _ in range(iters):
+        assign_cell, _, _ = _ivf_udfs(spark, list(cent.items()), nprobe=1)
+        upd = (
+            emb.select(
+                assign_cell("embedding").alias("cid"),
+                F.posexplode(
+                    F.col("embedding").cast("array<double>")
+                ).alias("dim", "val"),
+            )
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("centroid"))
+            .collect()
+        )
+        new: dict = {}
+        for r in upd:
+            new.setdefault(r["cid"], {})[r["dim"]] = r["centroid"]
+        cent = {
+            cid: (
+                [new[cid][d] for d in range(len(ce))] if cid in new else ce
+            )
+            for cid, ce in cent.items()
+        }
+    return spark.createDataFrame(
+        sorted(cent.items()), "cid bigint, ce array<double>"
+    )
+
+
+def _resolve_centroids(
+    emb: DataFrame, nlist: int, centroids: DataFrame | str | None
+) -> DataFrame:
+    """Shared centroid-path dispatch: None/"seed" = deterministic
+    seeds (oracle-expressible — what the registered x71/x72 use),
+    "train" = the x39->x53 Lloyd loop, a DataFrame = caller-supplied
+    (cid, ce)."""
+    if centroids is None or centroids == "seed":
+        return _seed_centroids(emb, nlist)
+    if centroids == "train":
+        return train_ivf_centroids(emb, nlist)
+    if isinstance(centroids, str):
+        raise ValueError(f"unknown centroid mode {centroids!r}")
+    return centroids
+
+
 def kmeans_ivf_knn_join(
     emb: DataFrame,
     k: int = KNN_K,
     stride: int = KNN_QUERY_STRIDE,
     nprobe: int = X71_NPROBE,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | str | None = None,
 ) -> DataFrame:
     """Batched IVF kNN join over (vec_id, embedding) rows with a
     k-means-cell quantizer: assign every vector to its nearest
@@ -1329,8 +1405,12 @@ def kmeans_ivf_knn_join(
     centroids, exact-cosine rescore the member candidates, keep the
     top ``k`` per query on the rounded score (vec_id tie-break).
 
-    ``centroids`` is (cid, ce); default = the ceil(sqrt(n)) lowest
-    vec_ids as seeds. Two driver-side artifacts by design: the corpus
+    ``centroids`` is (cid, ce), ``"seed"``/None = the ceil(sqrt(n))
+    lowest vec_ids as seeds (oracle-expressible — the registered x71
+    keeps this so DuckDB can replay the quantizer), or ``"train"`` =
+    the x39->x53 Lloyd loop (``train_ivf_centroids``) — the
+    deployment default, strictly better recall on clustered corpora
+    (asserted in tests). Two driver-side artifacts by design: the corpus
     count that sizes nlist (the CC-loop convergence-collect
     convention), and the centroid TABLE itself — nlist x dim floats,
     i.e. the index's model, collected once and broadcast into the
@@ -1363,8 +1443,7 @@ def kmeans_ivf_knn_join(
     spark = emb.sparkSession
     n = emb.count()
     nlist = int(math.ceil(math.sqrt(n)))
-    if centroids is None:
-        centroids = _seed_centroids(emb, nlist)
+    centroids = _resolve_centroids(emb, nlist, centroids)
     assign_cell, probe_cells, dot_pd = _ivf_udfs(
         spark,
         [(r[0], r[1]) for r in centroids.select("cid", "ce").collect()],
@@ -1479,7 +1558,8 @@ def build_ivf_index(
     emb: DataFrame,
     path: str,
     nlist: int | None = None,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | str | None = None,
+    pq: bool = False,
 ) -> int:
     """Materialize the IVF index as the retrieval family's durable
     artifact (the x44/x59 stored-index convention, for ANN): the
@@ -1489,14 +1569,22 @@ def build_ivf_index(
     partition pruning. This is the x65/x71 docstring's "the cell id
     is the table's partition column" made physical: at 100 TB a
     5-cell probe touches nprobe/nlist of the bytes, decided by the
-    file listing, not a scan. Returns nlist."""
+    file listing, not a scan.
+
+    ``centroids`` takes ``"seed"``/None, ``"train"`` (the x39->x53
+    Lloyd loop — the deployment choice) or a (cid, ce) frame, per
+    ``_resolve_centroids``. With ``pq=True`` the x73/x74 codes tier
+    is stored too: ``path``/codebooks (m, k, cvec — the PQ model) and
+    ``path``/codes ((vec_id, code) partitioned by cid), so
+    ``ivfpq_index_probe`` can ADC-rank candidates over 8-byte codes
+    and read float vectors only for the refine shortlist. Returns
+    nlist."""
     import math
 
     spark = emb.sparkSession
     if nlist is None:
         nlist = int(math.ceil(math.sqrt(emb.count())))
-    if centroids is None:
-        centroids = _seed_centroids(emb, nlist)
+    centroids = _resolve_centroids(emb, nlist, centroids)
     centroids.select(
         "cid", F.col("ce").cast("array<double>").alias("ce")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1515,6 +1603,148 @@ def build_ivf_index(
         .partitionBy("cid")
         .parquet(f"{path}/cells")
     )
+    if pq:
+        first = emb.orderBy("vec_id").select("embedding").first()
+        dim = len(first[0])
+        if dim % PQ_M != 0:
+            raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
+        cb = _pq_codebooks(emb, dim)
+        spark.createDataFrame(
+            [
+                (m, kk, [float(v) for v in cb[m, kk]])
+                for m in range(cb.shape[0])
+                for kk in range(cb.shape[1])
+            ],
+            "m int, k int, cvec array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        # encode from the written cell store (emb_d carries the cast,
+        # cid rides along) so code and cell tiers can never disagree
+        cells = spark.read.parquet(f"{path}/cells")
+        pq_encode(
+            cells.select("vec_id", "cid", F.col("emb_d").alias("embedding")),
+            _load_codebooks(spark, path),
+            keep=("cid",),
+        ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    return nlist
+
+
+def _load_codebooks(spark, path: str):
+    """Read ``path``/codebooks back as the numpy (M, K, sub) tensor
+    the PQ kernels take."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    M = max(r["m"] for r in rows) + 1
+    K = max(r["k"] for r in rows) + 1
+    CB = np.zeros((M, K, len(rows[0]["cvec"])), dtype=np.float64)
+    for r in rows:
+        CB[r["m"], r["k"]] = r["cvec"]
+    return CB
+
+
+def _committed_delta_dirs(path: str, tier: str) -> list[str]:
+    """Committed ``path``/delta/<batch>/<tier> dirs, batch-name order.
+    A delta counts only once its CELLS tier carries Spark's _SUCCESS
+    marker — the cells write is last in ``ivf_index_append``, so its
+    marker commits the whole batch (codes included); a crashed partial
+    append is invisible and gets overwritten on replay. Local-FS
+    os.path convention, shared with streaming's ``batch_committed``."""
+    droot = os.path.join(path, "delta")
+    if not os.path.isdir(droot):
+        return []
+    out = []
+    for name in sorted(os.listdir(droot)):
+        if os.path.exists(os.path.join(droot, name, "cells", "_SUCCESS")):
+            d = os.path.join(droot, name, tier)
+            if os.path.isdir(d):
+                out.append(d)
+    return out
+
+
+def _tier_store(spark, path: str, tier: str) -> DataFrame:
+    """The ``tier`` ("cells" or "codes") of a ``build_ivf_index``
+    artifact UNIONED with every committed delta batch — each root is
+    cid-partitioned, and a cid filter pushes through the union into a
+    PartitionFilters entry on every scan, so pruning survives
+    appends. Read per-root (one parquet() call over many roots needs
+    basePath gymnastics and loses nothing here)."""
+    import functools
+
+    frames = [spark.read.parquet(f"{path}/{tier}")]
+    frames += [spark.read.parquet(d) for d in _committed_delta_dirs(path, tier)]
+    return functools.reduce(DataFrame.unionByName, frames)
+
+
+def ivf_index_append(batch_df: DataFrame, path: str, name: str) -> int:
+    """Admit a batch of (vec_id, embedding) rows into a stored IVF
+    index — the STREAMING REFRESH that keeps retrieval from drifting
+    as ingest admits documents (the index would otherwise answer from
+    its build-time corpus forever): assign the batch to the EXISTING
+    centroids (nlist is fixed between compactions — the standard IVF
+    append rule; cells grow, the quantizer doesn't move, so results
+    stay deterministic) and write it cid-partitioned under
+    ``path``/delta/``name``. Probes read base ∪ committed deltas via
+    ``_tier_store``; ``compact_ivf_index`` folds deltas back into a
+    fresh base when cell growth warrants re-quantizing.
+
+    Replay-idempotent by the file-sink commit convention: the CELLS
+    dir's _SUCCESS marker commits the batch, codes (when the index
+    has a PQ tier) are written before cells, and a committed name is
+    skipped — so a replayed micro-batch appends nothing twice and a
+    crashed partial append is overwritten. Returns rows appended (0
+    on replay-skip)."""
+    spark = batch_df.sparkSession
+    root = os.path.join(path, "delta", name)
+    if os.path.exists(os.path.join(root, "cells", "_SUCCESS")):
+        return 0
+    crows = [
+        (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    assign_cell, _, _ = _ivf_udfs(spark, crows, nprobe=1)
+    base = batch_df.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb_d"),
+        assign_cell("embedding").alias("cid"),
+    ).persist()
+    n = base.count()
+    if os.path.isdir(f"{path}/codebooks"):
+        pq_encode(
+            base.select("vec_id", "cid", F.col("emb_d").alias("embedding")),
+            _load_codebooks(spark, path),
+            keep=("cid",),
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(root, "codes")
+        )
+    base.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "cells")
+    )
+    base.unpersist()
+    return n
+
+
+def compact_ivf_index(
+    spark, path: str, centroids: DataFrame | str | None = None
+) -> int:
+    """Fold committed deltas into a fresh base index — the periodic
+    rebuild that completes the append story: nlist is recomputed from
+    the GROWN corpus (sqrt(n) cells again), the quantizer re-derived
+    (``centroids`` as in ``build_ivf_index`` — pass ``"train"`` to
+    re-run Lloyd on the full corpus), and the PQ tier rebuilt iff the
+    index had one. The union is materialized to a side directory
+    first because the rebuild overwrites ``cells`` while the plan
+    would still be reading it. Returns the new nlist."""
+    import shutil
+
+    pq = os.path.isdir(f"{path}/codebooks")
+    staging = f"{path}/.compact-staging"
+    _tier_store(spark, path, "cells").select(
+        "vec_id", F.col("emb_d").alias("embedding")
+    ).write.mode("overwrite").parquet(staging)
+    nlist = build_ivf_index(
+        spark.read.parquet(staging), path, centroids=centroids, pq=pq
+    )
+    shutil.rmtree(os.path.join(path, "delta"), ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     return nlist
 
 
@@ -1531,7 +1761,9 @@ def ivf_index_probe(
     turns into partition pruning (PartitionFilters on cid — asserted
     in tests), so IO is nprobe/nlist of the index. Batch-sized work,
     corpus-independent except for the probed cells — the retrieval
-    twin of x37/x44/x59/x64's incremental probes."""
+    twin of x37/x44/x59/x64's incremental probes. Reads base cells ∪
+    committed ``ivf_index_append`` deltas, so admitted batches are
+    retrievable without a rebuild."""
     spark = batch_df.sparkSession
     crows = [
         (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -1541,20 +1773,8 @@ def ivf_index_probe(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )
-    # STATIC partition pruning, not DPP heuristics: the batch's probed
-    # cid set is batch-sized (<= nlist ints), so collect it and filter
-    # the cell store on the literal list — the scan then carries a
-    # plain PartitionFilters entry and only the probed cells' files
-    # are listed, guaranteed (asserted in tests). The probe step runs
-    # twice (once for this collect, once in the join plan) — batch-
-    # sized both times, corpus-independent.
-    probed = sorted(
-        r[0]
-        for r in q.select(F.explode(probe_cells("qe")).alias("cid"))
-        .distinct()
-        .collect()
-    )
-    cells = spark.read.parquet(f"{path}/cells").filter(
+    probed = _probed_cids(q, probe_cells)
+    cells = _tier_store(spark, path, "cells").filter(
         F.col("cid").isin(probed)
     )
     assign = cells.select("vec_id", "cid")
@@ -1562,6 +1782,100 @@ def ivf_index_probe(
     return _ivf_topk(
         q, assign, corpus, probe_cells, dot_pd, k, exclude_self=False
     )
+
+
+def _probed_cids(q: DataFrame, probe_cells) -> list[int]:
+    """The batch's probed cid set, collected for STATIC partition
+    pruning (not DPP heuristics): it is batch-sized (<= nlist ints),
+    so filtering the cell/code stores on the literal list makes every
+    scan carry a plain PartitionFilters entry — only the probed
+    cells' files are listed, guaranteed (asserted in tests). The
+    probe kernel runs twice (once for this collect, once in the join
+    plan) — batch-sized both times, corpus-independent."""
+    return sorted(
+        r[0]
+        for r in q.select(F.explode(probe_cells("qe")).alias("cid"))
+        .distinct()
+        .collect()
+    )
+
+
+def ivfpq_index_probe(
+    batch_df: DataFrame,
+    path: str,
+    k: int = KNN_K,
+    nprobe: int = X71_NPROBE,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """x74's IVF-PQ search against a STORED ``build_ivf_index(pq=True)``
+    artifact — the codes tier made physical (the in-plan composition
+    is ``ivfpq_knn_join``; parity asserted in tests): candidates come
+    from the probed cells' CODE files (8 bytes/vector, partition-
+    pruned on the collected cid set exactly like the float probe),
+    are ADC-ranked to the constant ``X74_REFINE`` shortlist per
+    query, and only the shortlist rows' float vectors are read from
+    the cell store for the exact re-rank — full-precision IO per
+    query is X74_REFINE rows no matter the corpus. Reads base ∪
+    committed deltas on both tiers, so appended batches are
+    retrievable. Output (qid, vec_id, d2, rk) matches
+    ``ivfpq_knn_join``."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    crows = [
+        (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    _, probe_cells, _ = _ivf_udfs(spark, crows, nprobe)
+    adc_pd = pq_adc_udf(spark, _load_codebooks(spark, path))
+    q = batch_df.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    probed = _probed_cids(q, probe_cells)
+    codes = _tier_store(spark, path, "codes").filter(
+        F.col("cid").isin(probed)
+    )
+    probe = q.select("qid", F.explode(probe_cells("qe")).alias("cid"))
+    cand = probe.join(codes, "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    scored = (
+        cand.select("qid", "vec_id", "code")
+        .join(q, "qid")
+        .select(
+            "qid", "vec_id", F.round(adc_pd("code", "qe"), 6).alias("adc_d2")
+        )
+    )
+    aw = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= X74_REFINE)
+        .select("qid", "vec_id")
+    )
+    dot_pd = _dot_udf()
+    corpus = (
+        _tier_store(spark, path, "cells")
+        .filter(F.col("cid").isin(probed))
+        .select("vec_id", "emb_d")
+    )
+    refined = (
+        shortlist.join(corpus, "vec_id")
+        .join(q, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot_pd("qe", "qe")
+                - 2 * dot_pd("emb_d", "qe")
+                + dot_pd("emb_d", "emb_d"),
+                6,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return refined.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rk") <= k)
 
 
 def _duck_incremental_knn() -> str:
@@ -1725,11 +2039,15 @@ def _pq_codebooks(emb: DataFrame, dim: int):
     )  # (M, K, sub)
 
 
-def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebooks, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, code): every vector quantized to one BIGINT of PQ_M
     nibbles — nibble m = argmin over codebook m by ROUND(d2, 9) with
     lowest-code tie (the x71 assignment rule per subvector). Arrow/
-    numpy kernel, scan-local, no shuffle."""
+    numpy kernel, scan-local, no shuffle. ``keep`` names extra input
+    columns to carry through (the stored-index build rides ``cid``
+    along so the code tier partitions without a join)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1754,7 +2072,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
             code |= np.argmin(d2, axis=1).astype(np.int64) << (4 * m)
         return pd.Series(code)
 
-    return emb.select("vec_id", encode("embedding").alias("code"))
+    return emb.select("vec_id", *keep, encode("embedding").alias("code"))
 
 
 def pq_adc_expr(query_vec, codebooks) -> str:

@@ -125,6 +125,7 @@ def run_knn_probe(
     nprobe: int | None = None,
     available_now: bool = True,
     on_batch: Callable[[int, int, int], Any] | None = None,
+    admit: bool = False,
 ) -> StreamingQuery:
     """Ingestion-time ANN retrieval — the streaming face of x72, and
     the retrieval sibling of this module's DSIR gate and neardup's
@@ -140,7 +141,18 @@ def run_knn_probe(
     Per batch: centroids load once per probe (nlist rows), candidate
     IO is the probed cells' files only (static partition pruning —
     see ``ivf_index_probe``), work is batch-sized and
-    corpus-independent."""
+    corpus-independent.
+
+    With ``admit=True`` the index REFRESHES as it serves (VERDICT r7
+    #7: a build-once index answers from its build-time corpus forever
+    while ingest admits docs — retrieval drifts): after a batch's
+    probe output commits, the batch itself is appended to the stored
+    index via ``ivf_index_append``, so every LATER batch retrieves
+    it. Probe-before-append keeps semantics deterministic (a batch
+    never retrieves itself) and both steps carry their own _SUCCESS
+    commit marker, so a replayed batch re-probes nothing, re-appends
+    nothing, and a crash between the two steps heals on replay —
+    byte-identical outputs either way."""
     import etl_spark.extensions.similarity as _sim
 
     kk = k if k is not None else _sim.KNN_K
@@ -148,16 +160,21 @@ def run_knn_probe(
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
-        if batch_committed(out_dir):
-            return  # replayed batch: commit marker on disk
-        result = _sim.ivf_index_probe(batch_df, index_path, k=kk, nprobe=npb)
-        result = result.persist()
-        n_rows = result.count()
-        n_q = batch_df.count()
-        result.write.mode("overwrite").parquet(out_dir)
-        result.unpersist()
-        if on_batch is not None:
-            on_batch(batch_id, n_q, n_rows)
+        if not batch_committed(out_dir):
+            result = _sim.ivf_index_probe(
+                batch_df, index_path, k=kk, nprobe=npb
+            )
+            result = result.persist()
+            n_rows = result.count()
+            n_q = batch_df.count()
+            result.write.mode("overwrite").parquet(out_dir)
+            result.unpersist()
+            if on_batch is not None:
+                on_batch(batch_id, n_q, n_rows)
+        if admit:
+            # idempotent on its own _SUCCESS marker — heals the
+            # probe-committed/append-crashed window on replay
+            _sim.ivf_index_append(batch_df, index_path, f"batch-{batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(_probe).outputMode("update")
     if checkpoint:

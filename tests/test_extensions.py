@@ -1572,12 +1572,17 @@ def test_kmeans_ivf_knn_recall_clustered(spark):
     assert recall >= 0.68, f"recall@5 {recall:.3f} < 0.68 on clustered corpus"
 
 
-def test_kmeans_ivf_knn_accepts_trained_centroids(spark):
-    """The deployment path: the quantizer table is TRAINED (numpy
-    Lloyd iterations standing in for the offline x39->x53 loop) and
-    passed in; recall on the clustered corpus must then be at least
-    as good as a same-size seed quantizer, and the output must keep
-    the rank contract (contiguous 1..<=K, cosine non-increasing)."""
+def test_kmeans_ivf_knn_trained_centroids_beat_seeds(spark):
+    """The deployment path: the quantizer is TRAINED IN-ENGINE
+    (``centroids="train"`` — the x39->x53 Lloyd loop in
+    train_ivf_centroids) and must STRICTLY beat the same-size seed
+    quantizer's recall on a clustered corpus (r8 verdict #5: the
+    previous ``trained >= seed - 1e-9`` assertion was vacuous —
+    equality passed, so "training helps" was unproven). The output
+    must also keep the rank contract (contiguous 1..<=K, cosine
+    non-increasing). Deterministic end-to-end: seeds, the rounded
+    Lloyd trajectory, and the probe are all tie-broken, so strict >
+    is a stable assertion, not a flaky margin."""
     import numpy as np
 
     from etl_spark.extensions.similarity import (
@@ -1586,30 +1591,28 @@ def test_kmeans_ivf_knn_accepts_trained_centroids(spark):
     )
 
     rng = np.random.default_rng(7)
-    k_true, per, dim = 10, 60, 16
+    # more clusters than nlist=25 cells and real overlap (noise 0.8):
+    # random seeds leave some clusters split across cells, Lloyd
+    # repositions — at 10 well-separated clusters both quantizers
+    # saturate recall 0.99+ and strict > is unobtainable (the r8
+    # fixture's ceiling), so the gap needs a regime where coverage
+    # actually binds
+    k_true, per, dim = 40, 15, 16
     centers = rng.normal(size=(k_true, dim)) * 2.0
     X = np.repeat(centers, per, axis=0) + rng.normal(
         size=(k_true * per, dim)
-    ) * 0.4
+    ) * 0.8
+    # interleave clusters so the lowest-vec_id seeds span the space
+    # (unshuffled, all nlist seeds land in cluster 0 and BOTH
+    # quantizers start degenerate — a fixture artifact, not the
+    # claim under test)
+    X = X[rng.permutation(len(X))]
     n = len(X)
-    nlist = int(np.ceil(np.sqrt(n)))
-    # Lloyd from the same seeds the default quantizer would use
-    C = X[:nlist].copy()
-    for _ in range(5):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        for c in range(nlist):
-            if (a == c).any():
-                C[c] = X[a == c].mean(axis=0)
     df = spark.createDataFrame(
         [(i, [float(v) for v in X[i]]) for i in range(n)],
         "vec_id bigint, embedding array<double>",
     )
-    cent = spark.createDataFrame(
-        [(c, [float(v) for v in C[c]]) for c in range(nlist)],
-        "cid bigint, ce array<double>",
-    )
-    got_trained = kmeans_ivf_knn_join(df, centroids=cent).collect()
+    got_trained = kmeans_ivf_knn_join(df, centroids="train").collect()
     got_seed = kmeans_ivf_knn_join(df).collect()
 
     from collections import defaultdict
@@ -1636,7 +1639,7 @@ def test_kmeans_ivf_knn_accepts_trained_centroids(spark):
         cosines = [r.cosine for r in nbrs]
         assert cosines == sorted(cosines, reverse=True)
     r_t, r_s = recall(got_trained), recall(got_seed)
-    assert r_t >= r_s - 1e-9, f"trained {r_t:.3f} < seed {r_s:.3f}"
+    assert r_t > r_s, f"trained {r_t:.3f} not strictly > seed {r_s:.3f}"
     assert r_t >= 0.68
 
 
@@ -1687,6 +1690,113 @@ def test_ivf_index_roundtrip_matches_inplan(spark, sf_dir, tmp_path):
         if "cid" in m and "IN" in m.upper()
     ]
     assert pf, f"no cid partition filter in cells scan (dirs={n_cell_dirs})"
+
+
+def test_ivfpq_index_probe_matches_inplan(spark, sf_dir, tmp_path):
+    """The stored IVF-PQ pair (build_ivf_index(pq=True) ->
+    ivfpq_index_probe) must produce EXACTLY the in-plan x74
+    composition's result on the same corpus and queries (r8 verdict
+    #4: the codes tier existed in-plan but not in the stored layout),
+    and BOTH tier scans — 8-byte codes for the ADC rank, float cells
+    for the refine — must prune on the probed cid set at file level."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        KNN_QUERY_STRIDE,
+        build_ivf_index,
+        ivfpq_index_probe,
+        ivfpq_knn_join,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, idx, pq=True)
+    got = ivfpq_index_probe(
+        emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0),
+        idx,
+        exclude_self=True,
+    )
+    want = ivfpq_knn_join(emb)
+    got_rows = sorted((r.qid, r.rk, r.vec_id, r.d2) for r in got.collect())
+    want_rows = sorted((r.qid, r.rk, r.vec_id, r.d2) for r in want.collect())
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    probe_df = ivfpq_index_probe(emb.filter(F.col("vec_id") == 1), idx)
+    probe_df.collect()
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cid" in m and "IN" in m.upper()
+    ]
+    assert len(pf) >= 2, f"codes+cells scans not both cid-pruned: {pf}"
+
+
+def test_ivf_index_append_and_compact(spark, sf_dir, tmp_path):
+    """The streaming-refresh primitives (r8 verdict #3): an appended
+    batch becomes retrievable by BOTH probe tiers without a rebuild,
+    a replayed append is a no-op on its commit marker, and
+    compact_ivf_index folds the deltas into a fresh sqrt(n) base
+    (delta dir gone, every vector still present and retrievable)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+        ivf_index_probe,
+        ivfpq_index_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, pq=True)
+    dim = len(emb.select("embedding").first()[0])
+
+    # a distinctive vector no corpus row resembles: its own exact
+    # duplicate is the unambiguous rank-1 answer iff retrieval sees
+    # the appended delta
+    spike = [50.0] + [0.0] * (dim - 1)
+    delta = spark.createDataFrame(
+        [(9_000_001, spike)], "vec_id bigint, embedding array<double>"
+    )
+    n1 = ivf_index_append(delta, idx, "b0")
+    assert n1 == 1
+    assert ivf_index_append(delta, idx, "b0") == 0  # replay no-op
+    mtimes = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{idx}/delta/b0/*/*")
+    }
+
+    query = spark.createDataFrame(
+        [(9_000_002, spike)], "vec_id bigint, embedding array<double>"
+    )
+    got = sorted(ivf_index_probe(query, idx).collect(), key=lambda r: r.rk)
+    assert got and got[0].vec_id == 9_000_001 and got[0].rk == 1
+    got_pq = sorted(
+        ivfpq_index_probe(query, idx).collect(), key=lambda r: r.rk
+    )
+    assert got_pq and got_pq[0].vec_id == 9_000_001 and got_pq[0].rk == 1
+    # idempotence was a real no-op: delta bytes untouched
+    assert mtimes == {
+        p: os.path.getmtime(p) for p in glob.glob(f"{idx}/delta/b0/*/*")
+    }
+
+    total = emb.filter(F.col("vec_id") % 2 == 0).count() + 1
+    compact_ivf_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/delta")
+    assert spark.read.parquet(f"{idx}/cells").count() == total
+    assert spark.read.parquet(f"{idx}/codes").count() == total
+    got2 = sorted(ivf_index_probe(query, idx).collect(), key=lambda r: r.rk)
+    assert got2 and got2[0].vec_id == 9_000_001 and got2[0].rk == 1
+    got2_pq = sorted(
+        ivfpq_index_probe(query, idx).collect(), key=lambda r: r.rk
+    )
+    assert got2_pq and got2_pq[0].vec_id == 9_000_001 and got2_pq[0].rk == 1
 
 
 def test_pq_adc_approximates_exact_l2(spark):

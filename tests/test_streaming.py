@@ -1017,3 +1017,79 @@ def test_streaming_knn_probe_matches_batch_and_replays(spark, sf_dir, tmp_path):
         p: os.path.getmtime(p)
         for p in glob.glob(str(tmp_path / "out" / "batch-*" / "*"))
     }
+
+
+def test_streaming_knn_probe_admit_refreshes_index(spark, sf_dir, tmp_path):
+    """run_knn_probe(admit=True) — the streaming index REFRESH (r8
+    verdict #3): a vector admitted in batch 0 must be retrievable by
+    batch 1's probe (build-once-probe-forever drifts as ingest admits
+    docs), and a replayed stream must skip both the committed probe
+    outputs AND the committed index deltas byte-identically."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import build_ivf_index
+    from etl_spark.streaming.selection import run_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    dim = len(emb.select("embedding").first()[0])
+    spike = [50.0] + [0.0] * (dim - 1)
+
+    req_dir = tmp_path / "in"
+    req_dir.mkdir()
+    # batch 0 admits the spike; batch 1 queries for it — retrieval
+    # succeeds ONLY if batch 0's append refreshed the index. File
+    # names order the availableNow batches deterministically.
+    for i, (vid, vec) in enumerate([(9_000_001, spike), (9_000_002, spike)]):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([vid], pa.int64()),
+                    "embedding": pa.array([vec], pa.list_(pa.float64())),
+                }
+            ),
+            str(req_dir / f"b{i}.parquet"),
+        )
+
+    def _run(out, ckpt, audit):
+        q = run_knn_probe(
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(req_dir)),
+            idx,
+            str(tmp_path / out),
+            checkpoint=str(tmp_path / ckpt),
+            on_batch=lambda b, nq, nr: audit.append((b, nq, nr)),
+            admit=True,
+        )
+        q.awaitTermination(120)
+
+    audit: list = []
+    _run("out", "ckpt", audit)
+    assert len(audit) == 2
+    hits = sorted(
+        spark.read.parquet(str(tmp_path / "out" / "batch-1")).collect(),
+        key=lambda r: r.rk,
+    )
+    assert hits and hits[0].vec_id == 9_000_001 and hits[0].rk == 1
+
+    # both batches' deltas committed (batch 1's own admit too)
+    deltas = sorted(os.path.basename(d) for d in glob.glob(f"{idx}/delta/*"))
+    assert deltas == ["batch-0", "batch-1"]
+
+    # replay: fresh checkpoint, same files — probe outputs AND index
+    # deltas must be skipped untouched
+    watched = glob.glob(str(tmp_path / "out" / "batch-*" / "*")) + glob.glob(
+        f"{idx}/delta/*/*/*"
+    )
+    mtimes = {p: os.path.getmtime(p) for p in watched}
+    audit2: list = []
+    _run("out", "ckpt2", audit2)
+    assert audit2 == []
+    assert mtimes == {p: os.path.getmtime(p) for p in watched}
