@@ -111,6 +111,8 @@ HEADLINE = [
     "x72_incremental_knn_join",
     "x73_pq_adc_topk",
     "x74_ivfpq_knn_join",
+    # r9: residual IVFADC — x74's deployment encoding, oracle-backed
+    "x75_ivfpq_residual_knn_join",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -379,7 +381,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r8-no-x65",
+        "headline_set_rev": "r9-add-x75",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

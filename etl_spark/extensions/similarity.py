@@ -2622,3 +2622,179 @@ def ivfpq_knn_join(
     return refined.withColumn(
         "rk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rk") <= k)
+
+
+@register(
+    "x75_ivfpq_residual_knn_join",
+    oracle=f"""
+        WITH nn AS (
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM embeddings, nn
+            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= nn.nlist
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND(list_dot_product(ve, ve)
+                                          - 2 * list_dot_product(ve, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS rn
+                FROM v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        rv AS (
+            SELECT v.vec_id, a.cid,
+                   list_transform(generate_series(1, dims.dim),
+                                  i -> ve[i] - s.ce[i]) AS rve
+            FROM v
+            JOIN assign a USING (vec_id)
+            JOIN seeds s ON s.cid = a.cid, dims
+        ),
+        rvr AS (
+            SELECT rv.*, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+            FROM rv
+        ),
+        cb AS (
+            SELECT ms.m,
+                   CAST(rvr.rnk - nn.nlist - 1 AS BIGINT) AS k,
+                   (rvr.rve[1 + ms.m * (dims.dim // {PQ_M})
+                            : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS cvec
+            FROM rvr, ms, dims, nn
+            WHERE rvr.rnk > nn.nlist AND rvr.rnk <= nn.nlist + {PQ_K}
+        ),
+        sub AS (
+            SELECT rv.vec_id, rv.cid, ms.m,
+                   (rv.rve[1 + ms.m * (dims.dim // {PQ_M})
+                           : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS sv
+            FROM rv, ms, dims
+        ),
+        codes AS (
+            SELECT vec_id, cid, m, k FROM (
+                SELECT s.vec_id, s.cid, s.m, cb.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY ROUND(list_dot_product(sv, sv)
+                                          - 2 * list_dot_product(sv, cvec)
+                                          + list_dot_product(cvec, cvec), 9),
+                                    cb.k
+                       ) AS rn
+                FROM sub s JOIN cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+        ),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY ROUND(list_dot_product(qe, qe)
+                                          - 2 * list_dot_product(qe, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS crk
+                FROM q CROSS JOIN seeds s
+            ) WHERE crk <= {X71_NPROBE}
+        ),
+        qres AS (
+            SELECT p.qid, p.cid,
+                   list_transform(generate_series(1, dims.dim),
+                                  i -> q.qe[i] - s.ce[i]) AS qrv
+            FROM probe p
+            JOIN q USING (qid)
+            JOIN seeds s ON s.cid = p.cid, dims
+        ),
+        qsub AS (
+            SELECT qr.qid, qr.cid, ms.m,
+                   (qr.qrv[1 + ms.m * (dims.dim // {PQ_M})
+                           : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS qv
+            FROM qres qr, ms, dims
+        ),
+        adc AS (
+            SELECT qs.qid, qs.cid, cb.m, cb.k,
+                   list_dot_product(qv, qv)
+                   - 2 * list_dot_product(qv, cvec)
+                   + list_dot_product(cvec, cvec) AS d
+            FROM cb JOIN qsub qs ON qs.m = cb.m
+        ),
+        cand AS (
+            SELECT p.qid, a.vec_id, a.cid
+            FROM probe p JOIN assign a USING (cid)
+            WHERE a.vec_id <> p.qid
+        ),
+        scored AS (
+            SELECT c.qid, c.vec_id, ROUND(SUM(adc.d), 6) AS adc_d2
+            FROM cand c
+            JOIN codes co ON co.vec_id = c.vec_id
+            JOIN adc ON adc.qid = c.qid AND adc.cid = c.cid
+                    AND adc.m = co.m AND adc.k = co.k
+            GROUP BY c.qid, c.vec_id
+        ),
+        shortlist AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY adc_d2 ASC, vec_id
+                       ) AS ark
+                FROM scored
+            ) WHERE ark <= {X74_REFINE}
+        ),
+        refined AS (
+            SELECT sl.qid, sl.vec_id,
+                   ROUND(list_dot_product(q.qe, q.qe)
+                         - 2 * list_dot_product(e.embedding::DOUBLE[], q.qe)
+                         + list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS d2
+            FROM shortlist sl
+            JOIN embeddings e ON e.vec_id = sl.vec_id
+            JOIN q ON q.qid = sl.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY d2 ASC, vec_id
+                   ) AS rk
+            FROM refined
+        )
+        SELECT qid, vec_id, d2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    tags=("similarity",),
+)
+def x75_ivfpq_residual_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """x74 with RESIDUAL encoding (IVFADC, Jegou et al. '11 §IV) —
+    the deployment upgrade x74's docstring names, now oracle-checked:
+    PQ quantizes v − centroid(cell(v)) so the 4 bits per subvector
+    resolve WITHIN-cell structure (the part the candidate set hasn't
+    already paid for), and ADC residualizes each query against every
+    probed cell before the table gather (``pq_adc_residual_udf`` —
+    the M x K table becomes per-(query, cell), still O(dim) per
+    candidate row). Codebooks skip the nlist seed rows: their
+    residuals are identically zero and codebooks built from them
+    collapse to quantize-to-centroid (recall@5 0.46 vs 0.79 measured
+    on the clustered prototype; residual vs raw at the same byte
+    budget asserted strictly in tests). Candidate volume, shuffle
+    shape, and the constant-refine IO story are exactly x74's —
+    residual changes WHAT the bytes encode, not how many move.
+    Cross-engine: residual subtraction is elementwise double both
+    sides (zip_with / list_transform), codebook k is residual-rank
+    by vec_id past the seeds, ADC sum rounded to 6 before the rank,
+    vec_id tie-break — the x71/x73 rules throughout."""
+    return ivfpq_knn_join(load(spark, sf, "embeddings"), residual=True)

@@ -98,6 +98,8 @@ def _ensure_loaded() -> None:
 #   2. 32 of the r6-green tier, module-registration order; the 16
 #      remaining r6 queries rotate in r10.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked: new registration leads (policy rule 1)
+    "x75_ivfpq_residual_knn_join",
     # -- last green r4
     "o02_multikey_page",
     "set01_union",
@@ -149,7 +151,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "a08_count_distinct",
     "j08_range_join",
     "f10_explode_unnest",
-    "a09_pivot",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
