@@ -1602,6 +1602,11 @@ def build_ivf_index(
             assign_cell("embedding").alias("cid"),
         )
         .write.mode("overwrite")
+        # pin static per-write: a session left in dynamic overwrite
+        # mode (e.g. by a partitioned table writer) would skip the
+        # _SUCCESS marker these tiers' commit protocol relies on and
+        # leave stale cells behind on rebuild (r9 full-suite finding)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cid")
         .parquet(f"{path}/cells")
     )
@@ -1636,7 +1641,9 @@ def build_ivf_index(
             json.dump({"residual": bool(pq_residual)}, fh)
         pq_encode(
             src, _load_codebooks(spark, path), keep=("cid",)
-        ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cid").parquet(f"{path}/codes")
     return nlist
 
 
@@ -1740,12 +1747,12 @@ def ivf_index_append(batch_df: DataFrame, path: str, name: str) -> int:
             )
         pq_encode(
             src, _load_codebooks(spark, path), keep=("cid",)
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            os.path.join(root, "codes")
-        )
-    base.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(root, "cells")
-    )
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cid").parquet(os.path.join(root, "codes"))
+    base.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cid").parquet(os.path.join(root, "cells"))
     base.unpersist()
     return n
 

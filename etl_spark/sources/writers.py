@@ -25,6 +25,8 @@ the same catalog.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -112,6 +114,28 @@ def truncate_load(df: DataFrame, table: str) -> None:
     spark.catalog.refreshTable(table)
 
 
+@contextlib.contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Set partitionOverwriteMode=dynamic for ONE write and RESTORE
+    the previous value (the corpus.py `_with_overwrite_mode` rule).
+    Leaving 'dynamic' set poisoned every later partitioned overwrite
+    in the session — r9 finding: dynamic-mode jobs also skip the
+    ``_SUCCESS`` marker, so a later ``ivf_index_append`` delta looked
+    forever-uncommitted and streamed index refreshes silently
+    retrieved nothing (caught by the full-suite run of
+    test_streaming_knn_probe_admit_refreshes_index)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def partitioned_save(
     df: DataFrame,
     table: str,
@@ -139,16 +163,16 @@ def partitioned_save(
     task. For a skewed giant partition, add a secondary salt column
     to the repartition."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = df.repartition(*partition_cols)
-    if spark.catalog.tableExists(table):
-        df.select(*spark.table(table).columns).write.insertInto(
-            table, overwrite=(mode == "overwrite")
-        )
-    else:
-        df.write.format("parquet").mode(mode).partitionBy(*partition_cols).saveAsTable(
-            table
-        )
+    with _dynamic_overwrite(spark):
+        if spark.catalog.tableExists(table):
+            df.select(*spark.table(table).columns).write.insertInto(
+                table, overwrite=(mode == "overwrite")
+            )
+        else:
+            df.write.format("parquet").mode(mode).partitionBy(
+                *partition_cols
+            ).saveAsTable(table)
 
 
 def bucketed_save(
@@ -444,7 +468,6 @@ def _overwrite_partitions(
        since dynamic overwrite cannot express "replace with nothing".
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     staging = _staging_name(table)
     df.write.format("parquet").mode("overwrite").saveAsTable(staging)
     try:
@@ -453,7 +476,10 @@ def _overwrite_partitions(
         # written by one task (no small-files explosion), then align
         # columns positionally for insertInto
         cols = spark.table(table).columns
-        staged.repartition(*pcols).select(*cols).write.insertInto(table, overwrite=True)
+        with _dynamic_overwrite(spark):
+            staged.repartition(*pcols).select(*cols).write.insertInto(
+                table, overwrite=True
+            )
         remaining = {
             tuple(r) for r in staged.select(*pcols).distinct().collect()
         }

@@ -126,6 +126,7 @@ def run_knn_probe(
     available_now: bool = True,
     on_batch: Callable[[int, int, int], Any] | None = None,
     admit: bool = False,
+    pq: bool = False,
 ) -> StreamingQuery:
     """Ingestion-time ANN retrieval — the streaming face of x72, and
     the retrieval sibling of this module's DSIR gate and neardup's
@@ -152,16 +153,26 @@ def run_knn_probe(
     never retrieves itself) and both steps carry their own _SUCCESS
     commit marker, so a replayed batch re-probes nothing, re-appends
     nothing, and a crash between the two steps heals on replay —
-    byte-identical outputs either way."""
+    byte-identical outputs either way.
+
+    ``pq=True`` retrieves through the stored codes tier
+    (``ivfpq_index_probe`` over a ``build_ivf_index(pq=True)``
+    artifact — ADC rank over 8-byte codes, constant float refine;
+    honors residual encoding via the index's pq_meta). The output
+    schema is then (qid, vec_id, d2, rk) instead of cosine.
+    ``admit`` composes: appended deltas carry a codes tier whenever
+    the index has one."""
     import etl_spark.extensions.similarity as _sim
 
     kk = k if k is not None else _sim.KNN_K
     npb = nprobe if nprobe is not None else _sim.X71_NPROBE
 
+    probe_fn = _sim.ivfpq_index_probe if pq else _sim.ivf_index_probe
+
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
         if not batch_committed(out_dir):
-            result = _sim.ivf_index_probe(
+            result = probe_fn(
                 batch_df, index_path, k=kk, nprobe=npb
             )
             result = result.persist()

@@ -2029,3 +2029,46 @@ def test_x65_baseline_keeps_oracle_parity(spark, sf_dir):
     _, sn = _normalize(srows, sdf.columns)
     _, dn = _normalize(drows, dcols)
     assert sn == dn
+
+
+def test_ivf_index_commits_under_dynamic_overwrite_session(spark, sf_dir, tmp_path):
+    """The index tiers pin partitionOverwriteMode=static PER-WRITE, so
+    a session someone left in dynamic mode (the r9 full-suite flake:
+    dynamic-mode jobs write no _SUCCESS, so deltas never counted as
+    committed) still produces committed, retrievable appends."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    dim = len(emb.select("embedding").first()[0])
+    spike = [50.0] + [0.0] * (dim - 1)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, pq=True)
+        delta = spark.createDataFrame(
+            [(9_000_001, spike)], "vec_id bigint, embedding array<double>"
+        )
+        assert ivf_index_append(delta, idx, "b0") == 1
+        import os
+
+        assert os.path.exists(f"{idx}/delta/b0/cells/_SUCCESS")
+        query = spark.createDataFrame(
+            [(9_000_002, spike)], "vec_id bigint, embedding array<double>"
+        )
+        got = sorted(
+            ivf_index_probe(query, idx).collect(), key=lambda r: r.rk
+        )
+        assert got and got[0].vec_id == 9_000_001 and got[0].rk == 1
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

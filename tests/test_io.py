@@ -788,3 +788,28 @@ def test_dialect_unmapped_type_fails_loudly():
 
     with pytest.raises(ValueError, match="no mysql mapping"):
         MYSQL.ddl_type(T.BinaryType())
+
+
+def test_partitioned_writers_restore_overwrite_mode(spark):
+    """partitioned_save (and the DML partition-rewrite path) must
+    RESTORE partitionOverwriteMode after their dynamic-mode write —
+    r9 finding: the leaked 'dynamic' poisoned every later partitioned
+    overwrite in the session, and dynamic-mode jobs skip the _SUCCESS
+    marker, so IVF index deltas written afterwards looked
+    forever-uncommitted (streamed refreshes retrieved nothing)."""
+    from etl_spark.sources.writers import partitioned_save
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, day string"
+    )
+    t = "t_restore_mode"
+    try:
+        partitioned_save(df, t, ["day"])
+        assert spark.conf.get(key, None) == prev
+        # and again over an existing table (the insertInto branch)
+        partitioned_save(df, t, ["day"])
+        assert spark.conf.get(key, None) == prev
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1077,7 +1077,13 @@ def test_streaming_knn_probe_admit_refreshes_index(spark, sf_dir, tmp_path):
         spark.read.parquet(str(tmp_path / "out" / "batch-1")).collect(),
         key=lambda r: r.rk,
     )
-    assert hits and hits[0].vec_id == 9_000_001 and hits[0].rk == 1
+    diag = (
+        f"audit={audit} deltas={sorted(glob.glob(f'{idx}/delta/*/*'))} "
+        f"out0={spark.read.parquet(str(tmp_path / 'out' / 'batch-0')).collect()}"
+    )
+    assert hits and hits[0].vec_id == 9_000_001 and hits[0].rk == 1, (
+        f"{hits} // {diag}"
+    )
 
     # both batches' deltas committed (batch 1's own admit too)
     deltas = sorted(os.path.basename(d) for d in glob.glob(f"{idx}/delta/*"))
@@ -1093,3 +1099,63 @@ def test_streaming_knn_probe_admit_refreshes_index(spark, sf_dir, tmp_path):
     _run("out", "ckpt2", audit2)
     assert audit2 == []
     assert mtimes == {p: os.path.getmtime(p) for p in watched}
+
+
+def test_streaming_knn_probe_pq_tier(spark, sf_dir, tmp_path):
+    """run_knn_probe(pq=True) retrieves through the stored codes tier:
+    streamed batches must equal the batch ivfpq_index_probe row-for-row
+    on the same (residual-encoded) index — the ANN ingest loop at the
+    production byte budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        build_ivf_index,
+        ivfpq_index_probe,
+    )
+    from etl_spark.streaming.selection import run_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, pq=True, pq_residual=True
+    )
+
+    batch_rows = emb.filter(F.col("vec_id") % 2 == 1).collect()
+    req_dir = tmp_path / "in"
+    req_dir.mkdir()
+    half = len(batch_rows) // 2
+    for i, chunk in enumerate((batch_rows[:half], batch_rows[half:])):
+        pq_.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r.vec_id for r in chunk], pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r.embedding)) for r in chunk],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(req_dir / f"b{i}.parquet"),
+        )
+    audit = []
+    q = run_knn_probe(
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir)),
+        idx,
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda b, nq, nr: audit.append((b, nq, nr)),
+        pq=True,
+    )
+    q.awaitTermination(120)
+    assert len(audit) == 2 and all(nr > 0 for _, _, nr in audit)
+
+    got = spark.read.parquet(str(tmp_path / "out" / "batch-*")).collect()
+    want = ivfpq_index_probe(
+        emb.filter(F.col("vec_id") % 2 == 1), idx
+    ).collect()
+    key = lambda r: (r.qid, r.rk, r.vec_id, r.d2)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
