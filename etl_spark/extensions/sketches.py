@@ -1,0 +1,398 @@
+"""Mergeable distinct-count / sample sketches — KMV (k-minimum-values)
+theta-style sketches and deterministic bottom-k samples.
+
+Beyond the reference's surface (the reference computes exact dashboard
+aggregates over ~10^4 rows, web_scheduler.py:4582-4733); at 100 TB a
+COUNT(DISTINCT) over a high-cardinality key is a full shuffle of every
+distinct value, and cross-partition set overlap (this month's users vs
+last month's) is a join of two such sets. The sketch family bounds
+both to K rows per group:
+
+- **KMV distinct count** (x76): keep the K smallest md5-derived
+  hashes per group; if fewer than K distinct values exist the sketch
+  IS the exact answer, otherwise est = (K-1)/U_K with U_K the K-th
+  minimum normalized to (0,1) — the classic KMV estimator
+  (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 unbiased form).
+- **Sketch merge / set operations** (x77): two groups' sketches merge
+  by taking the K smallest of their union — NO rescan of the base
+  data. Union cardinality from the merged sketch, Jaccard from the
+  match fraction inside it, intersection/difference by inclusion-
+  exclusion (the theta-sketch composition, Dasgupta et al. 2016).
+- **Bottom-k uniform sample** (x78): the K smallest-hash ROWS per
+  group are a uniform sample without replacement (Cohen & Kaplan
+  2007); order statistics over the sample give distribution-free
+  quantile estimates with no full sort of the group.
+
+Scale shape: every sketch build is a salted TWO-LEVEL top-K — level 1
+ranks within (group, salt) so a hot group fans out across SALTS
+reducers, level 2 ranks the <= SALTS*K survivors — so no single
+reducer ever sees more than the larger of (distinct-values/SALTS,
+SALTS*K) rows for any group, however skewed. Merges and estimates then
+touch only K-row sketches. Every hash derives from md5() so the DuckDB
+oracle reproduces results bit-for-bit (dedup.py convention); the
+oracle uses the plain single-window form, which is semantically
+identical because the global K minima are always a subset of the
+per-salt K minima (each salt bucket keeps ITS K smallest, and a global
+top-K member is within the top-K of whatever bucket h mod SALTS puts
+it in).
+
+Determinism note: the estimator arithmetic is (bigint -> double) casts
+followed by one division/multiplication chain in the same order on
+both engines — IEEE-754 exact-rounded ops on identical inputs, so the
+doubles match bit-for-bit before the final ROUND(.., 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.registry import register
+from etl_spark.tables import load
+
+K_SKETCH = 256  # sketch size: rel. std err ~ 1/sqrt(K-2) ~ 6%
+SALTS = 16  # level-1 fan-out for the salted top-K
+HASH_DOMAIN = float(1 << 60)  # 15 hex chars of md5 -> [0, 2^60)
+
+# 64-bit-ish hash shared with the dedup family (dedup.py:_HEX2INT):
+# first 15 hex chars of md5 of the DECIMAL string form of the key.
+_H_SPARK = "CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def salted_min_k(df: DataFrame, group_cols: list[str], k: int = K_SKETCH) -> DataFrame:
+    """Keep the k smallest-``h`` rows per group via the two-level
+    salted ranking described in the module docstring. ``df`` must
+    carry a distinct BIGINT column ``h`` (dedupe/uniqueness is the
+    caller's contract — duplicate h would inflate the sketch).
+    Returns the input columns plus ``rn`` (1-based rank of h within
+    the group).
+    """
+    lvl1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    lvl2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.withColumn("salt", F.pmod(F.col("h"), F.lit(SALTS)))
+        .withColumn("rn1", F.row_number().over(lvl1))
+        .filter(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(lvl2))
+        .filter(F.col("rn") <= k)
+        .drop("salt", "rn1")
+    )
+
+
+def _kept_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per order-year KMV sketch of the distinct-customer set:
+    (order_year, h, rn) with rn <= K_SKETCH."""
+    orders = load(spark, sf, "orders")
+    hashed = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.expr(_H_SPARK.format(col="o_custkey")).alias("h"),
+    ).distinct()
+    return salted_min_k(hashed, ["order_year"])
+
+
+def _est_expr(kept_col: str, hk_col: str):
+    """KMV estimate as a Spark Column: exact when the sketch is not
+    full, else (K-1)/U_K. Unrounded — callers round at the edge."""
+    return (
+        F.when(F.col(kept_col) < K_SKETCH, F.col(kept_col).cast("double"))
+        .otherwise(
+            F.lit(float(K_SKETCH - 1)) / (F.col(hk_col) / F.lit(HASH_DOMAIN))
+        )
+    )
+
+
+_DUCK_KEPT_CUSTOMERS = f"""
+        SELECT order_year, h,
+               row_number() OVER (PARTITION BY order_year ORDER BY h) AS rn
+        FROM (
+            SELECT DISTINCT year(o_orderdate) AS order_year,
+                   {_H_DUCK.format(col="o_custkey")} AS h
+            FROM orders
+        ) hashed
+        QUALIFY rn <= {K_SKETCH}
+"""
+
+# exact-when-not-full KMV estimate over an aggregated (kept, hk) pair
+_DUCK_EST = (
+    f"CASE WHEN {{kept}} < {K_SKETCH} THEN CAST({{kept}} AS DOUBLE) "
+    f"ELSE {K_SKETCH - 1}.0 / ({{hk}} / {HASH_DOMAIN:.1f}) END"
+)
+
+
+@register(
+    "x76_kmv_distinct_customers",
+    oracle=f"""
+        WITH kept AS ({_DUCK_KEPT_CUSTOMERS})
+        SELECT order_year,
+               count(*) AS kept,
+               ROUND({_DUCK_EST.format(
+                   kept="count(*)",
+                   hk=f"MAX(CASE WHEN rn = {K_SKETCH} THEN h END)")}, 4
+               ) AS est_distinct
+        FROM kept
+        GROUP BY order_year
+    """,
+    tags=("sketch",),
+)
+def x76_kmv_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-customer count per order-year (K=256).
+
+    At sf0.001 every year has < K distinct customers, so the sketch
+    is in the exact regime; at sf0.01 (~1150+/year) the estimator
+    path is exercised. The build is the salted two-level top-K —
+    see the module docstring for why no reducer hot-spots at scale.
+    """
+    kept = _kept_customers(spark, sf)
+    agg = kept.groupBy("order_year").agg(
+        F.count("*").alias("kept"),
+        F.max(F.when(F.col("rn") == K_SKETCH, F.col("h"))).alias("hk"),
+    )
+    return agg.select(
+        "order_year",
+        "kept",
+        F.round(_est_expr("kept", "hk"), 4).alias("est_distinct"),
+    )
+
+
+@register(
+    "x77_kmv_year_overlap",
+    oracle=f"""
+        WITH kept AS ({_DUCK_KEPT_CUSTOMERS}),
+        year_est AS (
+            SELECT order_year,
+                   {_DUCK_EST.format(
+                       kept="count(*)",
+                       hk=f"MAX(CASE WHEN rn = {K_SKETCH} THEN h END)")} AS est
+            FROM kept
+            GROUP BY order_year
+        ),
+        sides AS (
+            SELECT order_year AS year_a, order_year + 1 AS year_b,
+                   h, 1 AS in_a, 0 AS in_b
+            FROM kept
+            UNION ALL
+            SELECT order_year - 1 AS year_a, order_year AS year_b,
+                   h, 0 AS in_a, 1 AS in_b
+            FROM kept
+        ),
+        merged AS (
+            SELECT year_a, year_b, h,
+                   MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM sides
+            GROUP BY year_a, year_b, h
+        ),
+        ranked AS (
+            SELECT year_a, year_b, h, in_a, in_b,
+                   row_number() OVER (
+                       PARTITION BY year_a, year_b ORDER BY h) AS rn
+            FROM merged
+            QUALIFY rn <= {K_SKETCH}
+        ),
+        pair AS (
+            SELECT year_a, year_b,
+                   count(*) AS kept_u,
+                   MAX(CASE WHEN rn = {K_SKETCH} THEN h END) AS hk,
+                   SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                       AS matches
+            FROM ranked
+            GROUP BY year_a, year_b
+            HAVING MAX(in_a) = 1 AND MAX(in_b) = 1
+        ),
+        raw AS (
+            SELECT p.year_a, p.year_b,
+                   ea.est AS est_a, eb.est AS est_b,
+                   {_DUCK_EST.format(kept="p.kept_u", hk="p.hk")} AS est_union,
+                   p.matches / p.kept_u AS jacc
+            FROM pair p
+            JOIN year_est ea ON ea.order_year = p.year_a
+            JOIN year_est eb ON eb.order_year = p.year_b
+        )
+        SELECT year_a, year_b,
+               ROUND(est_a, 4) AS est_a,
+               ROUND(est_b, 4) AS est_b,
+               ROUND(est_union, 4) AS est_union,
+               ROUND(jacc, 4) AS jaccard_est,
+               ROUND(jacc * est_union, 4) AS est_common,
+               ROUND(est_a - jacc * est_union, 4) AS est_lost,
+               ROUND(est_b - jacc * est_union, 4) AS est_new
+        FROM raw
+    """,
+    tags=("sketch",),
+)
+def x77_kmv_year_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-set overlap between consecutive order-years from
+    MERGED KMV sketches — the base table is scanned once (to build
+    the per-year sketches); union/intersection/churn for every year
+    pair then come from K-row sketch merges only.
+
+    est_union from the merged sketch; jaccard_est = match fraction
+    inside it; est_common by inclusion-exclusion; est_lost/est_new =
+    customers active in year_a but not year_b and vice versa (the
+    theta-sketch A-not-B composition). In the exact regime (sketches
+    not full) every output is exact.
+    """
+    # Single-lineage plan: the base table is scanned ONCE and the
+    # sketch built once. Each kept row fans out to its two pair roles
+    # via one explode (NOT a self-union, which would duplicate the
+    # whole scan+sketch subplan — Catalyst does not CSE reused
+    # DataFrames, verified on the first cut of this query: 4 scans,
+    # 14 exchanges). The per-year est_a/est_b come from running sums
+    # inside the merged pair window — the in_a=1 rows of a pair ARE
+    # year_a's kept set, so its K-th member is the row whose running
+    # in_a count hits K — instead of re-joining the sketch.
+    kept = _kept_customers(spark, sf).select("order_year", "h")
+    sides = kept.select(
+        "h",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("order_year").alias("year_a"),
+                    (F.col("order_year") + 1).alias("year_b"),
+                    F.lit(1).alias("in_a"),
+                    F.lit(0).alias("in_b"),
+                ),
+                F.struct(
+                    (F.col("order_year") - 1).alias("year_a"),
+                    F.col("order_year").alias("year_b"),
+                    F.lit(0).alias("in_a"),
+                    F.lit(1).alias("in_b"),
+                ),
+            )
+        ).alias("s"),
+    ).select("s.year_a", "s.year_b", "h", "s.in_a", "s.in_b")
+    merged = sides.groupBy("year_a", "year_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("year_a", "year_b").orderBy("h")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .withColumn("run_a", F.sum("in_a").over(wrun))
+        .withColumn("run_b", F.sum("in_b").over(wrun))
+    )
+    in_sketch = F.col("rn") <= K_SKETCH
+    pair = (
+        ranked.groupBy("year_a", "year_b")
+        .agg(
+            F.sum(F.when(in_sketch, 1).otherwise(0)).alias("kept_u"),
+            F.max(F.when(F.col("rn") == K_SKETCH, F.col("h"))).alias("hk"),
+            F.sum(
+                F.when(
+                    in_sketch & (F.col("in_a") == 1) & (F.col("in_b") == 1), 1
+                ).otherwise(0)
+            ).alias("matches"),
+            F.sum("in_a").alias("kept_a"),
+            F.sum("in_b").alias("kept_b"),
+            F.max(
+                F.when((F.col("in_a") == 1) & (F.col("run_a") == K_SKETCH), F.col("h"))
+            ).alias("hk_a"),
+            F.max(
+                F.when((F.col("in_b") == 1) & (F.col("run_b") == K_SKETCH), F.col("h"))
+            ).alias("hk_b"),
+        )
+        # edge pairs (min_year-1, min_year) / (max_year, max_year+1)
+        # have one side only — not a real year pair
+        .filter((F.col("kept_a") > 0) & (F.col("kept_b") > 0))
+    )
+    raw = pair.select(
+        "year_a",
+        "year_b",
+        _est_expr("kept_a", "hk_a").alias("est_a"),
+        _est_expr("kept_b", "hk_b").alias("est_b"),
+        _est_expr("kept_u", "hk").alias("est_union"),
+        (F.col("matches") / F.col("kept_u")).alias("jacc"),
+    )
+    return raw.select(
+        "year_a",
+        "year_b",
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("jacc", 4).alias("jaccard_est"),
+        F.round(F.col("jacc") * F.col("est_union"), 4).alias("est_common"),
+        F.round(F.col("est_a") - F.col("jacc") * F.col("est_union"), 4).alias(
+            "est_lost"
+        ),
+        F.round(F.col("est_b") - F.col("jacc") * F.col("est_union"), 4).alias(
+            "est_new"
+        ),
+    )
+
+
+@register(
+    "x78_bottomk_sample_quantiles",
+    oracle=f"""
+        WITH pick AS (
+            SELECT order_year, o_totalprice, h,
+                   row_number() OVER (PARTITION BY order_year ORDER BY h) AS rn
+            FROM (
+                SELECT year(o_orderdate) AS order_year, o_totalprice,
+                       {_H_DUCK.format(col="o_orderkey")} AS h
+                FROM orders
+            ) hashed
+            QUALIFY rn <= {K_SKETCH}
+        ),
+        ranked AS (
+            SELECT order_year, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY order_year
+                       ORDER BY o_totalprice, h) AS rs,
+                   count(*) OVER (PARTITION BY order_year) AS n
+            FROM pick
+        )
+        SELECT order_year,
+               count(*) AS sample_n,
+               MAX(CASE WHEN rs = FLOOR((n - 1) * 0.25) + 1
+                        THEN o_totalprice END) AS p25,
+               MAX(CASE WHEN rs = FLOOR((n - 1) * 0.5) + 1
+                        THEN o_totalprice END) AS p50,
+               MAX(CASE WHEN rs = FLOOR((n - 1) * 0.9) + 1
+                        THEN o_totalprice END) AS p90
+        FROM ranked
+        GROUP BY order_year
+    """,
+    tags=("sketch",),
+)
+def x78_bottomk_sample_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free order-total quantiles per year from a
+    deterministic bottom-k-by-hash uniform sample (K=256 rows/group).
+
+    The sample is the K smallest md5(o_orderkey) rows — uniform
+    without replacement because the hash is independent of the value
+    (Cohen & Kaplan 2007 bottom-k sampling). Quantiles are lower
+    order statistics at index floor((n-1)*q) of the price-sorted
+    sample — no float interpolation, so both engines pick the SAME
+    stored double. At sf0.001 each year has < K orders (sample =
+    population => exact quantiles); at sf0.01 the sampling path is
+    exercised. No global sort and no full-group shuffle at scale:
+    the sample build is the salted two-level top-K, the quantile
+    ranking touches only K rows per group.
+    """
+    orders = load(spark, sf, "orders")
+    hashed = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+        F.expr(_H_SPARK.format(col="o_orderkey")).alias("h"),
+    )
+    sample = salted_min_k(hashed, ["order_year"]).drop("rn")
+    ws = Window.partitionBy("order_year").orderBy("o_totalprice", "h")
+    wn = Window.partitionBy("order_year")
+    ranked = sample.withColumn("rs", F.row_number().over(ws)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def _pick(q: float):
+        return F.max(
+            F.when(
+                F.col("rs") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("order_year").agg(
+        F.count("*").alias("sample_n"),
+        _pick(0.25).alias("p25"),
+        _pick(0.5).alias("p50"),
+        _pick(0.9).alias("p90"),
+    )

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.pipeline  # noqa: F401
     import etl_spark.extensions.corpus  # noqa: F401
     import etl_spark.extensions.resampling  # noqa: F401
+    import etl_spark.extensions.sketches  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -95,11 +96,17 @@ def _ensure_loaded() -> None:
 #      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
 #      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
 #      q18/q19, t01 the reference dashboard query);
-#   2. 32 of the r6-green tier, module-registration order; the 16
-#      remaining r6 queries rotate in r10.
+#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x78
+#      sketches) lead per policy rule 1;
+#   3. 29 of the r6-green tier, module-registration order; the 19
+#      remaining r6 queries (incl. a08/j08/f10, displaced by the
+#      sketch family) rotate in r10.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x75_ivfpq_residual_knn_join",
+    "x76_kmv_distinct_customers",
+    "x77_kmv_year_overlap",
+    "x78_bottomk_sample_quantiles",
     # -- last green r4
     "o02_multikey_page",
     "set01_union",
@@ -148,9 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x54_lm_quality_score",
     "x55_split_leakage",
     "a07_rollup",
-    "a08_count_distinct",
-    "j08_range_join",
-    "f10_explode_unnest",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
