@@ -113,6 +113,13 @@ HEADLINE = [
     "x74_ivfpq_knn_join",
     # r9: residual IVFADC — x74's deployment encoding, oracle-backed
     "x75_ivfpq_residual_knn_join",
+    # r9: KMV/theta sketch family — bounded-state distinct counts,
+    # merged set overlap, bottom-k sample quantiles
+    "x76_kmv_distinct_customers",
+    "x77_kmv_year_overlap",
+    "x78_bottomk_sample_quantiles",
+    "x79_token_heavy_hitters",
+    "x80_priority_sample_revenue",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -381,7 +388,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75",
+        "headline_set_rev": "r9-add-x75-x80",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

@@ -44,6 +44,9 @@ doubles match bit-for-bit before the final ROUND(.., 4).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -395,4 +398,266 @@ def x78_bottomk_sample_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         _pick(0.25).alias("p25"),
         _pick(0.5).alias("p50"),
         _pick(0.9).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x79: heavy hitters — candidate generation with bounded per-partition
+# state, then an exact rescore of only the candidates.
+# ---------------------------------------------------------------------------
+
+HH_PHI = 0.002  # heavy-hitter threshold: tokens with freq > 0.2%
+
+# Shared corpus tokenization: lowercase, split on runs of whitespace,
+# drop empties. Spark's Java \s and DuckDB's \s agree on ASCII
+# whitespace (the fixture corpus); both lower() are ASCII-identical.
+_TOKENS_SPARK = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+_TOKENS_DUCK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _make_hh_candidates(phi: float):
+    """Per-partition candidate pass for the heavy-hitter query: exact
+    local token counts (a Counter over Arrow batches — bounded by the
+    partition's vocabulary, never shuffled), emitting only the tokens
+    whose LOCAL frequency clears ``phi`` plus one null-token row
+    carrying the partition's token total. Pigeonhole guarantee: a
+    token with global freq > phi must clear phi in at least one
+    partition (if cnt_p <= phi*n_p everywhere, summing gives
+    cnt <= phi*N), so the union of emissions is a superset of the
+    true heavy hitters whatever the partitioning."""
+
+    def _hh_candidates(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        total = 0
+        for pdf in pdfs:
+            toks = pdf["token"]
+            total += len(toks)
+            counts.update(toks.tolist())
+        out_tok: list[str | None] = []
+        out_cnt: list[int] = []
+        for tok, cnt in counts.items():
+            if cnt > phi * total:
+                out_tok.append(tok)
+                out_cnt.append(cnt)
+        out_tok.append(None)
+        out_cnt.append(total)
+        yield pd.DataFrame({"token": out_tok, "cnt": out_cnt})
+
+    return _hh_candidates
+
+
+@register(
+    "x79_token_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_TOKENS_DUCK}) AS token FROM documents
+        ),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        SELECT token,
+               count(*) AS cnt,
+               ROUND(CAST(count(*) AS DOUBLE) / n, 6) AS freq
+        FROM toks, tot
+        GROUP BY token, n
+        HAVING CAST(count(*) AS DOUBLE) > {HH_PHI} * n
+    """,
+    tags=("sketch",),
+)
+def x79_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens (freq > HH_PHI) with EXACT
+    counts, without ever shuffling the token long tail.
+
+    Naive SQL shuffles one row per distinct token — at 100 TB that is
+    the full vocabulary (URLs, hashes, typos: billions of keys)
+    through one groupBy. This plan instead does the classic two-pass
+    heavy-hitter dance (Misra-Gries-flavoured candidate generation,
+    then exact rescore):
+
+    1. candidate pass: ``mapInPandas`` keeps exact counts inside each
+       partition (bounded local state, Arrow-batched) and emits only
+       tokens clearing HH_PHI locally — at most floor(1/HH_PHI)+1
+       rows per partition; the pigeonhole argument in
+       ``_hh_candidates`` makes the union a superset of every true
+       heavy hitter, independent of partitioning;
+    2. rescore pass: the <= n_partitions/HH_PHI candidates are
+       collected (bounded driver artifact, the repo's collect
+       convention) and broadcast; only stream tokens matching a
+       candidate survive into the exact groupBy — the shuffle carries
+       heavy tokens only, the tail dies at the scan.
+
+    The final filter uses the global total, so output = exactly the
+    tokens with freq > HH_PHI and their exact counts — identical to
+    the oracle's plain HAVING aggregate, whatever the partitioning.
+    """
+    docs = load(spark, sf, "documents")
+    tokens = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("token"))
+    return token_heavy_hitters(tokens)
+
+
+def token_heavy_hitters(tokens: DataFrame, phi: float = HH_PHI) -> DataFrame:
+    """The two-pass heavy-hitter plan over a one-column ``token``
+    DataFrame — see ``x79_token_heavy_hitters``. Output (token, cnt,
+    freq) is exact and partitioning-independent."""
+    spark = tokens.sparkSession
+    cand = tokens.mapInPandas(
+        _make_hh_candidates(phi), schema="token string, cnt long"
+    )
+    rows = cand.collect()  # bounded: <= n_partitions * (1/phi + 1)
+    n_total = sum(r.cnt for r in rows if r.token is None)
+    cand_tokens = sorted({r.token for r in rows if r.token is not None})
+    cand_df = spark.createDataFrame(
+        [(t,) for t in cand_tokens], schema="token string"
+    )
+    n_dbl = float(n_total)
+    return (
+        tokens.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").cast("double") > F.lit(phi) * F.lit(n_dbl))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.lit(n_dbl), 6).alias("freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x80: priority sampling — weighted sample with unbiased subset-sum
+# estimates (Duffield, Lund & Thorup, JACM 2007).
+# ---------------------------------------------------------------------------
+
+K_PRIORITY = 512  # priority-sample size
+
+# priority q = w / u with u = (h+1)/2^60 in (0, 1]; written as one
+# double-division chain evaluated in the same order on both engines.
+_Q_EXPR = f"w / ((CAST(h AS DOUBLE) + 1.0) / {HASH_DOMAIN:.1f})"
+
+
+@register(
+    "x80_priority_sample_revenue",
+    oracle=f"""
+        WITH pri AS (
+            SELECT l_returnflag, w, {_Q_EXPR} AS q, h
+            FROM (
+                SELECT l_returnflag,
+                       CAST(l_extendedprice AS DOUBLE) AS w,
+                       {_H_DUCK.format(
+                           col="l_orderkey || '-' || l_linenumber")} AS h
+                FROM lineitem
+            ) hashed
+        ),
+        topk AS (
+            SELECT *, row_number() OVER (ORDER BY q DESC, h) AS rn
+            FROM pri
+            QUALIFY rn <= {K_PRIORITY + 1}
+        ),
+        tau AS (
+            SELECT CASE WHEN count(*) = {K_PRIORITY + 1}
+                        THEN min(q) ELSE 0.0 END AS tau
+            FROM topk
+        ),
+        est AS (
+            SELECT l_returnflag,
+                   count(*) AS n_sample,
+                   SUM(CAST(ROUND(GREATEST(w, tau) * 100.0, 0) AS BIGINT))
+                       AS est_cents
+            FROM topk, tau
+            WHERE rn <= {K_PRIORITY}
+            GROUP BY l_returnflag
+        ),
+        exact AS (
+            SELECT l_returnflag,
+                   ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)
+                       AS exact_revenue
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT e.l_returnflag,
+               COALESCE(s.n_sample, 0) AS n_sample,
+               ROUND(CAST(COALESCE(s.est_cents, 0) AS DOUBLE) / 100.0, 2)
+                   AS est_revenue,
+               e.exact_revenue,
+               ROUND(ABS(ROUND(CAST(COALESCE(s.est_cents, 0) AS DOUBLE)
+                               / 100.0, 2) - e.exact_revenue)
+                     / e.exact_revenue, 4) AS rel_err
+        FROM exact e LEFT JOIN est s USING (l_returnflag)
+    """,
+    tags=("sketch",),
+)
+def x80_priority_sample_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag revenue estimated from ONE K_PRIORITY-row
+    priority sample of lineitem, next to the exact answer and the
+    realized relative error.
+
+    Priority sampling (Duffield-Lund-Thorup '07): each row gets
+    priority q = w/u with u a uniform md5-derived hash in (0,1];
+    the K highest-priority rows form the sample, tau is the (K+1)-th
+    priority, and every sampled row estimates its weight as
+    max(w, tau) — unbiased for ANY subset sum, so one global sample
+    answers arbitrary post-hoc group-by questions (the whole point at
+    100 TB: sample once, slice forever). When the table has <= K rows
+    tau = 0 and the estimate is exact.
+
+    Scale shape: the sample is ``orderBy(q desc).limit(K+1)`` —
+    Spark's TakeOrderedAndProject, per-partition top-K then a
+    K*n_partitions driver merge, never a global sort. Everything
+    after touches <= K+1 rows. Determinism across engines: per-item
+    adjusted weights are fixed-pointed to cents (bigint) before
+    summing, so no float-addition-order divergence; ties in q broken
+    by h.
+    """
+    return priority_sample_revenue(load(spark, sf, "lineitem"))
+
+
+def priority_sample_revenue(li: DataFrame, k: int = K_PRIORITY) -> DataFrame:
+    """The priority-sample estimate plan over a lineitem-shaped
+    DataFrame — see ``x80_priority_sample_revenue``."""
+    pri = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("w"),
+        F.expr(
+            _H_SPARK.format(col="l_orderkey || '-' || l_linenumber")
+        ).alias("h"),
+    ).withColumn("q", F.expr(_Q_EXPR))
+    topk = pri.orderBy(F.desc("q"), "h").limit(k + 1)
+    w_all = Window.orderBy(F.desc("q"), "h")
+    w_full = Window.partitionBy()
+    ranked = (
+        topk.withColumn("rn", F.row_number().over(w_all))
+        .withColumn("n_topk", F.count("*").over(w_full))
+        .withColumn("q_min", F.min("q").over(w_full))
+    )
+    tau = F.when(F.col("n_topk") == k + 1, F.col("q_min")).otherwise(F.lit(0.0))
+    est = (
+        ranked.withColumn("tau", tau)
+        .filter(F.col("rn") <= k)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sample"),
+            F.sum(
+                F.round(F.greatest("w", F.col("tau")) * F.lit(100.0), 0).cast(
+                    "bigint"
+                )
+            ).alias("est_cents"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice").cast("double"), 2).alias(
+            "exact_revenue"
+        )
+    )
+    est_rev = F.round(
+        F.coalesce(F.col("est_cents"), F.lit(0)).cast("double") / F.lit(100.0),
+        2,
+    )
+    return exact.join(F.broadcast(est), "l_returnflag", "left").select(
+        "l_returnflag",
+        F.coalesce(F.col("n_sample"), F.lit(0)).alias("n_sample"),
+        est_rev.alias("est_revenue"),
+        "exact_revenue",
+        F.round(
+            F.abs(est_rev - F.col("exact_revenue")) / F.col("exact_revenue"), 4
+        ).alias("rel_err"),
     )

@@ -96,17 +96,19 @@ def _ensure_loaded() -> None:
 #      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
 #      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
 #      q18/q19, t01 the reference dashboard query);
-#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x78
-#      sketches) lead per policy rule 1;
-#   3. 29 of the r6-green tier, module-registration order; the 19
-#      remaining r6 queries (incl. a08/j08/f10, displaced by the
-#      sketch family) rotate in r10.
+#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x80
+#      sketch/sample family) lead per policy rule 1;
+#   3. 26 of the r6-green tier, module-registration order; the 22
+#      remaining r6 queries (incl. a07/a08/j08/f10/x55, displaced
+#      by the sketch family) rotate in r10.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
     "x78_bottomk_sample_quantiles",
+    "x79_token_heavy_hitters",
+    "x80_priority_sample_revenue",
     # -- last green r4
     "o02_multikey_page",
     "set01_union",
@@ -153,8 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x51_temperature_mix_sample",
     "x52_training_order",
     "x54_lm_quality_score",
-    "x55_split_leakage",
-    "a07_rollup",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -8,7 +8,13 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from etl_spark.extensions.sketches import K_SKETCH, salted_min_k
+from etl_spark.extensions.sketches import (
+    HH_PHI,
+    K_SKETCH,
+    priority_sample_revenue,
+    salted_min_k,
+    token_heavy_hitters,
+)
 from etl_spark.registry import all_specs
 from etl_spark.tables import load
 
@@ -123,3 +129,58 @@ def test_bottomk_quantiles_bracket_exact(spark):
         for q, v in ((0.25, r.p25), (0.5, r.p50), (0.9, r.p90)):
             lo, hi = brackets[(year, q)]
             assert lo <= v <= hi, f"{year} q{q}: {v} outside [{lo}, {hi}]"
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """x79's output must be the exact plain-groupBy answer whatever
+    the input partitioning — the pigeonhole candidate guarantee. A
+    skewed synthetic stream (one token at 10%, a handful at ~1%, a
+    long tail of singletons) is checked at 1, 7 and 32 partitions."""
+    rows = (
+        [("hot",)] * 2000
+        + [(f"warm{i}",) for i in range(5) for _ in range(200)]
+        + [(f"tail{i}",) for i in range(17000)]
+    )
+    tokens = spark.createDataFrame(rows, schema="token string")
+    n = len(rows)
+    exact = {
+        (r.token, r.cnt)
+        for r in tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > HH_PHI * n)
+        .collect()
+    }
+    assert any(t == "hot" for t, _ in exact) and len(exact) == 6
+    for parts in (1, 7, 32):
+        got = {
+            (r.token, r.cnt)
+            for r in token_heavy_hitters(tokens.repartition(parts)).collect()
+        }
+        assert got == exact, f"parts={parts}"
+
+
+def test_priority_sample_exact_when_not_sampling(spark):
+    """With fewer rows than k the priority sample IS the table:
+    tau = 0, every estimate exact to the cent, rel_err 0."""
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").limit(300)
+    out = priority_sample_revenue(li, k=512).collect()
+    assert sum(r.n_sample for r in out) == 300
+    for r in out:
+        assert abs(r.est_revenue - r.exact_revenue) <= 0.011 * r.n_sample
+        assert r.rel_err <= 1e-4
+
+
+def test_priority_sample_error_bound(spark):
+    """In the sampling regime (sf0.01 lineitem ~60k rows, k=512) the
+    per-returnflag estimates must land within 20% of exact and the
+    TOTAL within 10% — loose 3-sigma-ish bounds for priority
+    sampling's subset-sum variance; deterministic hashes make this a
+    fixed fact of the fixture, not a flaky draw."""
+    out = SPECS["x80_priority_sample_revenue"].fn(spark, SF001).collect()
+    assert len(out) == 3
+    assert sum(r.n_sample for r in out) == 512
+    tot_est = sum(r.est_revenue for r in out)
+    tot_exact = sum(r.exact_revenue for r in out)
+    assert abs(tot_est - tot_exact) / tot_exact <= 0.10
+    for r in out:
+        assert r.rel_err <= 0.20, f"{r.l_returnflag}: rel_err {r.rel_err}"
