@@ -120,6 +120,10 @@ HEADLINE = [
     "x78_bottomk_sample_quantiles",
     "x79_token_heavy_hitters",
     "x80_priority_sample_revenue",
+    "x81_countmin_token_freq",
+    "x82_cms_merge_estimates",
+    # r9: stored inverted-index boolean search (in-plan form)
+    "x83_boolean_token_search",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -388,7 +392,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x80",
+        "headline_set_rev": "r9-add-x75-x83",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

@@ -661,3 +661,176 @@ def priority_sample_revenue(li: DataFrame, k: int = K_PRIORITY) -> DataFrame:
             F.abs(est_rev - F.col("exact_revenue")) / F.col("exact_revenue"), 4
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x81/x82: count-min sketch — bounded-state frequency estimates with a
+# one-sided (overestimate-only) error and exact cell-wise mergeability.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # sketch depth: independent hash rows, est = min over rows
+# Sketch width. Deliberately TINY for the fixtures: the corpus
+# vocabulary is 31 tokens, so w=16 forces real bucket collisions and
+# exercises the overestimate path (with a production width of 2^16+
+# the fixture would never collide and est==exact would be vacuously
+# green). The parameter is what a deployment tunes: error <= 2N/w
+# per row, P[all D rows collide badly] falls exponentially in D.
+CMS_W = 16
+
+# per-row hash: md5 of "<d>:<token>" through the shared 15-hex-char
+# bigint chain, reduced mod CMS_W. Nonnegative on both engines, so
+# plain % == pmod.
+_CMS_H_SPARK = _H_SPARK.format(col="'{d}:' || token")
+_CMS_H_DUCK = _H_DUCK.format(col="CAST(d AS VARCHAR) || ':' || token")
+
+_DUCK_TOKS = f"SELECT unnest({_TOKENS_DUCK}) AS token FROM documents"
+
+_DUCK_CMS_CELLS = f"""
+            SELECT d, hh % {CMS_W} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cell_cnt
+            FROM (
+                SELECT d, {_CMS_H_DUCK} AS hh
+                FROM toks CROSS JOIN (
+                    SELECT unnest([0, 1, 2, 3]) AS d) ds
+            ) hashed
+            GROUP BY d, bucket
+"""
+
+_DUCK_CMS_EST = f"""
+            SELECT token, MIN(cell_cnt) AS est_cnt
+            FROM (
+                SELECT token, d, {_CMS_H_DUCK} % {CMS_W} AS bucket
+                FROM vocab CROSS JOIN (
+                    SELECT unnest([0, 1, 2, 3]) AS d) ds
+            ) probes
+            JOIN cells USING (d, bucket)
+            GROUP BY token
+"""
+
+
+def _cms_positions():
+    """Array<struct<d, bucket>> of a token's CMS_D cell coordinates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    F.expr(_CMS_H_SPARK.format(d=d)), F.lit(CMS_W)
+                ).alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+
+
+def cms_cells(tokens: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """Count-min sketch cells over a one-column ``token`` stream:
+    (d, bucket, cell_cnt), at most CMS_D*CMS_W rows (per extra-key
+    group). The explode happens BEFORE the aggregate, so partial
+    (map-side) aggregation bounds the shuffle at CMS_D*CMS_W rows per
+    task whatever the vocabulary — the whole point vs a groupBy(token)
+    whose shuffle carries one row per distinct token."""
+    pos = tokens.select(*extra_keys, F.explode(_cms_positions()).alias("c"))
+    return pos.groupBy(
+        *extra_keys, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cell_cnt"))
+
+
+def cms_estimates(cells: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Point-query the sketch for each token in ``vocab`` (a one-column
+    ``token`` DataFrame, expected small — heavy hitters, an allowlist):
+    est = min over the D rows of the token's cell. Broadcast on the
+    probe side; the sketch itself is <= D*W rows."""
+    probes = vocab.select(
+        "token", F.explode(_cms_positions()).alias("c")
+    ).select("token", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    return (
+        cells.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+
+
+@register(
+    "x81_countmin_token_freq",
+    oracle=f"""
+        WITH toks AS ({_DUCK_TOKS}),
+        exact AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM toks GROUP BY token
+        ),
+        vocab AS (SELECT token FROM exact),
+        cells AS ({_DUCK_CMS_CELLS}),
+        est AS ({_DUCK_CMS_EST})
+        SELECT e.token, e.exact_cnt, m.est_cnt,
+               m.est_cnt - e.exact_cnt AS overest
+        FROM exact e JOIN est m USING (token)
+    """,
+    tags=("sketch",),
+)
+def x81_countmin_token_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch audit: every corpus token's CMS estimate next
+    to its exact count and the (always >= 0) overestimate.
+
+    CMS (Cormode & Muthukrishnan '05): D=4 hash rows of W=16 counters;
+    a token's count is over-counted by whatever shares its bucket, so
+    est = min over rows >= exact, with per-row error <= 2N/W in
+    expectation. The sketch build's shuffle is <= D*W rows per task
+    (map-side combine does the heavy lifting) — the vocabulary long
+    tail NEVER shuffles, unlike the exact groupBy whose shuffle at
+    100 TB carries billions of distinct keys. The exact side here
+    exists only because this is the audit query; at scale you audit
+    on the x79 heavy-hitter set (bounded the same way) and trust the
+    sketch for everything else. Determinism: both engines count
+    bigints over identical md5-derived buckets — no floats anywhere.
+    """
+    docs = load(spark, sf, "documents")
+    tokens = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("token"))
+    exact = tokens.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimates(cms_cells(tokens), exact.select("token"))
+    return exact.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overest"),
+    )
+
+
+@register(
+    "x82_cms_merge_estimates",
+    oracle=f"""
+        WITH toks AS ({_DUCK_TOKS}),
+        vocab AS (SELECT DISTINCT token FROM toks),
+        cells AS ({_DUCK_CMS_CELLS}),
+        est AS ({_DUCK_CMS_EST})
+        SELECT token, est_cnt FROM est
+    """,
+    tags=("sketch",),
+)
+def x82_cms_merge_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS mergeability, proven cross-engine: the Spark side builds
+    one sketch PER half-corpus (doc_id parity — two shards standing in
+    for two ingest days) and merges them by cell-wise addition; the
+    oracle builds ONE sketch over the full corpus directly. A value
+    hash match means merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    exactly — the property that lets 1000 executors sketch their
+    partitions independently and combine in a D*W-sized reduce, and
+    lets yesterday's stored sketch absorb today's delta without a
+    rescan (the incremental-family contract of x37/x44/x59/x64).
+
+    One corpus scan feeds the halves: cells are keyed by (half, d,
+    bucket) first, then the merge is a second tiny aggregate over
+    <= 2*D*W rows. ``test_cms_merge_equals_full_build`` additionally
+    pins merged == x81's single-build estimates in-engine.
+    """
+    docs = load(spark, sf, "documents")
+    tokens = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.expr(_TOKENS_SPARK)).alias("token"),
+    )
+    per_half = cms_cells(tokens, extra_keys=("half",))
+    merged = per_half.groupBy("d", "bucket").agg(
+        F.sum("cell_cnt").alias("cell_cnt")
+    )
+    vocab = tokens.select("token").distinct()
+    return cms_estimates(merged, vocab)

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.corpus  # noqa: F401
     import etl_spark.extensions.resampling  # noqa: F401
     import etl_spark.extensions.sketches  # noqa: F401
+    import etl_spark.extensions.textindex  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -96,11 +97,12 @@ def _ensure_loaded() -> None:
 #      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
 #      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
 #      q18/q19, t01 the reference dashboard query);
-#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x80
-#      sketch/sample family) lead per policy rule 1;
-#   3. 26 of the r6-green tier, module-registration order; the 22
-#      remaining r6 queries (incl. a07/a08/j08/f10/x55, displaced
-#      by the sketch family) rotate in r10.
+#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x82
+#      sketch/sample family, x83 boolean search) lead per policy
+#      rule 1;
+#   3. 23 of the r6-green tier, module-registration order; the 25
+#      remaining r6 queries (incl. a07/a08/j08/f10/x51/x52/x54/x55,
+#      displaced by the sketch + index families) rotate in r10.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x75_ivfpq_residual_knn_join",
@@ -109,6 +111,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x78_bottomk_sample_quantiles",
     "x79_token_heavy_hitters",
     "x80_priority_sample_revenue",
+    "x81_countmin_token_freq",
+    "x82_cms_merge_estimates",
+    "x83_boolean_token_search",
     # -- last green r4
     "o02_multikey_page",
     "set01_union",
@@ -152,9 +157,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x47_curated_corpus",
     "x49_multimodal_curated",
     "x50_segment_dedup",
-    "x51_temperature_mix_sample",
-    "x52_training_order",
-    "x54_lm_quality_score",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

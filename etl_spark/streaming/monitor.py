@@ -164,3 +164,131 @@ def dedup_stream(
     re-scan-everything loop lacks. This is the ingestion front door of
     a training-data pipeline (every crawler delivers duplicates)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+# ---------------------------------------------------------------------------
+# streaming distinct-count monitor — the KMV sketch (extensions/
+# sketches.py) maintained incrementally at the ingest front door.
+# ---------------------------------------------------------------------------
+
+
+def _latest_committed_version(store_path: str, below: int | None = None) -> str | None:
+    """Newest ``v<N>`` directory under ``store_path`` carrying the
+    _SUCCESS commit marker (optionally restricted to N < ``below`` so
+    a replaying batch never reads its own partial output)."""
+    import glob
+    import os
+    import re
+
+    from etl_spark.streaming.neardup import batch_committed
+
+    best: tuple[int, str] | None = None
+    for d in glob.glob(os.path.join(store_path, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(d))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if below is not None and n >= below:
+            continue
+        if batch_committed(d) and (best is None or n > best[0]):
+            best = (n, d)
+    return None if best is None else best[1]
+
+
+def run_distinct_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Per-group distinct-``key_col`` tracking as a micro-batch-merged
+    KMV sketch (x76's build, kept current at ingest): every batch's
+    hashed distinct keys merge into a <= k-rows-per-group stored
+    sketch, so "how many distinct users did each event type see so
+    far?" is answered from K rows per group — state NEVER grows with
+    true cardinality, the property a streaming exact count-distinct
+    (one state row per key, unbounded) cannot offer, and the
+    watermarked variants can only offer per-window.
+
+    Store layout: ``store_path/v<batch_id>`` parquet of (group, h),
+    written by cell-wise KMV merge of v<batch_id-1> with the batch
+    (merge = top-K of the union — the theta-sketch composition x77
+    exercises cross-engine). Each version carries _SUCCESS (static
+    overwrite — the dynamic-mode marker trap, sources/txlog.py note);
+    a replayed batch is skipped on its own marker and would reproduce
+    the identical bytes anyway, since v<N> is a pure function of the
+    immutable v<N-1> and the batch. ``on_batch(batch_id, n_kept)``
+    observes. Read the answer with ``distinct_estimates``."""
+    import os
+
+    from etl_spark.extensions.sketches import _H_SPARK, K_SKETCH, salted_min_k
+    from etl_spark.streaming.neardup import batch_committed
+
+    kk = k if k is not None else K_SKETCH
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(store_path, f"v{batch_id}")
+        if batch_committed(out_dir):
+            return
+        spark = batch_df.sparkSession
+        hashed = batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(_H_SPARK.format(col=key_col)).alias("h"),
+        ).distinct()
+        prev_dir = _latest_committed_version(store_path, below=batch_id)
+        if prev_dir is not None:
+            hashed = spark.read.parquet(prev_dir).unionByName(hashed).distinct()
+        kept = salted_min_k(hashed, ["grp"], k=kk).select("grp", "h")
+        kept = kept.persist()
+        n_kept = kept.count()
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(out_dir)
+        )
+        kept.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_kept)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def distinct_estimates(spark: SparkSession, store_path: str, k: int | None = None) -> DataFrame:
+    """Current per-group KMV distinct estimate from the newest
+    committed sketch version: (grp, kept, est_distinct) — exact while
+    the sketch is not full, (K-1)/U_K once it is (the x76 estimator
+    over the streamed store). The input is <= k rows per group, so
+    this is a driver-cheap lookup however large the stream history."""
+    from pyspark.sql import Window
+
+    from etl_spark.extensions.sketches import K_SKETCH, _est_expr
+
+    kk = k if k is not None else K_SKETCH
+    latest = _latest_committed_version(store_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed sketch version under {store_path}")
+    kept = spark.read.parquet(latest)
+    ranked = kept.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").alias("kept"),
+        F.max(F.when(F.col("rn") == kk, F.col("h"))).alias("hk"),
+    )
+    est = (
+        F.when(F.col("kept") < kk, F.col("kept").cast("double")).otherwise(
+            F.lit(float(kk - 1)) / (F.col("hk") / F.lit(float(1 << 60)))
+        )
+        if kk != K_SKETCH
+        else _est_expr("kept", "hk")
+    )
+    return agg.select("grp", "kept", F.round(est, 4).alias("est_distinct"))

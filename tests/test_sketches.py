@@ -184,3 +184,31 @@ def test_priority_sample_error_bound(spark):
     assert abs(tot_est - tot_exact) / tot_exact <= 0.10
     for r in out:
         assert r.rel_err <= 0.20, f"{r.l_returnflag}: rel_err {r.rel_err}"
+
+
+def test_cms_overestimates_only_and_collides(spark):
+    """CMS error is one-sided: est >= exact for EVERY token (the min
+    over D rows can only over-count). With the deliberately tiny
+    CMS_W=16 against the 31-token fixture vocabulary, pigeonhole
+    forces collisions in every row — at least one token must actually
+    overestimate, or the collision path was never exercised."""
+    out = SPECS["x81_countmin_token_freq"].fn(spark, SF001).collect()
+    assert len(out) == 31
+    assert all(r.est_cnt >= r.exact_cnt for r in out)
+    assert all(r.overest == r.est_cnt - r.exact_cnt for r in out)
+    assert any(r.overest > 0 for r in out), "W=16 never collided?"
+
+
+def test_cms_merge_equals_full_build(spark):
+    """Cell-wise merge of the two half-corpus sketches must equal the
+    single full-corpus sketch exactly — counts add, so every estimate
+    agrees. x82 (merged) vs x81 (single build) per token."""
+    full = {
+        r.token: r.est_cnt
+        for r in SPECS["x81_countmin_token_freq"].fn(spark, SF001).collect()
+    }
+    merged = {
+        r.token: r.est_cnt
+        for r in SPECS["x82_cms_merge_estimates"].fn(spark, SF001).collect()
+    }
+    assert merged == full and len(merged) == 31

@@ -1159,3 +1159,99 @@ def test_streaming_knn_probe_pq_tier(spark, sf_dir, tmp_path):
     ).collect()
     key = lambda r: (r.qid, r.rk, r.vec_id, r.d2)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_distinct_monitor_merges_sketches_and_replays(spark, sf_dir, tmp_path):
+    """Streaming KMV distinct-count: (1) after two incremental drains
+    the stored sketch must equal the BATCH sketch over everything seen
+    (top-K(top-K(A) ∪ B) == top-K(A ∪ B) — the merge property x77
+    proves cross-engine, here proven across micro-batches); (2) a
+    full replay from a fresh checkpoint skips committed versions and
+    leaves the estimates byte-identical."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.sketches import _H_SPARK, salted_min_k
+    from etl_spark.streaming import stream_events
+    from etl_spark.streaming.monitor import distinct_estimates, run_distinct_monitor
+
+    K = 16  # small so the fixture reaches the estimator regime
+    events = load(spark, sf_dir, "events")
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "kmv_store")
+    ckpt = str(tmp_path / "kmv_ckpt")
+
+    def _drop(pred, name):
+        pdf = events.filter(pred).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf), str(in_dir / name))
+
+    def _drain(checkpoint):
+        q = run_distinct_monitor(
+            stream_events(spark, str(in_dir)),
+            store,
+            k=K,
+            checkpoint=checkpoint,
+        )
+        q.awaitTermination(120)
+
+    _drop(F.col("event_id") % 3 < 2, "part-0.parquet")
+    _drain(ckpt)
+    _drop(F.col("event_id") % 3 == 2, "part-1.parquet")
+    _drain(ckpt)
+
+    got = {
+        r.grp: (r.kept, r.est_distinct)
+        for r in distinct_estimates(spark, store, k=K).collect()
+    }
+
+    hashed = events.select(
+        F.col("event_type").alias("grp"),
+        F.expr(_H_SPARK.format(col="user_id")).alias("h"),
+    ).distinct()
+    batch_kept = salted_min_k(hashed, ["grp"], k=K).select("grp", "h")
+    want_sets = {
+        grp: {r.h for r in rows.collect()}
+        for grp, rows in (
+            (g.grp, batch_kept.filter(F.col("grp") == g.grp))
+            for g in batch_kept.select("grp").distinct().collect()
+        )
+    }
+    import glob
+
+    latest = sorted(
+        glob.glob(f"{store}/v*"), key=lambda d: int(d.rsplit("v", 1)[1])
+    )[-1]
+    got_sets: dict = {}
+    for r in spark.read.parquet(latest).collect():
+        got_sets.setdefault(r.grp, set()).add(r.h)
+    assert got_sets == want_sets
+
+    exact = {
+        r.grp: r.n
+        for r in events.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for grp, (kept, est) in got.items():
+        assert kept == min(K, exact[grp])
+        if exact[grp] >= K:
+            # estimator regime: ~27% rel std err at K=16; 0.75 is a
+            # deterministic-fixture sanity rail, not a tight bound
+            assert abs(est - exact[grp]) / exact[grp] <= 0.75
+        else:
+            assert est == float(exact[grp])
+
+    # replay: fresh checkpoint => the source re-delivers everything as
+    # batch 0, whose version is already committed — skipped, store and
+    # estimates unchanged
+    versions_before = sorted(glob.glob(f"{store}/v*"))
+    _drain(str(tmp_path / "kmv_ckpt_replay"))
+    assert sorted(glob.glob(f"{store}/v*")) == versions_before
+    got2 = {
+        r.grp: (r.kept, r.est_distinct)
+        for r in distinct_estimates(spark, store, k=K).collect()
+    }
+    assert got2 == got
