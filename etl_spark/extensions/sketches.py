@@ -411,7 +411,8 @@ HH_PHI = 0.002  # heavy-hitter threshold: tokens with freq > 0.2%
 # Shared corpus tokenization: lowercase, split on runs of whitespace,
 # drop empties. Spark's Java \s and DuckDB's \s agree on ASCII
 # whitespace (the fixture corpus); both lower() are ASCII-identical.
-_TOKENS_SPARK = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+_TOKENS_SPARK_T = r"filter(split(lower({col}), '\\s+'), t -> t <> '')"
+_TOKENS_SPARK = _TOKENS_SPARK_T.format(col="text")
 _TOKENS_DUCK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
 
 

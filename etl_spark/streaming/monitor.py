@@ -292,3 +292,210 @@ def distinct_estimates(spark: SparkSession, store_path: str, k: int | None = Non
         else _est_expr("kept", "hk")
     )
     return agg.select("grp", "kept", F.round(est, 4).alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# streaming weighted sample — x80's priority sample maintained
+# incrementally (sample once, slice forever — now over a stream).
+# ---------------------------------------------------------------------------
+
+
+def run_weighted_sample_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    weight_col: str = "value",
+    id_col: str = "event_id",
+    keep_cols: tuple[str, ...] = ("event_type",),
+    k: int = 512,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Priority sampling (x80, Duffield-Lund-Thorup '07) at the ingest
+    front door: each micro-batch's rows get priority q = w/u (u an
+    md5-uniform hash of ``id_col``), and the stored sample is the
+    top-(k+1) priorities of (previous store ∪ batch) — k+1 rows
+    FOREVER, whatever the stream's length. Priority top-K is
+    associative with the deterministic (q desc, h) tie-break, so the
+    streamed store equals the one-shot sample over everything seen
+    (asserted in tests), and every subset-sum estimate drawn from it
+    is unbiased — one stored sample answers arbitrary post-hoc
+    group-bys over the whole stream history.
+
+    Store layout mirrors ``run_distinct_monitor``: versioned
+    ``v<batch_id>`` parquet of (``id_col``, *keep_cols, w, h, q), each
+    version _SUCCESS-committed, replays skipped on the marker.
+    ``on_batch(batch_id, n_kept)`` observes. Read with
+    ``weighted_sample_estimates``."""
+    import os
+
+    from etl_spark.extensions.sketches import _H_SPARK, _Q_EXPR
+    from etl_spark.streaming.neardup import batch_committed
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(store_path, f"v{batch_id}")
+        if batch_committed(out_dir):
+            return
+        spark = batch_df.sparkSession
+        pri = batch_df.select(
+            F.col(id_col).alias("sample_id"),
+            *keep_cols,
+            F.col(weight_col).cast("double").alias("w"),
+            F.expr(_H_SPARK.format(col=id_col)).alias("h"),
+        ).withColumn("q", F.expr(_Q_EXPR))
+        prev_dir = _latest_committed_version(store_path, below=batch_id)
+        if prev_dir is not None:
+            pri = spark.read.parquet(prev_dir).unionByName(pri)
+        # at-least-once sources can redeliver a row in a LATER batch;
+        # a doubled sample member would bias every subset sum, so the
+        # sample is keyed on the id (h derives from it — same dedup)
+        kept = pri.dropDuplicates(["sample_id"]).orderBy(F.desc("q"), "h").limit(k + 1)
+        kept = kept.persist()
+        n_kept = kept.count()
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(out_dir)
+        )
+        kept.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_kept)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def weighted_sample_estimates(
+    spark: SparkSession, store_path: str, group_col: str, k: int = 512
+) -> DataFrame:
+    """Per-``group_col`` subset-sum estimate from the newest committed
+    sample version: (grp, n_sample, est_total). tau is the (k+1)-th
+    priority when the sample is full (0 otherwise — then the sample IS
+    the stream and the estimate is exact); each of the k sampled rows
+    contributes max(w, tau), fixed-pointed to cents before summing
+    (x80's determinism convention). Input is <= k+1 rows — driver-cheap
+    however long the stream ran."""
+    from pyspark.sql import Window
+
+    latest = _latest_committed_version(store_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed sample version under {store_path}")
+    kept = spark.read.parquet(latest)
+    w_all = Window.orderBy(F.desc("q"), "h")
+    w_full = Window.partitionBy()
+    ranked = (
+        kept.withColumn("rn", F.row_number().over(w_all))
+        .withColumn("n_kept", F.count("*").over(w_full))
+        .withColumn("q_min", F.min("q").over(w_full))
+    )
+    tau = F.when(F.col("n_kept") == k + 1, F.col("q_min")).otherwise(F.lit(0.0))
+    return (
+        ranked.withColumn("tau", tau)
+        .filter(F.col("rn") <= k)
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n_sample"),
+            (
+                F.sum(
+                    F.round(
+                        F.greatest("w", F.col("tau")) * F.lit(100.0), 0
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("est_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming token-frequency monitor — x81's count-min sketch merged
+# cell-wise per micro-batch (the third streaming sketch face:
+# distinct = KMV, sample = priority, frequency = CMS).
+# ---------------------------------------------------------------------------
+
+
+def run_freq_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Corpus token frequencies at ingest as a micro-batch-merged
+    count-min sketch: each batch's tokens are sketched into D*W cells
+    (x81's build — the vocabulary long tail never shuffles, state is
+    <= D*W counters FOREVER) and added cell-wise into the stored
+    sketch — the mergeability x82 proves cross-engine, applied across
+    micro-batches. Store is ``v<batch_id>``-versioned with _SUCCESS
+    commit markers exactly like ``run_distinct_monitor``; replays skip
+    committed versions. Read with ``freq_estimates``.
+
+    Counting semantics: CMS counts delivered occurrences, so a row
+    REDELIVERED in a later batch double-counts (unlike the KMV/sample
+    monitors, whose state is keyed and self-deduplicating). Front an
+    at-least-once source with ``dedup_stream`` when exactly-once
+    counts matter."""
+    import os
+
+    from etl_spark.extensions.sketches import _TOKENS_SPARK_T, cms_cells
+    from etl_spark.streaming.neardup import batch_committed
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(store_path, f"v{batch_id}")
+        if batch_committed(out_dir):
+            return
+        spark = batch_df.sparkSession
+        tokens = batch_df.select(
+            F.explode(
+                F.expr(_TOKENS_SPARK_T.format(col=text_col))
+            ).alias("token")
+        )
+        cells = cms_cells(tokens)
+        prev_dir = _latest_committed_version(store_path, below=batch_id)
+        if prev_dir is not None:
+            cells = (
+                spark.read.parquet(prev_dir)
+                .unionByName(cells)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            )
+        cells = cells.persist()
+        n_cells = cells.count()
+        (
+            cells.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(out_dir)
+        )
+        cells.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_cells)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def freq_estimates(
+    spark: SparkSession, store_path: str, tokens: tuple[str, ...]
+) -> DataFrame:
+    """Point-query the newest committed streamed sketch for a token
+    list: (token, est_cnt), est >= true count always (CMS one-sided
+    error). Driver-cheap: the sketch is <= D*W rows."""
+    from etl_spark.extensions.sketches import cms_estimates
+
+    latest = _latest_committed_version(store_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed sketch version under {store_path}")
+    cells = spark.read.parquet(latest)
+    vocab = spark.createDataFrame(
+        [(t,) for t in sorted(set(tokens))], "token string"
+    )
+    return cms_estimates(cells, vocab)

@@ -1255,3 +1255,184 @@ def test_distinct_monitor_merges_sketches_and_replays(spark, sf_dir, tmp_path):
         for r in distinct_estimates(spark, store, k=K).collect()
     }
     assert got2 == got
+
+
+def test_weighted_sample_monitor_equals_batch_sample_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Streaming priority sample: (1) the streamed top-(k+1) store
+    must ROW-IDENTICALLY equal the one-shot batch sample over all
+    events seen (priority top-K is associative under the (q desc, h)
+    tie-break); (2) with k >= stream size, tau = 0 and the per-group
+    estimates are the exact sums to the cent; (3) replay from a fresh
+    checkpoint changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.sketches import _H_SPARK, _Q_EXPR
+    from etl_spark.streaming import stream_events
+    from etl_spark.streaming.monitor import (
+        run_weighted_sample_monitor,
+        weighted_sample_estimates,
+    )
+
+    K = 128
+    events = load(spark, sf_dir, "events")
+    in_dir = tmp_path / "ws_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "ws_store")
+    ckpt = str(tmp_path / "ws_ckpt")
+
+    def _drop(pred, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(events.filter(pred).toPandas()),
+            str(in_dir / name),
+        )
+
+    def _drain(checkpoint, k=K):
+        q = run_weighted_sample_monitor(
+            stream_events(spark, str(in_dir)),
+            store,
+            k=k,
+            checkpoint=checkpoint,
+        )
+        q.awaitTermination(120)
+
+    _drop(F.col("event_id") % 3 < 2, "part-0.parquet")
+    _drain(ckpt)
+    _drop(F.col("event_id") % 3 == 2, "part-1.parquet")
+    _drain(ckpt)
+
+    import glob
+
+    latest = sorted(
+        glob.glob(f"{store}/v*"), key=lambda d: int(d.rsplit("v", 1)[1])
+    )[-1]
+    got_ids = sorted(
+        r.sample_id for r in spark.read.parquet(latest).collect()
+    )
+    batch_kept = (
+        events.select(
+            F.col("event_id").alias("sample_id"),
+            F.col("value").cast("double").alias("w"),
+            F.expr(_H_SPARK.format(col="event_id")).alias("h"),
+        )
+        .withColumn("q", F.expr(_Q_EXPR))
+        .orderBy(F.desc("q"), "h")
+        .limit(K + 1)
+    )
+    want_ids = sorted(r.sample_id for r in batch_kept.collect())
+    assert got_ids == want_ids and len(got_ids) == K + 1
+
+    est = {
+        r.grp: (r.n_sample, r.est_total)
+        for r in weighted_sample_estimates(
+            spark, store, "event_type", k=K
+        ).collect()
+    }
+    assert sum(n for n, _ in est.values()) == K
+    exact = {
+        r.event_type: r.s
+        for r in events.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    tot_est = sum(v for _, v in est.values())
+    tot_exact = sum(exact.values())
+    assert abs(tot_est - tot_exact) / tot_exact <= 0.15
+
+    # replay: fresh checkpoint re-delivers everything as batch 0,
+    # already committed — store and estimates unchanged
+    before = sorted(glob.glob(f"{store}/v*"))
+    _drain(str(tmp_path / "ws_ckpt_replay"))
+    assert sorted(glob.glob(f"{store}/v*")) == before
+
+    # exact regime: k larger than the whole stream => tau = 0, every
+    # group estimate is the exact sum to the cent
+    store2 = str(tmp_path / "ws_store_exact")
+    q = run_weighted_sample_monitor(
+        stream_events(spark, str(in_dir)),
+        store2,
+        k=5000,
+        checkpoint=str(tmp_path / "ws_ckpt_exact"),
+    )
+    q.awaitTermination(120)
+    est2 = {
+        r.grp: r.est_total
+        for r in weighted_sample_estimates(
+            spark, store2, "event_type", k=5000
+        ).collect()
+    }
+    for grp, s in exact.items():
+        assert abs(est2[grp] - s) <= 0.01 * 1000  # cent rounding per row
+
+
+def test_freq_monitor_merges_cms_and_replays(spark, sf_dir, tmp_path):
+    """Streaming CMS: the streamed cell-wise-merged sketch must equal
+    the one-shot batch sketch over all documents seen (x82's
+    mergeability across micro-batches), its estimates must dominate
+    exact counts (one-sided error), and a fresh-checkpoint replay
+    changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.sketches import _TOKENS_SPARK, cms_cells
+    from etl_spark.streaming.monitor import freq_estimates, run_freq_monitor
+
+    docs = load(spark, sf_dir, "documents")
+    in_dir = tmp_path / "fm_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "fm_store")
+    ckpt = str(tmp_path / "fm_ckpt")
+
+    def _drop(pred, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(docs.filter(pred).toPandas()),
+            str(in_dir / name),
+        )
+
+    def _drain(checkpoint):
+        stream = spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).parquet(str(in_dir))
+        q = run_freq_monitor(stream, store, checkpoint=checkpoint)
+        q.awaitTermination(120)
+
+    _drop(F.col("doc_id") % 2 == 0, "part-0.parquet")
+    _drain(ckpt)
+    _drop(F.col("doc_id") % 2 == 1, "part-1.parquet")
+    _drain(ckpt)
+
+    import glob
+
+    latest = sorted(
+        glob.glob(f"{store}/v*"), key=lambda d: int(d.rsplit("v", 1)[1])
+    )[-1]
+    got_cells = {
+        (r.d, r.bucket): r.cell_cnt for r in spark.read.parquet(latest).collect()
+    }
+    tokens = docs.select(F.explode(F.expr(_TOKENS_SPARK)).alias("token"))
+    want_cells = {
+        (r.d, r.bucket): r.cell_cnt for r in cms_cells(tokens).collect()
+    }
+    assert got_cells == want_cells
+
+    exact = {
+        r.token: r.cnt
+        for r in tokens.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    probe = ("join", "spark", "vector")
+    est = {
+        r.token: r.est_cnt
+        for r in freq_estimates(spark, store, probe).collect()
+    }
+    for t in probe:
+        assert est[t] >= exact[t]
+
+    before = sorted(glob.glob(f"{store}/v*"))
+    _drain(str(tmp_path / "fm_ckpt_replay"))
+    assert sorted(glob.glob(f"{store}/v*")) == before
