@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.analytics_ext  # noqa: F401
     import etl_spark.operators.event_analytics  # noqa: F401
     import etl_spark.operators.statistics  # noqa: F401
+    import etl_spark.operators.bloomjoin  # noqa: F401
     import etl_spark.operators.relational  # noqa: F401
     import etl_spark.operators.scalar_functions  # noqa: F401
     import etl_spark.operators.analytics  # noqa: F401
@@ -100,11 +101,14 @@ def _ensure_loaded() -> None:
 #   2. the never-driver-checked r9 registrations (x75 ANN, x76-x82
 #      sketch/sample family, x83 boolean search) lead per policy
 #      rule 1;
-#   3. 23 of the r6-green tier, module-registration order; the 25
-#      remaining r6 queries (incl. a07/a08/j08/f10/x51/x52/x54/x55,
-#      displaced by the sketch + index families) rotate in r10.
+#   3. 22 of the r6-green tier, module-registration order; the
+#      remaining r6 queries (incl. a07/a08/j08/f10/x50/x51/x52/x54/
+#      x55, displaced by the sketch + index + bloom families) rotate
+#      in r10 — displacing within the equal-staleness r6 tier keeps
+#      the oldest-first invariant.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
+    "x84_bloom_join_prune",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -156,7 +160,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x45_split_token_budget",
     "x47_curated_corpus",
     "x49_multimodal_curated",
-    "x50_segment_dedup",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
