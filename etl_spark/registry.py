@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.resampling  # noqa: F401
     import etl_spark.extensions.sketches  # noqa: F401
     import etl_spark.extensions.textindex  # noqa: F401
+    import etl_spark.extensions.graph  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -109,6 +110,7 @@ def _ensure_loaded() -> None:
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x84_bloom_join_prune",
+    "x85_pagerank_trade_graph",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -159,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x25_decontaminate",
     "x45_split_token_budget",
     "x47_curated_corpus",
-    "x49_multimodal_curated",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
