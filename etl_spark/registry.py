@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.sketches  # noqa: F401
     import etl_spark.extensions.textindex  # noqa: F401
     import etl_spark.extensions.graph  # noqa: F401
+    import etl_spark.extensions.fuzzy  # noqa: F401
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -111,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x84_bloom_join_prune",
     "x85_pagerank_trade_graph",
+    "x86_fuzzy_name_match",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -160,7 +162,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x16_binary_meta",
     "x25_decontaminate",
     "x45_split_token_budget",
-    "x47_curated_corpus",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
