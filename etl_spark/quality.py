@@ -152,3 +152,216 @@ def split_by_rules(
     valid = tagged.filter(F.size("_violations") == 0).drop("_violations")
     rejected = tagged.filter(F.size("_violations") > 0)
     return valid, rejected
+
+
+def profile(
+    df: DataFrame,
+    include: list[str] | None = None,
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deequ-style column profile + constraint verdicts from ONE
+    aggregation pass over ``df`` (Schelter et al., VLDB 2018 — the
+    "compute all metrics in a single scan" design; the reference's
+    analog is the row-count threshold check, web_scheduler.py:3354).
+
+    Output is long-format ``(item, metric, value DOUBLE)``:
+
+    - every column: ``completeness`` (non-null fraction, rounded 6)
+      and ``distinct`` (exact count — the audit form; at 100 TB the
+      streaming/approx sibling is the x76 KMV sketch);
+    - numeric columns: ``min`` / ``max`` / ``mean`` — the mean sums
+      DECIMAL(38,9) casts so the total is exact and engine-portable
+      (float sums are addition-order-dependent; 9 fractional digits
+      covers currency/measure columns), divided as DOUBLE by the
+      NON-NULL count (SQL AVG semantics) at the end;
+    - timestamp columns: ``min`` / ``max`` as epoch MICROSECONDS
+      (integer-exact in both engines; see inline note);
+    - every ``rules`` entry (name -> boolean SQL over a row):
+      ``violations`` — rows where the rule is false or NULL
+      (``check_constraints`` semantics), counted in the SAME pass;
+    - ``__table__ / row_count``.
+
+    One wide agg + one explode: no per-column or per-rule rescans.
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    fields = [
+        f for f in df.schema.fields if include is None or f.name in include
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = f.name
+        t = f.dataType.simpleString()
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if t in numeric or t.startswith("decimal"):
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            aggs.append(F.sum(F.col(c).cast("decimal(38,9)")).alias(f"{c}__sum"))
+        elif t in ("timestamp", "timestamp_ntz"):
+            # epoch MICROSECONDS (bigint, exactly representable as
+            # double below 2^53): DuckDB twin is epoch_us(). A
+            # seconds-as-double form would divide by 1e6 with
+            # engine-specific op order — micros are integer-exact.
+            # NTZ casts through the session tz (pinned UTC).
+            aggs.append(F.unix_micros(F.min(c).cast("timestamp")).alias(f"{c}__min"))
+            aggs.append(F.unix_micros(F.max(c).cast("timestamp")).alias(f"{c}__max"))
+    for name, cond in (rules or {}).items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(cond).cast("boolean"), F.lit(False)), 0
+                ).otherwise(1)
+            ).alias(f"__rule__{name}")
+        )
+    row = df.agg(*aggs)
+
+    def entry(item: str, metric: str, value) -> F.Column:
+        return F.struct(
+            F.lit(item).alias("item"),
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    entries = [entry("__table__", "row_count", F.col("__n"))]
+    for f in fields:
+        c = f.name
+        t = f.dataType.simpleString()
+        entries.append(
+            entry(c, "completeness", F.round(F.col(f"{c}__nn") / F.col("__n"), 6))
+        )
+        entries.append(entry(c, "distinct", F.col(f"{c}__nd")))
+        if t in numeric or t.startswith("decimal"):
+            entries.append(entry(c, "min", F.col(f"{c}__min")))
+            entries.append(entry(c, "max", F.col(f"{c}__max")))
+            entries.append(
+                entry(
+                    c,
+                    "mean",
+                    F.round(
+                        F.col(f"{c}__sum").cast("double") / F.col(f"{c}__nn"), 6
+                    ),
+                )
+            )
+        elif t in ("timestamp", "timestamp_ntz"):
+            entries.append(entry(c, "min", F.col(f"{c}__min")))
+            entries.append(entry(c, "max", F.col(f"{c}__max")))
+    for name in rules or {}:
+        entries.append(entry(name, "violations", F.col(f"__rule__{name}")))
+    return row.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.item", "e.metric", "e.value"
+    )
+
+
+def _branch(item: str, metric: str, sql: str) -> str:
+    return f"UNION ALL SELECT '{item}', '{metric}', {sql} FROM a\n"
+
+
+def _col_branches(col: str, p: str, kind: str) -> str:
+    out = _branch(col, "completeness", f"ROUND(CAST({p}_nn AS DOUBLE) / CAST(n AS DOUBLE), 6)")
+    out += _branch(col, "distinct", f"CAST({p}_nd AS DOUBLE)")
+    if kind == "num":
+        out += _branch(col, "min", f"{p}_min")
+        out += _branch(col, "max", f"{p}_max")
+        out += _branch(col, "mean", f"ROUND(CAST({p}_sum AS DOUBLE) / CAST({p}_nn AS DOUBLE), 6)")
+    elif kind == "ts":
+        out += _branch(col, "min", f"CAST({p}_min AS DOUBLE)")
+        out += _branch(col, "max", f"CAST({p}_max AS DOUBLE)")
+    return out
+
+
+_X87_ORACLE = f"""
+        WITH a AS (
+            SELECT COUNT(*) AS n,
+                COUNT(o_orderkey) AS ok_nn, COUNT(DISTINCT o_orderkey) AS ok_nd,
+                CAST(MIN(o_orderkey) AS DOUBLE) AS ok_min,
+                CAST(MAX(o_orderkey) AS DOUBLE) AS ok_max,
+                SUM(CAST(o_orderkey AS DECIMAL(38,9))) AS ok_sum,
+                COUNT(o_custkey) AS ck_nn, COUNT(DISTINCT o_custkey) AS ck_nd,
+                CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
+                CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
+                SUM(CAST(o_custkey AS DECIMAL(38,9))) AS ck_sum,
+                COUNT(o_orderstatus) AS st_nn, COUNT(DISTINCT o_orderstatus) AS st_nd,
+                COUNT(o_totalprice) AS tp_nn, COUNT(DISTINCT o_totalprice) AS tp_nd,
+                CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
+                CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
+                SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS tp_sum,
+                COUNT(o_orderdate) AS od_nn, COUNT(DISTINCT o_orderdate) AS od_nd,
+                epoch_us(MIN(o_orderdate)) AS od_min, epoch_us(MAX(o_orderdate)) AS od_max,
+                COUNT(o_orderpriority) AS op_nn, COUNT(DISTINCT o_orderpriority) AS op_nd,
+                SUM(CASE WHEN COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+                         THEN 0 ELSE 1 END) AS r_status,
+                SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                         THEN 0 ELSE 1 END) AS r_price
+            FROM orders
+        ), fk AS (
+            SELECT COUNT(*) AS v FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+        )
+        SELECT item, metric, CAST(value AS DOUBLE) AS value FROM (
+            SELECT '__table__' AS item, 'row_count' AS metric,
+                   CAST(n AS DOUBLE) AS value FROM a
+            {_col_branches("o_orderkey", "ok", "num")}
+            {_col_branches("o_custkey", "ck", "num")}
+            {_col_branches("o_orderstatus", "st", "str")}
+            {_col_branches("o_totalprice", "tp", "num")}
+            {_col_branches("o_orderdate", "od", "ts")}
+            {_col_branches("o_orderpriority", "op", "str")}
+            UNION ALL SELECT 'status_domain', 'violations',
+                   CAST(r_status AS DOUBLE) FROM a
+            UNION ALL SELECT 'price_positive', 'violations',
+                   CAST(r_price AS DOUBLE) FROM a
+            UNION ALL SELECT 'o_custkey_in_customer', 'fk_violations',
+                   CAST(v AS DOUBLE) FROM fk
+        ) t
+"""
+
+
+def _register_x87() -> None:
+    """Registered lazily so importing quality.py for its function API
+    never requires the registry (and vice versa)."""
+    from pyspark.sql import SparkSession
+
+    from etl_spark.registry import register
+    from etl_spark.tables import load
+
+    @register(
+        "x87_table_profile",
+        oracle=_X87_ORACLE,
+        tags=("extension", "quality", "profile", "scale"),
+        doc="Single-scan Deequ-style profile + constraint verdicts for orders.",
+    )
+    def x87_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+        """Column profile (completeness / exact distinct / min / max /
+        decimal-exact mean, timestamps as epoch-microsecond bounds) plus
+        row-level constraint verdicts for the orders table — ALL from
+        ONE aggregation pass (quality.profile; Schelter et al. VLDB'18),
+        with the referential-integrity check (o_custkey ⊆ customer) the
+        only second aggregate, its parent side broadcast. The oracle
+        recomputes every metric as plain SQL branches over one CTE. At
+        100 TB: one scan for N columns' stats + M rules, never N+M
+        scans — the difference between a nightly audit and an
+        impossible one."""
+        orders = load(spark, sf, "orders")
+        prof = profile(
+            orders,
+            rules={
+                "status_domain": "o_orderstatus IN ('F','O','P')",
+                "price_positive": "o_totalprice > 0",
+            },
+        )
+        cust = load(spark, sf, "customer")
+        fk_row = (
+            fk_violations(orders, cust, {"o_custkey": "c_custkey"})
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(
+                F.lit("o_custkey_in_customer").alias("item"),
+                F.lit("fk_violations").alias("metric"),
+                F.col("v").cast("double").alias("value"),
+            )
+        )
+        return prof.union(fk_row)
+
+
+_register_x87()

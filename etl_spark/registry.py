@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     import etl_spark.extensions.textindex  # noqa: F401
     import etl_spark.extensions.graph  # noqa: F401
     import etl_spark.extensions.fuzzy  # noqa: F401
+    import etl_spark.quality  # noqa: F401  (registers x87)
     import etl_spark.operators.advanced  # noqa: F401
     import etl_spark.operators.analytics_more  # noqa: F401
     import etl_spark.operators.analytics_ext  # noqa: F401
@@ -113,6 +114,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x84_bloom_join_prune",
     "x85_pagerank_trade_graph",
     "x86_fuzzy_name_match",
+    "x87_table_profile",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -161,7 +163,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x48_quality_gate_agreement",
     "x16_binary_meta",
     "x25_decontaminate",
-    "x45_split_token_budget",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -108,3 +108,50 @@ def test_split_by_rules_null_counts_as_violation(spark):
     assert valid.columns == df.columns
     rej = {r.id: sorted(r._violations) for r in rejected.collect()}
     assert rej == {2: ["v_nonneg"], 3: ["known", "v_nonneg"]}
+
+
+def test_profile_metrics_with_nulls_and_types(spark):
+    """profile(): completeness counts nulls, mean is over NON-null
+    values (SQL AVG semantics) from a decimal-exact sum, distinct
+    ignores nulls, timestamps report epoch-microsecond bounds, and
+    rules count NULL results as violations — all from one pass."""
+    import datetime as dt
+
+    from etl_spark.quality import profile
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a", dt.datetime(2024, 1, 1, 0, 0, 0)),
+            (2, None, "b", dt.datetime(2024, 1, 2, 0, 0, 0, 500000)),
+            (3, 20.0, None, None),
+            (4, 30.0, "a", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ],
+        "id LONG, v DOUBLE, s STRING, ts TIMESTAMP",
+    )
+    got = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile(df, rules={"v_small": "v < 25"}).collect()
+    }
+    assert got[("__table__", "row_count")] == 4.0
+    assert got[("v", "completeness")] == 0.75
+    assert got[("v", "distinct")] == 3.0
+    assert got[("v", "mean")] == 20.0  # 60 / 3 non-null, NOT / 4
+    assert got[("s", "completeness")] == 0.75
+    assert got[("s", "distinct")] == 2.0
+    assert got[("ts", "min")] == 1704067200000000.0
+    assert got[("ts", "max")] == 1704153600500000.0
+    # v_small: 10<25 ok, NULL -> violation, 20<25 ok, 30 -> violation
+    assert got[("v_small", "violations")] == 2.0
+    # no min/max/mean rows for strings
+    assert ("s", "mean") not in got
+
+
+def test_profile_is_single_scan(spark):
+    """All column metrics + all rules must come from ONE aggregate:
+    exactly one FileScan of the table in the physical plan."""
+    from etl_spark.quality import profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prof = profile(df, rules={"a": "o_totalprice > 0", "b": "o_orderkey > 0"})
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
