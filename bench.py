@@ -124,6 +124,12 @@ HEADLINE = [
     "x82_cms_merge_estimates",
     # r9: stored inverted-index boolean search (in-plan form)
     "x83_boolean_token_search",
+    # r9b: bloom join pruning, fixed-point PageRank, q-gram fuzzy
+    # matching, single-scan table profile
+    "x84_bloom_join_prune",
+    "x85_pagerank_trade_graph",
+    "x86_fuzzy_name_match",
+    "x87_table_profile",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -392,7 +398,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x83",
+        "headline_set_rev": "r9-add-x75-x87",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

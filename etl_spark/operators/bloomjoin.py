@@ -51,6 +51,36 @@ from etl_spark.tables import load
 
 M_BITS = 1 << 16  # default bitmap size: 1024 bigint words as literals
 K_HASHES = 3
+LITERAL_MAX_BITS = 1 << 16  # above this, literal folding bloats the plan:
+# the probe switches to the broadcast-words form
+M_CAP_BITS = 1 << 26  # 1 Mi words broadcast ~ 8 MiB: the executor-memory cap
+
+
+def choose_m_bits(n_build: int) -> int:
+    """Bitmap size for ``n_build`` keys: the next power of two at or
+    above 10 bits/key (~1% false positives at k=3), clamped to
+    [2^10, 2^26]. Power-of-two keeps pmod cheap and sizes stable
+    across small count drift."""
+    target = max(10 * max(n_build, 1), 1 << 10)
+    m = 1 << (target - 1).bit_length()
+    return min(m, M_CAP_BITS)
+
+
+def bloom_prune_auto(
+    probe: DataFrame, probe_key: str, build: DataFrame, build_key: str, k: int = K_HASHES
+) -> DataFrame:
+    """Prune ``probe`` by a bloom filter over ``build[build_key]``,
+    SIZED from the build count (one cheap aggregate): ~10 bits/key.
+    Small builds fold the bitmap into the plan as literals (zero
+    joins); large builds broadcast the (word, bits) table instead —
+    the form that scales to hundreds of millions of build keys, where
+    a literal array would bloat the plan and a fixed bitmap would
+    saturate to all-ones and prune nothing."""
+    n = build.count()
+    m = choose_m_bits(n)
+    if m <= LITERAL_MAX_BITS:
+        return probe.filter(bloom_member_expr(probe_key, bloom_bitmap(build, build_key, m, k), m, k))
+    return bloom_prune_broadcast(probe, probe_key, bloom_words(build, build_key, m, k), m, k)
 
 
 def _positions(key: F.Column, m_bits: int, k: int) -> list[F.Column]:
@@ -150,16 +180,18 @@ def _qualifying_orders(spark: SparkSession, sf: str) -> DataFrame:
 def x84_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Revenue per returnflag over lineitems of BUILDING-segment
     orders, with the lineitem scan bloom-pruned BEFORE the fact
-    shuffle. The bitmap (1024 bigint literals, built by ONE bit_or
-    aggregate over the ~3k qualifying keys) drops ~80% of lineitem
-    rows inside whole-stage codegen; the exact join that follows
+    shuffle. The bitmap is SIZED from the qualifying-key count
+    (~10 bits/key, one bit_or aggregate) and folded into the plan as
+    literals while small — at growing build sizes bloom_prune_auto
+    switches to the broadcast-words probe instead of letting a fixed
+    bitmap saturate. It drops ~80% of lineitem rows inside
+    whole-stage codegen; the exact join that follows
     removes bloom false positives, so the result — and the DuckDB
     oracle, which runs the plain 3-table join — is unchanged. At
     100 TB this is the difference between shuffling the full fact
     table and shuffling only the qualifying fifth."""
-    qual = _qualifying_orders(spark, sf).select("o_orderkey")
-    bitmap = bloom_bitmap(qual, "o_orderkey")
-    li = load(spark, sf, "lineitem").filter(bloom_member_expr("l_orderkey", bitmap))
+    qual = _qualifying_orders(spark, sf).select("o_orderkey").persist()
+    li = bloom_prune_auto(load(spark, sf, "lineitem"), "l_orderkey", qual, "o_orderkey")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(qual, li.l_orderkey == qual.o_orderkey)

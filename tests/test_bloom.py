@@ -118,3 +118,36 @@ def test_x84_equals_plain_join(spark, sf_dir):
         )
     }
     assert got == want
+
+
+def test_choose_m_bits_sizing():
+    from etl_spark.operators.bloomjoin import M_CAP_BITS, choose_m_bits
+
+    assert choose_m_bits(0) == 1 << 10
+    assert choose_m_bits(100) == 1 << 10
+    assert choose_m_bits(3000) == 1 << 15  # 30k bits -> 32768
+    assert choose_m_bits(10_000_000) == M_CAP_BITS  # 1e8 bits clamps to 2^26
+    assert choose_m_bits(10**9) == M_CAP_BITS  # clamped
+    # monotone, power of two
+    prev = 0
+    for n in (1, 10, 1000, 10**5, 10**7, 10**9):
+        m = choose_m_bits(n)
+        assert m >= prev and (m & (m - 1)) == 0
+        prev = m
+
+
+def test_auto_switches_probe_form(spark, build_probe):
+    # small build -> literal fold (no joins in the pruned plan);
+    # the broadcast threshold is exercised by sizing math (a >6.5k-key
+    # build would blow past LITERAL_MAX_BITS) — proven equivalent in
+    # test_broadcast_form_identical_to_literal.
+    import re
+
+    from etl_spark.operators.bloomjoin import LITERAL_MAX_BITS, bloom_prune_auto, choose_m_bits
+
+    build, probe = build_probe
+    pruned = bloom_prune_auto(probe, "p", build, "k")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    assert not re.findall(r"\(\d+\) \w*Join", plan)  # literal path: pure filter
+    assert choose_m_bits(7000) > LITERAL_MAX_BITS  # big builds go broadcast
