@@ -365,3 +365,207 @@ def _register_x87() -> None:
 
 
 _register_x87()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable profile accumulators — the streaming/incremental form of
+# ``profile``. Deequ's insight (Schelter et al. VLDB'18 §3.2) is that
+# every metric above except exact-distinct decomposes into MERGEABLE
+# state: counts and decimal sums add, mins/maxes take min/max — so a
+# stored accumulator table absorbs each new batch without rescanning
+# history, and the derived profile of the merged state is EXACTLY the
+# profile of the union (asserted streamed == one-shot in tests).
+# Exact-distinct is deliberately absent (not mergeable without keys);
+# the streaming distinct path is the x76 KMV monitor
+# (streaming/monitor.py::run_distinct_monitor).
+#
+# State rows: (item, acc, dval DOUBLE, nval DECIMAL(38,9)) — min/max
+# live in dval (double min/max merge losslessly), counts/sums/
+# violations in nval (decimal addition is associative, so any merge
+# order gives identical bytes; float sums would drift by batch order).
+# ---------------------------------------------------------------------------
+
+_MINMAX_ACCS = ("min", "max")
+
+
+def _acc_specs(
+    df: DataFrame,
+    include: list[str] | None,
+    rules: dict[str, str] | None,
+) -> list[tuple[str, str, F.Column]]:
+    """(item, acc, aggregate Column) triples — one wide pass."""
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    specs: list[tuple[str, str, F.Column]] = [("__table__", "n", F.count(F.lit(1)))]
+    for f in df.schema.fields:
+        if include is not None and f.name not in include:
+            continue
+        c, t = f.name, f.dataType.simpleString()
+        specs.append((c, "nn", F.count(c)))
+        if t in numeric or t.startswith("decimal"):
+            specs.append((c, "min", F.min(c).cast("double")))
+            specs.append((c, "max", F.max(c).cast("double")))
+            specs.append((c, "sum", F.sum(F.col(c).cast("decimal(38,9)"))))
+        elif t in ("timestamp", "timestamp_ntz"):
+            specs.append((c, "min", F.unix_micros(F.min(c).cast("timestamp")).cast("double")))
+            specs.append((c, "max", F.unix_micros(F.max(c).cast("timestamp")).cast("double")))
+    for name, cond in (rules or {}).items():
+        specs.append(
+            (
+                name,
+                "violations",
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(cond).cast("boolean"), F.lit(False)), 0
+                    ).otherwise(1)
+                ),
+            )
+        )
+    return specs
+
+
+def profile_accumulators(
+    df: DataFrame,
+    include: list[str] | None = None,
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mergeable accumulator rows (item, acc, dval, nval) from ONE
+    aggregation pass — the incremental-state form of ``profile``."""
+    specs = _acc_specs(df, include, rules)
+    row = df.agg(*[col.alias(f"a{i}") for i, (_, _, col) in enumerate(specs)])
+    entries = []
+    for i, (item, acc, _) in enumerate(specs):
+        is_mm = acc in _MINMAX_ACCS
+        entries.append(
+            F.struct(
+                F.lit(item).alias("item"),
+                F.lit(acc).alias("acc"),
+                (F.col(f"a{i}").cast("double") if is_mm else F.lit(None).cast("double")).alias(
+                    "dval"
+                ),
+                (
+                    F.lit(None).cast("decimal(38,9)")
+                    if is_mm
+                    else F.col(f"a{i}").cast("decimal(38,9)")
+                ).alias("nval"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.item", "e.acc", "e.dval", "e.nval"
+    )
+
+
+def merge_accumulators(*parts: DataFrame) -> DataFrame:
+    """Merge accumulator tables: min/max by min/max of dval,
+    everything else by exact decimal addition of nval. Associative
+    and commutative — any merge tree yields identical bytes."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("item", "acc")
+        .agg(
+            F.min("dval").alias("_mn"),
+            F.max("dval").alias("_mx"),
+            F.sum("nval").alias("_sm"),
+        )
+        .select(
+            "item",
+            "acc",
+            F.when(F.col("acc") == "min", F.col("_mn"))
+            .when(F.col("acc") == "max", F.col("_mx"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("dval"),
+            F.when(F.col("acc").isin(*_MINMAX_ACCS), F.lit(None).cast("decimal(38,9)"))
+            .otherwise(F.col("_sm").cast("decimal(38,9)"))
+            .alias("nval"),
+        )
+    )
+
+
+def profile_from_accumulators(acc: DataFrame) -> DataFrame:
+    """Derive the long-format (item, metric, value DOUBLE) profile
+    from accumulator state — the same arithmetic ``profile`` applies
+    to its own wide row, so the derived profile of merged batches
+    equals the one-shot profile of the union (minus ``distinct``,
+    which is not mergeable — see the section note)."""
+    wide = (
+        acc.groupBy("item")
+        .pivot("acc", ["n", "nn", "min", "max", "sum", "violations"])
+        .agg(
+            F.first(
+                F.when(F.col("acc").isin(*_MINMAX_ACCS), F.col("dval")).otherwise(
+                    F.col("nval").cast("double")
+                )
+            )
+        )
+    )
+    total = acc.filter((F.col("item") == "__table__") & (F.col("acc") == "n")).select(
+        F.col("nval").cast("double").alias("__total")
+    )
+    wide = wide.crossJoin(F.broadcast(total))
+    entries = [
+        ("row_count", F.when(F.col("item") == "__table__", F.col("n"))),
+        ("completeness", F.round(F.col("nn") / F.col("__total"), 6)),
+        ("min", F.col("min")),
+        ("max", F.col("max")),
+        ("mean", F.round(F.col("sum") / F.col("nn"), 6)),
+        ("violations", F.col("violations")),
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"), v.cast("double").alias("value")
+            )
+            for m, v in entries
+        ]
+    )
+    return (
+        wide.select("item", F.explode(arr).alias("e"))
+        .select("item", "e.metric", "e.value")
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def profile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    abs_tol: float = 0.0,
+    rel_tol: float = 0.10,
+) -> DataFrame:
+    """Compare two profiles (long-format ``(item, metric, value)``):
+    one row per shared (item, metric) with the relative change and a
+    ``breached`` flag when it exceeds ``rel_tol`` AND the absolute
+    change exceeds ``abs_tol`` — the alert a nightly table audit or a
+    per-batch stream monitor raises when completeness collapses or a
+    mean wanders. Metrics present on only one side surface as
+    ``added``/``removed`` rows (schema drift is drift too)."""
+    c = current.select(
+        "item", "metric", F.col("value").alias("cur")
+    )
+    b = baseline.select("item", "metric", F.col("value").alias("base"))
+    j = c.join(b, ["item", "metric"], "full_outer")
+    rel = F.when(
+        F.col("base").isNotNull() & (F.abs(F.col("base")) > 0),
+        F.abs(F.col("cur") - F.col("base")) / F.abs(F.col("base")),
+    ).otherwise(
+        F.when(F.coalesce(F.abs(F.col("cur")), F.lit(0.0)) > 0, F.lit(float("inf"))).otherwise(
+            F.lit(0.0)
+        )
+    )
+    status = (
+        F.when(F.col("cur").isNull(), F.lit("removed"))
+        .when(F.col("base").isNull(), F.lit("added"))
+        .otherwise(F.lit("present"))
+    )
+    return j.select(
+        "item",
+        "metric",
+        "base",
+        "cur",
+        F.round(rel, 6).alias("rel_change"),
+        status.alias("status"),
+        (
+            (status != "present")
+            | ((rel > rel_tol) & (F.abs(F.col("cur") - F.col("base")) > abs_tol))
+        ).alias("breached"),
+    )

@@ -499,3 +499,72 @@ def freq_estimates(
         [(t,) for t in sorted(set(tokens))], "token string"
     )
     return cms_estimates(cells, vocab)
+
+
+def run_profile_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    include: list[str] | None = None,
+    rules: dict[str, str] | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Corpus-to-date data-quality profile kept current at ingest —
+    the streaming form of ``quality.profile`` (x87). Every batch's
+    mergeable accumulators (counts + exact decimal sums + double
+    min/max + rule violations, quality.profile_accumulators) merge
+    into the stored state, so the FULL-corpus profile is readable
+    after any batch without rescanning history, and byte-identically
+    equals the one-shot profile of everything ingested (asserted in
+    tests; ``distinct`` is the one non-mergeable metric — its
+    streaming path is ``run_distinct_monitor``'s KMV sketch).
+
+    Store layout: ``store_path/v<batch_id>`` parquet of
+    (item, acc, dval, nval), each version a pure function of the
+    previous committed version and the batch — same _SUCCESS /
+    replay-skip discipline as the KMV and CMS monitors. Read with
+    ``profile_snapshot``; alert by diffing snapshots with
+    ``quality.profile_drift``."""
+    import os
+
+    from etl_spark.quality import merge_accumulators, profile_accumulators
+    from etl_spark.streaming.neardup import batch_committed
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(store_path, f"v{batch_id}")
+        if batch_committed(out_dir):
+            return
+        spark = batch_df.sparkSession
+        acc = profile_accumulators(batch_df, include, rules)
+        prev_dir = _latest_committed_version(store_path, below=batch_id)
+        if prev_dir is not None:
+            acc = merge_accumulators(spark.read.parquet(prev_dir), acc)
+        acc = acc.persist()
+        n_rows = acc.count()
+        (
+            acc.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(out_dir)
+        )
+        acc.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_rows)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def profile_snapshot(spark: SparkSession, store_path: str) -> DataFrame:
+    """Derive the (item, metric, value) profile from the newest
+    committed streamed accumulator state."""
+    from etl_spark.quality import profile_from_accumulators
+
+    latest = _latest_committed_version(store_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed profile version under {store_path}")
+    return profile_from_accumulators(spark.read.parquet(latest))

@@ -155,3 +155,71 @@ def test_profile_is_single_scan(spark):
     prof = profile(df, rules={"a": "o_totalprice > 0", "b": "o_orderkey > 0"})
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_accumulator_profile_equals_one_shot(spark, sf_dir):
+    """profile_from_accumulators(merge(per-part accumulators)) must
+    equal the one-shot profile (minus 'distinct', the one
+    non-mergeable metric) BIT-FOR-BIT: counts/sums merge in exact
+    decimal, min/max in double — no float drift by batch order."""
+    from etl_spark.quality import (
+        merge_accumulators,
+        profile,
+        profile_accumulators,
+        profile_from_accumulators,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rules = {"price_positive": "o_totalprice > 0"}
+    parts = [
+        orders.filter(f"o_orderkey % 3 = {i}") for i in range(3)
+    ]
+    merged = merge_accumulators(*[profile_accumulators(p, rules=rules) for p in parts])
+    got = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile_from_accumulators(merged).collect()
+    }
+    want = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile(orders, rules=rules).collect()
+        if r["metric"] != "distinct"
+    }
+    assert got == want
+
+
+def test_merge_accumulators_any_tree_identical(spark):
+    """Merge associativity: ((a+b)+c) == (a+(b+c)) byte-for-byte."""
+    from etl_spark.quality import merge_accumulators, profile_accumulators
+
+    dfs = [
+        spark.createDataFrame([(i, float(i) * 1.5 + j) for j in range(4)], "k LONG, v DOUBLE")
+        for i in range(3)
+    ]
+    accs = [profile_accumulators(d) for d in dfs]
+    left = merge_accumulators(merge_accumulators(accs[0], accs[1]), accs[2])
+    right = merge_accumulators(accs[0], merge_accumulators(accs[1], accs[2]))
+    key = lambda df: sorted(  # noqa: E731
+        (r["item"], r["acc"], r["dval"], r["nval"]) for r in df.collect()
+    )
+    assert key(left) == key(right)
+
+
+def test_profile_drift_flags(spark):
+    from etl_spark.quality import profile_drift
+
+    base = spark.createDataFrame(
+        [("v", "completeness", 1.0), ("v", "mean", 100.0), ("old", "min", 5.0)],
+        "item STRING, metric STRING, value DOUBLE",
+    )
+    cur = spark.createDataFrame(
+        [("v", "completeness", 0.80), ("v", "mean", 101.0), ("new", "max", 9.0)],
+        "item STRING, metric STRING, value DOUBLE",
+    )
+    got = {
+        (r["item"], r["metric"]): (r["status"], r["breached"])
+        for r in profile_drift(cur, base, rel_tol=0.10).collect()
+    }
+    assert got[("v", "completeness")] == ("present", True)  # -20% breaches
+    assert got[("v", "mean")] == ("present", False)  # +1% within tol
+    assert got[("old", "min")] == ("removed", True)  # schema drift
+    assert got[("new", "max")] == ("added", True)

@@ -1436,3 +1436,62 @@ def test_freq_monitor_merges_cms_and_replays(spark, sf_dir, tmp_path):
     before = sorted(glob.glob(f"{store}/v*"))
     _drain(str(tmp_path / "fm_ckpt_replay"))
     assert sorted(glob.glob(f"{store}/v*")) == before
+
+
+def test_profile_monitor_streams_and_replays(spark, sf_dir, tmp_path):
+    """Streaming profile: (1) after two incremental drains the stored
+    accumulator state derives EXACTLY the one-shot profile of
+    everything ingested (minus 'distinct' — quality.py section note);
+    (2) a replay from a fresh checkpoint skips committed versions and
+    leaves the snapshot byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_spark.quality import profile
+    from etl_spark.streaming import stream_events
+    from etl_spark.streaming.monitor import profile_snapshot, run_profile_monitor
+
+    events = load(spark, sf_dir, "events")
+    in_dir = tmp_path / "prof_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "prof_store")
+    ckpt = str(tmp_path / "prof_ckpt")
+    rules = {"value_nonneg": "value >= 0"}
+
+    def _drop(pred, name):
+        pq.write_table(
+            pa.Table.from_pandas(events.filter(pred).toPandas()), str(in_dir / name)
+        )
+
+    def _drain(checkpoint):
+        q = run_profile_monitor(
+            stream_events(spark, str(in_dir)), store, rules=rules, checkpoint=checkpoint
+        )
+        q.awaitTermination(120)
+
+    _drop(F.col("event_id") % 3 < 2, "part-0.parquet")
+    _drain(ckpt)
+    _drop(F.col("event_id") % 3 == 2, "part-1.parquet")
+    _drain(ckpt)
+
+    got = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile_snapshot(spark, store).collect()
+    }
+    want = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile(events, rules=rules).collect()
+        if r["metric"] != "distinct"
+    }
+    assert got == want
+    assert got[("value_nonneg", "violations")] is not None
+
+    # replay from scratch: committed versions are skipped, snapshot
+    # byte-identical
+    _drain(str(tmp_path / "prof_ckpt2"))
+    replay = {
+        (r["item"], r["metric"]): r["value"]
+        for r in profile_snapshot(spark, store).collect()
+    }
+    assert replay == got
