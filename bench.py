@@ -130,6 +130,7 @@ HEADLINE = [
     "x85_pagerank_trade_graph",
     "x86_fuzzy_name_match",
     "x87_table_profile",
+    "x88_incremental_dup_clusters",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -398,7 +399,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x87",
+        "headline_set_rev": "r9-add-x75-x88",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

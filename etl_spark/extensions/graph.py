@@ -165,3 +165,305 @@ def x85_pagerank_trade_graph(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("node DIV 2").alias("entity_key"),
         F.col("r").alias("rank_scaled"),
     )
+
+
+# --- incremental connected components ---------------------------------
+#
+# x29 computes duplicate clusters as a batch fixpoint. At ingestion
+# time new near-dup PAIRS arrive batch by batch, and rerunning the
+# full fixpoint over all history per batch is the one cost that grows
+# with the corpus instead of the batch. The union-find quotient
+# argument fixes it: CC(all edges) == CC applied to the QUOTIENT graph
+# whose nodes are the current component labels — so a new batch only
+# needs (1) its endpoints mapped to current labels, (2) a fixpoint
+# over that batch-sized quotient graph, (3) a label REMAP applied to
+# the stored state. Steps 1-2 are batch-sized; step 3 is a remap
+# table with one row per MERGED component — never a corpus rescan.
+#
+# Stored layout (the ivf_index_append/compact convention,
+# similarity.py): base/ labels partitioned by pmod(lbl, CC_BUCKETS)
+# plus delta_v<N>/ dirs, each _SUCCESS-committed and holding
+#   remap/    (old_lbl, new_lbl) — components merged by this batch
+#   newdocs/  (doc_id, lbl)     — docs first seen in this batch
+# Readers fold remaps newest-last (composition via iterative small
+# joins — remap tables are component-count-sized) and apply ONE
+# broadcast join over base ∪ newdocs. compact_cc_index folds all
+# deltas into a fresh base.
+
+
+def cc_merge(labels: DataFrame, new_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Merge a batch of undirected ``(doc_a, doc_b)`` pairs into
+    existing ``(doc_id, lbl)`` labels. Returns ``(remap, newdocs)``:
+    ``remap`` = (old_lbl, new_lbl) rows for every existing component
+    whose label changes, ``newdocs`` = (doc_id, lbl) for docs not in
+    ``labels``. Batch-sized work: the fixpoint runs on the quotient
+    graph (endpoints mapped to their current labels), whose size is
+    bounded by the batch's edge count."""
+    from etl_spark.extensions.dedup import connected_components
+
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb"))
+    q_edges = (
+        new_pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la", "doc_a").alias("doc_a"),
+            F.coalesce("lb", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    q = connected_components(q_edges).persist()  # (doc_id=quotient node, lbl)
+    known = labels.select(F.col("lbl").alias("doc_id")).distinct()
+    remap = (
+        q.join(known, "doc_id")
+        .filter(F.col("doc_id") != F.col("lbl"))
+        .select(F.col("doc_id").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
+    )
+    is_doc = labels.select("doc_id").distinct()
+    newdocs = q.join(is_doc, "doc_id", "left_anti").select("doc_id", "lbl")
+    return remap, newdocs
+
+
+def apply_remap(labels: DataFrame, remap: DataFrame) -> DataFrame:
+    """Relabel: one broadcast join (remap has one row per merged
+    component, dimension-sized by construction)."""
+    return labels.join(
+        F.broadcast(remap), labels.lbl == remap.old_lbl, "left"
+    ).select("doc_id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+
+
+def compose_remaps(first: DataFrame, second: DataFrame) -> DataFrame:
+    """Remap composition: apply ``first`` then ``second`` as ONE
+    table — rows of ``first`` forwarded through ``second``, plus rows
+    of ``second`` whose old_lbl ``first`` does not already rewrite."""
+    fwd = first.alias("f").join(
+        second.alias("s"), F.col("f.new_lbl") == F.col("s.old_lbl"), "left"
+    ).select(
+        F.col("f.old_lbl").alias("old_lbl"),
+        F.coalesce("s.new_lbl", "f.new_lbl").alias("new_lbl"),
+    )
+    rest = second.join(
+        first.select(F.col("old_lbl").alias("o2")),
+        second.old_lbl == F.col("o2"),
+        "left_anti",
+    ).select("old_lbl", "new_lbl")
+    return fwd.unionByName(rest)
+
+
+@register(
+    "x88_incremental_dup_clusters",
+    oracle="""
+        WITH RECURSIVE lsh AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id AND a.lang = b.lang
+                 AND a.doc_id % 37 = b.doc_id % 37
+            ) t
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM lsh
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM lsh
+        ),
+        verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+        )
+        SELECT doc_id,
+               CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+               (doc_id = MIN(lbl)) AS is_canonical
+        FROM reach
+        GROUP BY doc_id
+    """,
+    tags=("extension", "graph", "incremental", "dedup"),
+    doc="Quotient-graph incremental CC: stored labels absorb an edge batch.",
+)
+def x88_incremental_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time duplicate clustering — x29's connected
+    components as a DELTA merge, completing the incremental family's
+    graph side (x37 MinHash text / x44 embedding bands / x59 segments
+    / x64 DSIR / x72 retrieval): labels built once from the SEEN half
+    of the edge stream (even (doc_a+doc_b)), then the NEW half merges
+    through the batch-sized quotient fixpoint + a component-count
+    remap (module note). The final labels provably equal the full
+    batch CC over all edges — which is exactly what the DuckDB
+    recursive-CTE oracle computes — because CC(all) == CC(quotient by
+    CC(seen)), the union-find argument.
+
+    The edge fixture is a deterministic (lang, doc_id%37) blocking so
+    both engines derive identical pairs without the full MinHash
+    pipeline (x29 already oracle-checks that); what x88 gates is the
+    MERGE algebra on a multi-clique graph whose cliques the seen/new
+    split tears apart. Scale shape: quotient fixpoint bounded by the
+    batch's edges; the remap join broadcasts one row per merged
+    component; only the stored buckets containing remapped labels
+    rewrite in the index form (build_cc_index/cc_index_merge,
+    tests/test_graph.py)."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter((F.col("a.doc_id") % 37) == (F.col("b.doc_id") % 37))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    from etl_spark.extensions.dedup import connected_components
+
+    seen = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
+    new = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 1)
+    labels = connected_components(seen)
+    remap, newdocs = cc_merge(labels, new)
+    merged = apply_remap(labels, remap).unionByName(newdocs)
+    return merged.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+CC_BUCKETS = 16  # label-store partitioning: pmod(lbl, CC_BUCKETS)
+
+
+def _empty_labels(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id BIGINT, lbl BIGINT")
+
+
+def build_cc_index(labels: DataFrame, path: str) -> None:
+    """Materialize (doc_id, lbl) labels as the CC index base,
+    partitioned by pmod(lbl, CC_BUCKETS) so member lookups prune to
+    one bucket directory."""
+    (
+        labels.withColumn("bucket", F.pmod(F.col("lbl"), F.lit(CC_BUCKETS)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(f"{path}/base")
+    )
+
+
+def _delta_dirs(path: str) -> list[str]:
+    """Committed delta_v<N> dirs in version order (commit marker =
+    the remap/ write's _SUCCESS, written LAST in cc_index_merge)."""
+    import glob
+    import os
+    import re
+
+    from etl_spark.streaming.neardup import batch_committed
+
+    out = []
+    for d in glob.glob(os.path.join(path, "delta_v*")):
+        m = re.fullmatch(r"delta_v(\d+)", os.path.basename(d))
+        if m and batch_committed(os.path.join(d, "remap")):
+            out.append((int(m.group(1)), d))
+    return [d for _, d in sorted(out)]
+
+
+def total_remap(spark: SparkSession, path: str) -> DataFrame | None:
+    """All committed delta remaps composed newest-last into ONE
+    (old_lbl, new_lbl) table — component-count-sized by construction."""
+    dirs = _delta_dirs(path)
+    if not dirs:
+        return None
+    acc = None
+    for d in dirs:
+        r = spark.read.parquet(f"{d}/remap")
+        acc = r if acc is None else compose_remaps(acc, r)
+    return acc
+
+
+def cc_index_labels(spark: SparkSession, path: str) -> DataFrame:
+    """Effective labels: base ∪ delta newdocs, pushed through the
+    composed remap with ONE broadcast join."""
+    import os
+
+    base = (
+        spark.read.parquet(f"{path}/base").select("doc_id", "lbl")
+        if os.path.isdir(f"{path}/base")
+        else _empty_labels(spark)
+    )
+    for d in _delta_dirs(path):
+        base = base.unionByName(spark.read.parquet(f"{d}/newdocs").select("doc_id", "lbl"))
+    remap = total_remap(spark, path)
+    return base if remap is None else apply_remap(base, remap)
+
+
+def cc_index_merge(spark: SparkSession, path: str, new_pairs: DataFrame, version: int) -> bool:
+    """Absorb an edge batch as delta_v<version>: batch-sized quotient
+    fixpoint, then a remap/newdocs delta — the base is NEVER
+    rewritten (the ivf_index_append convention). Returns False when
+    the version is already committed (replay skip); the delta is a
+    pure function of the committed state below it plus the batch, so
+    a replay that does run reproduces identical bytes. newdocs writes
+    first; remap's _SUCCESS is the commit point."""
+    import os
+
+    from etl_spark.streaming.neardup import batch_committed
+
+    d = os.path.join(path, f"delta_v{version}")
+    if batch_committed(os.path.join(d, "remap")):
+        return False
+    remap, newdocs = cc_merge(cc_index_labels(spark, path), new_pairs)
+    newdocs.write.mode("overwrite").parquet(f"{d}/newdocs")
+    remap.write.mode("overwrite").parquet(f"{d}/remap")
+    return True
+
+
+def compact_cc_index(spark: SparkSession, path: str) -> None:
+    """Fold all deltas into a fresh base and drop them."""
+    import shutil
+
+    eff = cc_index_labels(spark, path).persist()
+    eff.count()
+    dirs = _delta_dirs(path)
+    build_cc_index(eff, path)
+    eff.unpersist()
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def cluster_members(spark: SparkSession, path: str, cluster_id: int) -> DataFrame:
+    """All doc_ids whose EFFECTIVE label is ``cluster_id``, reading
+    only the base buckets that can contain them: the composed remap
+    is inverted driver-side (component-count-sized) to find every
+    stored label mapping to ``cluster_id``, and the scan prunes to
+    those labels' buckets plus the delta newdocs."""
+    import os
+
+    remap = total_remap(spark, path)
+    olds = [cluster_id]
+    if remap is not None:
+        rows = remap.filter(
+            (F.col("new_lbl") == cluster_id) | (F.col("old_lbl") == cluster_id)
+        ).collect()
+        if any(r["old_lbl"] == cluster_id for r in rows):
+            # cluster_id was merged INTO another component: labels only
+            # decrease and doc ids are unique, so a remapped-away label
+            # can never be effective again — stale base rows carrying
+            # it must NOT match
+            return _empty_labels(spark).select(
+                "doc_id", F.lit(cluster_id).alias("cluster_id")
+            )
+        olds += [r["old_lbl"] for r in rows]
+    buckets = sorted({o % CC_BUCKETS for o in olds})
+    base = (
+        spark.read.parquet(f"{path}/base")
+        .filter(F.col("bucket").isin(buckets) & F.col("lbl").isin(olds))
+        .select("doc_id", "lbl")
+        if os.path.isdir(f"{path}/base")
+        else _empty_labels(spark)
+    )
+    nd = _empty_labels(spark)
+    for d in _delta_dirs(path):
+        nd = nd.unionByName(
+            spark.read.parquet(f"{d}/newdocs").filter(F.col("lbl").isin(olds))
+        )
+    return base.unionByName(nd).select("doc_id", F.lit(cluster_id).alias("cluster_id"))

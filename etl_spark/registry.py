@@ -115,6 +115,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x85_pagerank_trade_graph",
     "x86_fuzzy_name_match",
     "x87_table_profile",
+    "x88_incremental_dup_clusters",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -162,7 +163,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x20_bpe_token_count",
     "x48_quality_gate_agreement",
     "x16_binary_meta",
-    "x25_decontaminate",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -568,3 +568,36 @@ def profile_snapshot(spark: SparkSession, store_path: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no committed profile version under {store_path}")
     return profile_from_accumulators(spark.read.parquet(latest))
+
+
+def run_cc_monitor(
+    pairs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, bool], Any] | None = None,
+) -> StreamingQuery:
+    """Duplicate-cluster labels kept current as near-dup PAIRS stream
+    in — x29's connected components as ingestion-time maintenance
+    (extensions/graph.py section note): each batch runs a fixpoint
+    only over its own quotient graph and lands as a remap/newdocs
+    delta; the stored base is never rewritten. Read current labels
+    with ``graph.cc_index_labels``; fold deltas with
+    ``graph.compact_cc_index``. Per-batch cost is bounded by the
+    batch's edges plus a component-count remap — never a corpus
+    rescan, the property re-running x29 per batch cannot offer.
+    Replay-idempotent: a committed delta version is skipped, and a
+    re-run delta is a pure function of the state below it."""
+    from etl_spark.extensions.graph import cc_index_merge
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        wrote = cc_index_merge(batch_df.sparkSession, store_path, batch_df, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, wrote)
+
+    writer = pairs_stream.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from etl_spark.extensions.graph import SCALE, pagerank_fixedpoint, x85_pagerank_trade_graph
 
@@ -63,3 +65,137 @@ def test_x85_symmetric_mass_split(spark, sf_dir):
     total = sum(by_side.values())
     assert abs(total - SCALE) < SCALE * 1e-6
     assert 0.25 < by_side["customer"] / total < 0.75
+
+
+# --- incremental connected components ---------------------------------
+
+
+def _cc_batch(spark, edges):
+    from etl_spark.extensions.dedup import connected_components
+
+    return {
+        r["doc_id"]: r["lbl"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        ).collect()
+    }
+
+
+def _cc_incremental(spark, seen, new):
+    from etl_spark.extensions.dedup import connected_components
+    from etl_spark.extensions.graph import apply_remap, cc_merge
+
+    labels = connected_components(
+        spark.createDataFrame(seen, "doc_a BIGINT, doc_b BIGINT")
+    ) if seen else spark.createDataFrame([], "doc_id BIGINT, lbl BIGINT")
+    remap, newdocs = cc_merge(
+        labels, spark.createDataFrame(new, "doc_a BIGINT, doc_b BIGINT")
+    )
+    return {
+        r["doc_id"]: r["lbl"]
+        for r in apply_remap(labels, remap).unionByName(newdocs).collect()
+    }
+
+
+def test_cc_merge_equals_batch_on_adversarial_shapes(spark):
+    # chain split across batches (merge must cascade through the
+    # quotient), two components fused by one new edge, brand-new
+    # component, and an edge inside an existing component (no-op).
+    seen = [(1, 2), (3, 4), (10, 11), (20, 21)]
+    new = [(2, 3), (4, 10), (30, 31), (20, 21), (1, 4)]
+    assert _cc_incremental(spark, seen, new) == _cc_batch(spark, seen + new)
+
+
+def test_cc_merge_from_empty_state(spark):
+    new = [(5, 6), (6, 7), (1, 9)]
+    assert _cc_incremental(spark, [], new) == _cc_batch(spark, new)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(0, 2**31),
+)
+def test_cc_merge_equals_batch_random(edges, seed):
+    spark = _spark()
+    edges = [tuple(sorted(e)) for e in edges]
+    cut = seed % (len(edges) + 1)
+    seen, new = edges[:cut], edges[cut:]
+    if not new:
+        new = edges[-1:]
+    assert _cc_incremental(spark, seen, new) == _cc_batch(spark, seen + new)
+
+
+def _spark():
+    from etl_spark.session import get_spark
+
+    return get_spark(app_name="etl_spark-tests")
+
+
+def test_cc_index_roundtrip_compact_and_pruned_members(spark, tmp_path):
+    from etl_spark.extensions.dedup import connected_components
+    from etl_spark.extensions.graph import (
+        build_cc_index,
+        cc_index_labels,
+        cc_index_merge,
+        cluster_members,
+        compact_cc_index,
+    )
+
+    path = str(tmp_path / "cc_index")
+    seen = [(1, 2), (3, 4), (10, 11)]
+    b1 = [(2, 3), (30, 31)]  # fuses {1,2}+{3,4}; new comp {30,31}
+    b2 = [(4, 10)]  # fuses the fused comp with {10,11}
+    build_cc_index(
+        connected_components(spark.createDataFrame(seen, "doc_a BIGINT, doc_b BIGINT")),
+        path,
+    )
+    for v, batch in ((1, b1), (2, b2)):
+        assert cc_index_merge(
+            spark, path, spark.createDataFrame(batch, "doc_a BIGINT, doc_b BIGINT"), v
+        )
+    want = _cc_batch(spark, seen + b1 + b2)
+    got = {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, path).collect()}
+    assert got == want
+
+    # replay skip: committed versions return False and change nothing
+    assert not cc_index_merge(
+        spark, path, spark.createDataFrame(b1, "doc_a BIGINT, doc_b BIGINT"), 1
+    )
+    assert {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, path).collect()} == want
+
+    # member lookup: label 1 owns {1,2,3,4,10,11}; remapped-away and
+    # unknown labels return empty
+    assert sorted(r["doc_id"] for r in cluster_members(spark, path, 1).collect()) == [
+        1, 2, 3, 4, 10, 11,
+    ]
+    assert cluster_members(spark, path, 3).count() == 0  # merged into 1
+    assert cluster_members(spark, path, 999).count() == 0
+
+    # compaction folds deltas into a fresh base, labels unchanged
+    compact_cc_index(spark, path)
+    import glob
+
+    assert not glob.glob(f"{path}/delta_v*")
+    assert {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, path).collect()} == want
+    assert sorted(r["doc_id"] for r in cluster_members(spark, path, 1).collect()) == [
+        1, 2, 3, 4, 10, 11,
+    ]
+
+
+def test_x88_oracle_shape(spark, sf_dir):
+    from etl_spark.extensions.graph import x88_incremental_dup_clusters
+
+    df = x88_incremental_dup_clusters(spark, sf_dir)
+    rows = df.collect()
+    assert rows and df.columns == ["doc_id", "cluster_id", "is_canonical"]
+    # every cluster id is a member doc id and is the minimum member
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, docs in by_cluster.items():
+        assert cid == min(docs)

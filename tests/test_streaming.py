@@ -1495,3 +1495,59 @@ def test_profile_monitor_streams_and_replays(spark, sf_dir, tmp_path):
         for r in profile_snapshot(spark, store).collect()
     }
     assert replay == got
+
+
+def test_cc_monitor_streams_and_replays(spark, tmp_path):
+    """Streaming incremental CC: two drained pair batches must leave
+    stored labels equal to the batch fixpoint over all pairs; a
+    replay from a fresh checkpoint skips committed deltas and leaves
+    labels byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.dedup import connected_components
+    from etl_spark.extensions.graph import cc_index_labels
+    from etl_spark.streaming.monitor import run_cc_monitor
+
+    in_dir = tmp_path / "cc_in"
+    in_dir.mkdir()
+    store = str(tmp_path / "cc_store")
+    ckpt = str(tmp_path / "cc_ckpt")
+    b1 = [(1, 2), (3, 4), (10, 11)]
+    b2 = [(2, 3), (4, 10), (30, 31)]
+
+    def _drop(edges, name):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "doc_b": pa.array([b for _, b in edges], pa.int64()),
+                }
+            ),
+            str(in_dir / name),
+        )
+
+    def _drain(checkpoint):
+        stream = spark.readStream.schema("doc_a BIGINT, doc_b BIGINT").parquet(
+            str(in_dir)
+        )
+        q = run_cc_monitor(stream, store, checkpoint=checkpoint)
+        q.awaitTermination(120)
+
+    _drop(b1, "part-0.parquet")
+    _drain(ckpt)
+    _drop(b2, "part-1.parquet")
+    _drain(ckpt)
+
+    want = {
+        r["doc_id"]: r["lbl"]
+        for r in connected_components(
+            spark.createDataFrame(b1 + b2, "doc_a BIGINT, doc_b BIGINT")
+        ).collect()
+    }
+    got = {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, store).collect()}
+    assert got == want
+
+    _drain(str(tmp_path / "cc_ckpt2"))  # full replay
+    replay = {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, store).collect()}
+    assert replay == want
