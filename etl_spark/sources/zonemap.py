@@ -1,0 +1,214 @@
+"""Zone maps — per-file min/max statistics enabling FILE-LEVEL data
+skipping for range predicates on unpartitioned columns (Moerkotte's
+small materialized aggregates, VLDB 1998; the design behind Delta/
+Iceberg file skipping and Snowflake pruning).
+
+Reference relevance: the reference scans whole SQLite tables and
+relies on B-tree indexes (web_scheduler.py's per-query SELECTs); at
+100 TB there is no B-tree — the unit of skipping is the FILE, and a
+table range-partitioned by write order (timestamps, monotonically
+assigned keys) is prunable only if something records each file's
+value range. Directory partitioning handles ONE coarse column;
+zone maps cover the rest at file granularity with a metadata table
+thousands of times smaller than the data.
+
+Build cost: NO data scan — parquet footers already carry per-row-group
+min/max/null statistics, so building the map reads only metadata,
+distributed across executors with mapInPandas over the file list.
+
+Skipping contract (the part that must be airtight):
+- stats min/max are over NON-NULL values: rows with NULL in the
+  predicate column can never satisfy a range predicate, so files
+  whose ranges miss [lo, hi] are skippable regardless of their nulls;
+- a file with no stats for the column (all-null row groups, or a
+  writer that omitted statistics) is NEVER skipped — absence of
+  evidence keeps the file;
+- the pruned scan re-applies the exact predicate, so false KEEPS cost
+  IO only, and false SKIPS cannot happen (asserted: pruned scan ==
+  full scan + filter on every tested shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ZM_SCHEMA = (
+    "path string, col string, min_num double, max_num double, "
+    "min_str string, max_str string, n_nulls long, n_rows long, has_stats boolean"
+)
+
+
+def _local_path(p: str) -> str:
+    return p[len("file:") :] if p.startswith("file:") else p
+
+
+def build_zonemap(spark: SparkSession, table_path: str, cols: list[str]) -> DataFrame:
+    """Per-(file, col) statistics from parquet FOOTERS only — no data
+    scan. Executor-distributed: the file list becomes a DataFrame and
+    each task reads its files' metadata. Numeric/temporal stats land
+    in min_num/max_num (timestamps as epoch micros), strings in
+    min_str/max_str."""
+    files = spark.read.parquet(table_path).inputFiles()
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    )
+    want = list(cols)
+
+    def _footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+        import decimal
+
+        import pyarrow.parquet as pq
+
+        def _num(v):
+            if isinstance(v, bool):
+                return float(v)
+            if isinstance(v, (int, float, decimal.Decimal)):
+                return float(v)
+            if isinstance(v, dt.datetime):
+                return float(
+                    int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+                )
+            if isinstance(v, dt.date):
+                return float(
+                    int(
+                        dt.datetime(
+                            v.year, v.month, v.day, tzinfo=dt.timezone.utc
+                        ).timestamp()
+                        * 1_000_000
+                    )
+                )
+            return None
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(_local_path(p)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in want:
+                    if c not in idx:
+                        rows.append((p, c, None, None, None, None, 0, md.num_rows, False))
+                        continue
+                    mn = mx = None
+                    nulls = 0
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            # a row group without stats poisons the
+                            # whole file: we can no longer bound it
+                            ok = False
+                            continue
+                        nulls += st.null_count or 0
+                        mn = st.min if mn is None or st.min < mn else mn
+                        mx = st.max if mx is None or st.max > mx else mx
+                    has = ok and mn is not None
+                    rows.append(
+                        (
+                            p,
+                            c,
+                            _num(mn) if has else None,
+                            _num(mx) if has else None,
+                            str(mn) if has and _num(mn) is None else None,
+                            str(mx) if has and _num(mx) is None else None,
+                            nulls,
+                            md.num_rows,
+                            has,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "col", "min_num", "max_num",
+                    "min_str", "max_str", "n_nulls", "n_rows", "has_stats",
+                ],
+            )
+
+    return fdf.mapInPandas(_footers, schema=_ZM_SCHEMA)
+
+
+def write_zonemap(
+    spark: SparkSession, table_path: str, cols: list[str], zonemap_path: str
+) -> None:
+    build_zonemap(spark, table_path, cols).write.mode("overwrite").parquet(zonemap_path)
+
+
+def pruned_files(
+    spark: SparkSession,
+    zonemap_path: str,
+    col: str,
+    lo: float | str | None,
+    hi: float | str | None,
+) -> tuple[list[str], int]:
+    """File paths that can contain ``col`` values in [lo, hi] (either
+    bound None = open). Returns (kept_paths, total_files). Files
+    without usable stats are always kept (module contract)."""
+    import datetime as _dt
+
+    def _bound(v):
+        # datetime bounds prune against the stored epoch-micros stats
+        if isinstance(v, _dt.datetime):
+            return float(int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000))
+        return v
+
+    lo, hi = _bound(lo), _bound(hi)
+    zm = spark.read.parquet(zonemap_path).filter(F.col("col") == col)
+    is_str = isinstance(lo, str) or isinstance(hi, str)
+    mn = F.col("min_str") if is_str else F.col("min_num")
+    mx = F.col("max_str") if is_str else F.col("max_num")
+    keep = ~F.col("has_stats") | mn.isNull()
+    rng = F.lit(True)
+    if lo is not None:
+        rng = rng & (mx >= F.lit(lo))
+    if hi is not None:
+        rng = rng & (mn <= F.lit(hi))
+    rows = zm.select("path", (keep | rng).alias("k")).collect()
+    return sorted(r["path"] for r in rows if r["k"]), len(rows)
+
+
+def zonemap_scan(
+    spark: SparkSession,
+    table_path: str,
+    zonemap_path: str,
+    col: str,
+    lo: float | str | None,
+    hi: float | str | None,
+) -> DataFrame:
+    """Range scan with file-level skipping: read ONLY the files the
+    zone map cannot rule out, then re-apply the exact predicate —
+    row-identical to the full scan (asserted in tests), IO
+    proportional to the matching range instead of the table."""
+    paths, _ = pruned_files(spark, zonemap_path, col, lo, hi)
+    full = spark.read.parquet(table_path)
+    if not paths:
+        return full.limit(0)
+    df = spark.read.parquet(*paths)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
+
+
+def write_clustered(
+    df: DataFrame, path: str, col: str, n_files: int
+) -> None:
+    """Write ``df`` range-CLUSTERED on ``col``: repartitionByRange
+    gives each output file a disjoint value range (Spark samples the
+    column to pick balanced split points), sortWithinPartitions keeps
+    row groups internally ordered — together they make the zone map
+    maximally selective (a point/range predicate touches the minimal
+    file set instead of every file, the layout half of the skipping
+    story; the parquet writer then also gets monotone column chunks,
+    which encode smaller). The write itself is one range shuffle."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
