@@ -193,3 +193,103 @@ def run_knn_probe(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def build_benchmark_index(bench_docs: DataFrame, index_path: str, n_buckets: int = 8) -> int:
+    """Materialize the DISTINCT word-3-gram shingles of a benchmark/
+    eval corpus (the x25 decontamination rule's right-hand side) as a
+    stored index partitioned by shingle-hash bucket. Benchmarks are
+    small (thousands of docs) but ingest is forever: storing the
+    shingle set once means the gate never re-shingles the benchmark.
+    Returns the number of distinct shingles stored."""
+    from etl_spark.extensions.dedup import shingle_docs
+
+    sh = (
+        shingle_docs(bench_docs)
+        .select("shingle")
+        .distinct()
+        .withColumn("bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)))
+        .persist()
+    )
+    n = sh.count()
+    (
+        sh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+    sh.unpersist()
+    return n
+
+
+def decontam_score_batch(batch_df: DataFrame, index_df: DataFrame) -> DataFrame:
+    """Per-document contamination verdict for a batch against the
+    stored benchmark shingle set: (all batch columns, n_shared,
+    contaminated). Shingle-less docs (under 3 tokens) share nothing
+    by definition. The benchmark side is benchmark-sized →
+    broadcast; the batch side is one shingle explode + one keyed
+    aggregate — batch-sized work, corpus-independent (x25's plan
+    shape applied at the ingest front door)."""
+    from etl_spark.extensions.dedup import shingle_docs
+    from etl_spark.extensions.pipeline import MIN_SHARED_SHINGLES
+
+    hits = (
+        shingle_docs(batch_df.select("doc_id", "text"))
+        .join(F.broadcast(index_df.select("shingle")), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+    return (
+        batch_df.join(hits, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn("contaminated", F.col("n_shared") >= MIN_SHARED_SHINGLES)
+    )
+
+
+def run_decontam_gate(
+    stream_df: DataFrame,
+    index_path: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Benchmark decontamination at the ingest front door — the x25
+    rule as a streaming gate beside the DSIR gate and the near-dup
+    probe: per micro-batch, docs sharing >= MIN_SHARED_SHINGLES
+    distinct 3-grams with the stored benchmark index land under
+    ``quarantine_path/batch-<id>`` (with their n_shared, the audit
+    column); clean docs land under ``clean_path/batch-<id>``. Replay
+    idempotence is the shared file-sink recipe: the CLEAN write
+    commits last and is the batch's commit marker, so a crash between
+    the two writes replays both (quarantine rows are a pure function
+    of the immutable index and the batch — byte-identical either
+    way). ``on_batch(batch_id, n_in, n_quarantined)`` observes."""
+    spark = stream_df.sparkSession
+    index_df = spark.read.parquet(index_path)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        clean_dir = os.path.join(clean_path, f"batch-{batch_id}")
+        if batch_committed(clean_dir):
+            return
+        scored = decontam_score_batch(batch_df, index_df).persist()
+        n_in = scored.count()
+        bad = scored.filter("contaminated").drop("contaminated")
+        n_bad = bad.count()
+        bad.write.mode("overwrite").parquet(
+            os.path.join(quarantine_path, f"batch-{batch_id}")
+        )
+        scored.filter(~F.col("contaminated")).drop("contaminated", "n_shared").write.mode(
+            "overwrite"
+        ).parquet(clean_dir)
+        scored.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_in, n_bad)
+
+    writer = stream_df.writeStream.foreachBatch(_gate).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

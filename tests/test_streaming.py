@@ -1551,3 +1551,69 @@ def test_cc_monitor_streams_and_replays(spark, tmp_path):
     _drain(str(tmp_path / "cc_ckpt2"))  # full replay
     replay = {r["doc_id"]: r["lbl"] for r in cc_index_labels(spark, store).collect()}
     assert replay == want
+
+
+def test_decontam_gate_matches_x25_and_replays(spark, tmp_path, sf_dir):
+    """The streaming decontamination gate must agree exactly with the
+    x25 batch rule: benchmark = source 'src0' docs, training docs
+    streamed in two micro-batches — the quarantined doc set equals
+    x25's registered verdict on the same fixture, clean ∪ quarantined
+    is a partition of the input, and a fresh-checkpoint replay skips
+    committed batches leaving outputs byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.pipeline import EVAL_SOURCE, x25_decontaminate
+    from etl_spark.streaming.selection import build_benchmark_index, run_decontam_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = build_benchmark_index(
+        docs.filter(F.col("source") == EVAL_SOURCE), str(tmp_path / "bench_idx")
+    )
+    assert n > 0
+
+    train = docs.filter(F.col("source") != EVAL_SOURCE)
+    in_dir = tmp_path / "dc_in"
+    in_dir.mkdir()
+    for i in (0, 1):
+        pq.write_table(
+            pa.Table.from_pandas(train.filter(f"doc_id % 2 = {i}").toPandas()),
+            str(in_dir / f"part-{i}.parquet"),
+        )
+
+    clean, quar = str(tmp_path / "clean"), str(tmp_path / "quar")
+    calls = []
+
+    def _drain(ckpt):
+        stream = spark.readStream.schema(train.schema).parquet(str(in_dir))
+        q = run_decontam_gate(
+            stream,
+            str(tmp_path / "bench_idx"),
+            clean,
+            quar,
+            checkpoint=ckpt,
+            on_batch=lambda b, n_in, n_bad: calls.append((b, n_in, n_bad)),
+        )
+        q.awaitTermination(120)
+
+    _drain(str(tmp_path / "ck1"))
+    want_bad = {r["doc_id"] for r in x25_decontaminate(spark, sf_dir).collect()}
+    got_bad = {r["doc_id"] for r in spark.read.parquet(f"{quar}/batch-*").collect()}
+    assert got_bad == want_bad
+    got_clean = {r["doc_id"] for r in spark.read.parquet(f"{clean}/batch-*").collect()}
+    all_train = {r["doc_id"] for r in train.collect()}
+    assert got_clean | got_bad == all_train and not (got_clean & got_bad)
+    # n_shared audit column rides along in quarantine
+    assert spark.read.parquet(f"{quar}/batch-*").filter("n_shared < 2").count() == 0
+
+    before = sorted(
+        (r["doc_id"],) for r in spark.read.parquet(f"{clean}/batch-*").collect()
+    )
+    calls.clear()
+    _drain(str(tmp_path / "ck2"))  # full replay, fresh checkpoint
+    assert calls == []  # every batch skipped on its commit marker
+    after = sorted(
+        (r["doc_id"],) for r in spark.read.parquet(f"{clean}/batch-*").collect()
+    )
+    assert after == before
