@@ -201,26 +201,45 @@ def cc_merge(labels: DataFrame, new_pairs: DataFrame) -> tuple[DataFrame, DataFr
     bounded by the batch's edge count."""
     from etl_spark.extensions.dedup import connected_components
 
-    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la"))
-    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb"))
-    q_edges = (
-        new_pairs.join(la, "doc_a", "left")
-        .join(lb, "doc_b", "left")
-        .select(
-            F.coalesce("la", "doc_a").alias("doc_a"),
-            F.coalesce("lb", "doc_b").alias("doc_b"),
-        )
-        .filter(F.col("doc_a") != F.col("doc_b"))
+    # SCALE SHAPE: the label table is corpus-sized, the batch is not —
+    # so the labels side is reduced to the batch's endpoints FIRST via
+    # a broadcast semi join (one shuffle-free scan of labels), and
+    # every join after that is batch-sized and broadcast. The old
+    # direct left-join form shuffled the whole label table per batch.
+    keys = new_pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sub = labels.join(F.broadcast(keys), "doc_id", "left_semi").persist()
+    la = sub.select(F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la"))
+    lb = sub.select(F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb"))
+    mapped = (
+        new_pairs.join(F.broadcast(la), "doc_a", "left")
+        .join(F.broadcast(lb), "doc_b", "left")
+        .persist()
     )
+    q_edges = mapped.select(
+        F.coalesce("la", "doc_a").alias("doc_a"),
+        F.coalesce("lb", "doc_b").alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
     q = connected_components(q_edges).persist()  # (doc_id=quotient node, lbl)
-    known = labels.select(F.col("lbl").alias("doc_id")).distinct()
+    # a quotient node is an existing label iff some endpoint RESOLVED
+    # to it (an unlabeled endpoint's id can never equal a live label:
+    # labels are member doc ids, and a labeled doc resolves) — so
+    # membership is decided by the batch-sized mapped frame, not a
+    # corpus-wide distinct over labels
+    existing = (
+        mapped.select(F.explode(F.array("la", "lb")).alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+    )
     remap = (
-        q.join(known, "doc_id")
+        q.join(F.broadcast(existing), "doc_id", "left_semi")
         .filter(F.col("doc_id") != F.col("lbl"))
         .select(F.col("doc_id").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
     )
-    is_doc = labels.select("doc_id").distinct()
-    newdocs = q.join(is_doc, "doc_id", "left_anti").select("doc_id", "lbl")
+    newdocs = q.join(F.broadcast(existing), "doc_id", "left_anti").select(
+        "doc_id", "lbl"
+    )
     return remap, newdocs
 
 
