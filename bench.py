@@ -131,6 +131,7 @@ HEADLINE = [
     "x86_fuzzy_name_match",
     "x87_table_profile",
     "x88_incremental_dup_clusters",
+    "x89_substring_dup_coverage",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -399,7 +400,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x88",
+        "headline_set_rev": "r9-add-x75-x89",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

@@ -906,3 +906,101 @@ def x69_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("doc_frac"),
         )
     )
+
+
+SPAN_K = 5  # duplicated-substring window width (tokens)
+
+
+@register(
+    "x89_substring_dup_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        w AS (
+            SELECT doc_id, i AS pos,
+                   concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS g
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+            WHERE len(t) >= {SPAN_K}
+        ),
+        dup AS (
+            SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT doc_id, COUNT(DISTINCT p) AS covered
+            FROM (
+                SELECT w.doc_id, unnest(range(w.pos, w.pos + {SPAN_K})) AS p
+                FROM w JOIN dup USING (g)
+            )
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+               ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                     / CAST(len(t.t) AS DOUBLE), 6) AS dup_fraction
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("dedup", "scale"),
+    doc="Per-doc fraction of tokens inside cross-doc duplicated >=5-token spans.",
+)
+def x89_substring_dup_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-SUBSTRING coverage (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its tokens lying inside a >= SPAN_K-token span
+    that also appears in ANOTHER document — the verbatim-boilerplate
+    measure that doc-level (x01/x04) and fixed-segment (x50) dedup
+    both miss, because shared spans sit at ARBITRARY offsets. Lee et
+    al. build a suffix array; the Spark-native equivalent is a
+    sliding k-token window index: windows at every position, grouped
+    by window text, kept where >= 2 distinct docs collide, then each
+    doc's covered positions unioned by an explode+distinct (interval
+    union without interval logic). Never doc x doc: the only shuffle
+    keys are window text (the k-mer index — x50's shape at stride 1)
+    and doc_id. Stride-1 windows cost K rows per token; at 100 TB
+    that constant buys offset-independence, and the window text can
+    be hashed (xxhash64) to shrink the shuffle — kept as raw text
+    here so the DuckDB oracle reproduces it verbatim."""
+    toks = load_parallel(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    w = (
+        toks.filter(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {SPAN_K - 1}), i -> struct(i AS pos, "
+                    f"concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                    f"element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)) AS g))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.g")
+    )
+    dup = (
+        w.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        w.join(dup, "g")
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {SPAN_K - 1})")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -101,14 +101,16 @@ def _ensure_loaded() -> None:
 #      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
 #      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
 #      q18/q19, t01 the reference dashboard query);
-#   2. the never-driver-checked r9 registrations (x75 ANN, x76-x82
-#      sketch/sample family, x83 boolean search) lead per policy
-#      rule 1;
-#   3. 22 of the r6-green tier, module-registration order; the
-#      remaining r6 queries (incl. a07/a08/j08/f10/x50/x51/x52/x54/
-#      x55, displaced by the sketch + index + bloom families) rotate
-#      in r10 — displacing within the equal-staleness r6 tier keeps
-#      the oldest-first invariant.
+#   2. the never-driver-checked r9 registrations (x84 bloom prune,
+#      x85 PageRank, x86 fuzzy match, x87 profile, x88 incremental
+#      CC, x89 substring dup, x75 ANN, x76-x82 sketch/sample family,
+#      x83 boolean search) lead per policy rule 1;
+#   3. 17 of the r6-green tier, module-registration order; the
+#      remaining r6 queries (incl. a07/a08/j08/f10/x16/x25/x45/x47/
+#      x49/x50/x51/x52/x54/x55, displaced by the sketch + index +
+#      bloom/graph/fuzzy/profile families) rotate in r10 — displacing
+#      within the equal-staleness r6 tier keeps the oldest-first
+#      invariant.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registration leads (policy rule 1)
     "x84_bloom_join_prune",
@@ -116,6 +118,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x86_fuzzy_name_match",
     "x87_table_profile",
     "x88_incremental_dup_clusters",
+    "x89_substring_dup_coverage",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -162,7 +165,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x19_corpus_stats",
     "x20_bpe_token_count",
     "x48_quality_gate_agreement",
-    "x16_binary_meta",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
