@@ -141,3 +141,79 @@ def x86_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     candidate volume scales with gram collisions, not catalog^2."""
     names = load(spark, sf, "part").select(F.col("p_name").alias("name"))
     return fuzzy_pairs(names)
+
+
+# 64-bit-ish content hash shared with the dedup/sketch families
+# (dedup.py _HEX2INT convention) so the CC node ids — and therefore
+# the min-id canonical choice — are bit-identical in both engines.
+_H_SPARK = "CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+@register(
+    "x90_entity_clusters",
+    oracle=f"""
+        WITH RECURSIVE nm AS (
+            SELECT DISTINCT p_name AS name,
+                   {_H_DUCK.format(col="p_name")} AS id
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.id AS ia, b.id AS ib
+            FROM nm a JOIN nm b
+              ON a.name < b.name
+             AND abs(length(a.name) - length(b.name)) <= {MAX_DIST}
+             AND levenshtein(a.name, b.name) <= {MAX_DIST}
+        ),
+        edges AS (
+            SELECT ia AS s, ib AS d FROM pairs
+            UNION ALL
+            SELECT ib AS s, ia AS d FROM pairs
+        ),
+        verts AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+        ),
+        lab AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+        SELECT n.name, cn.name AS canonical
+        FROM lab l
+        JOIN nm n  ON n.id  = l.id
+        JOIN nm cn ON cn.id = l.lbl
+    """,
+    tags=("extension", "fuzzy", "entity-resolution", "graph"),
+    doc="End-to-end entity resolution: fuzzy pairs -> CC -> canonical name.",
+)
+def x90_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity RESOLUTION, not just matching: x86's lossless-blocked
+    edit-distance pairs become edges, connected components merge
+    transitive variants ("cold ring" ~ "old ring" ~ "red ring" is ONE
+    entity even though the ends are 3 edits apart), and each cluster
+    elects a canonical surface form — the min-content-hash member, a
+    content-stable choice that never flips as the catalog grows (the
+    x29 min-id rule with md5 standing in for doc ids, bit-identical
+    in both engines via the shared hash chain). Names in no pair are
+    untouched (not emitted), exactly like x29. The full record-linkage
+    pipeline — block, match, cluster, canonicalize — in one plan with
+    no quadratic stage."""
+    from etl_spark.extensions.dedup import connected_components
+
+    names = load(spark, sf, "part").select(F.col("p_name").alias("name"))
+    pairs = fuzzy_pairs(names)
+    ids = names.distinct().select(
+        "name", F.expr(_H_SPARK.format(col="name")).alias("id")
+    ).persist()
+    ia = ids.select(F.col("name").alias("name_a"), F.col("id").alias("doc_a"))
+    ib = ids.select(F.col("name").alias("name_b"), F.col("id").alias("doc_b"))
+    edges = pairs.join(ia, "name_a").join(ib, "name_b").select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    return (
+        labels.join(ids, labels.doc_id == ids.id)
+        .select("name", "lbl")
+        .join(
+            ids.select(F.col("id").alias("lbl"), F.col("name").alias("canonical")),
+            "lbl",
+        )
+        .select("name", "canonical")
+    )
