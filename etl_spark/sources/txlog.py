@@ -305,6 +305,32 @@ class TxTable:
             raise ValueError(f"no committed data in tx table {self.path}")
         return spark.read.parquet(*(os.path.join(self.path, d) for d in dirs))
 
+    def changes(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed versions — the
+        Delta-CDF surface over the tx log: one row per key whose
+        state differs between the ``v_from`` and ``v_to`` snapshots,
+        with ``change`` in {'added','removed','changed'} and the list
+        of changed columns. Computed as a keyed snapshot diff
+        (quality.snapshot_diff — ONE full-outer join on the keys), so
+        it is exact under any mix of append/upsert/delete/overwrite
+        commits in between, including a row changed and changed BACK
+        (net zero -> not reported). ``v_from=0`` means "before the
+        table existed": every current row reports as added."""
+        from etl_spark.quality import snapshot_diff
+
+        new = self.read(spark, v_to)
+        if v_from <= 0:
+            old = new.limit(0)
+        else:
+            old = self.read(spark, v_from)
+        return snapshot_diff(old, new, keys)
+
     # ---------- maintenance ----------
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int | None:

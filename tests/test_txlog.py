@@ -294,3 +294,38 @@ def test_delete_keeps_null_predicate_rows(spark, tmp_path):
     t.delete_once(spark, "doc_id IN (3)", "takedown-nulltest-0")
     got = {r.v for r in t.read(spark).collect()}
     assert got == {"null-row"}
+
+
+def test_changes_cdf_between_versions(spark, tmp_path):
+    """TxTable.changes: exact keyed CDC across any commit mix —
+    append (added), upsert (changed, with the changed column named),
+    delete (removed), and a change-and-change-back collapsing to no
+    row (net-zero semantics a commit-log replay would not give)."""
+    from etl_spark.sources.txlog import TxTable
+
+    t = TxTable.create(
+        str(tmp_path / "cdf"),
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k LONG, s STRING, v DOUBLE"),
+    )  # v1
+    t.append(spark.createDataFrame([(3, "c", 30.0)], "k LONG, s STRING, v DOUBLE"))  # v2
+    t.upsert(
+        spark, spark.createDataFrame([(2, "b", 25.0)], "k LONG, s STRING, v DOUBLE"), ["k"]
+    )  # v3
+    t.delete(spark, "k = 1")  # v4
+    t.upsert(
+        spark, spark.createDataFrame([(2, "b", 20.0)], "k LONG, s STRING, v DOUBLE"), ["k"]
+    )  # v5: back to v1's value
+
+    got = {
+        r["k"]: (r["change"], sorted(r["changed_cols"]))
+        for r in t.changes(spark, ["k"], v_from=1, v_to=4).collect()
+    }
+    assert got == {1: ("removed", []), 2: ("changed", ["v"]), 3: ("added", [])}
+
+    # net-zero: key 2 changed in v3 and changed back in v5
+    net = {r["k"]: r["change"] for r in t.changes(spark, ["k"], 1, 5).collect()}
+    assert net == {1: "removed", 3: "added"}
+
+    # v_from=0: everything current is 'added'
+    init = {r["k"]: r["change"] for r in t.changes(spark, ["k"], 0).collect()}
+    assert init == {2: "added", 3: "added"}
