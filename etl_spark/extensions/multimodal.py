@@ -137,13 +137,51 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 @register(
     "x15_media_decode",
-    oracle=None,  # mapInPandas decode — rows-only check (fake decoder)
+    # The decode is a pandas UDF, but the FAKE decoder is a pure
+    # function of the text bytes — so the whole pipeline (header
+    # fields, payload size, byte-mean intensity) is SQL-expressible
+    # and the driver gets a hard value-hash check instead of the
+    # rows-only signal this query carried through r8 (upgraded r9).
+    # Byte extraction is hex-pair arithmetic so non-ASCII text would
+    # still match; the mean divides an exact integer SUM once,
+    # matching numpy's exact-integer pairwise partials + one IEEE
+    # division.
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   'image/synthetic' AS media_type,
+                   CAST(length(text) % 64 + 1 AS INT) AS width,
+                   CAST(n_chars % 48 + 1 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_pixel_bytes,
+                   hex(encode(text)) AS hx
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   SUM(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2))::BIGINT)
+                     AS s,
+                   COUNT(*) AS n
+            FROM b, LATERAL (
+                SELECT unnest(range(1, CAST(n_pixel_bytes AS INT) + 1)) AS i
+            )
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.media_type, b.width, b.height, b.channels,
+               b.n_pixel_bytes,
+               CASE WHEN COALESCE(y.n, 0) = 0 THEN 0.0
+                    ELSE CAST(y.s AS DOUBLE) / CAST(y.n AS DOUBLE)
+               END AS mean_intensity
+        FROM b LEFT JOIN bytes y USING (doc_id)
+    """,
     tags=("multimodal",),
 )
 def x15_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Media pipeline: build binary blobs → mapInPandas decode →
-    typed metadata + payload features. Rows-only driver check; exact
-    value assertions live in tests/test_multimodal.py."""
+    typed metadata + payload features. Oracle-backed since r9 (the
+    fake decode is a pure function of the text bytes — see the
+    register note); exact value assertions also live in
+    tests/test_multimodal.py."""
     return decode_media(make_media_table(spark, sf))
 
 
