@@ -37,3 +37,38 @@ def parse_json_records(
     parsed = df.withColumn("__parsed", F.from_json(F.col(json_col), schema))
     cols = [c for c in df.columns if keep or c != json_col]
     return parsed.select(*cols, "__parsed.*")
+
+
+def read_csv_dlq(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest with a dead-letter queue: returns ``(good, bad)``
+    where ``bad`` carries the RAW line of every row the schema could
+    not parse (the `_corrupt_record` PERMISSIVE-mode column) — the
+    file-landing twin of ``quality.split_by_rules`` and the streaming
+    validating sink. The reference's Excel/CSV upload path aborts the
+    whole load on one bad row (uploads/excel_to_db.py); at 100 TB one
+    typo'd line must not kill a shard — route it, count it, keep
+    going.
+
+    The parsed frame is persisted before the corrupt-column split:
+    Spark disallows filtering a CSV frame on only the corrupt column
+    without materializing it first (the parser would otherwise prune
+    away the evidence), and persisting also guarantees both halves
+    see the SAME parse."""
+    full = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .csv(path)
+        .persist()
+    )
+    good = full.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = full.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -56,6 +56,11 @@ def build_zonemap(spark: SparkSession, table_path: str, cols: list[str]) -> Data
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         max(1, min(len(files), spark.sparkContext.defaultParallelism))
     )
+    return _footer_stats(fdf, cols)
+
+
+def _footer_stats(fdf: DataFrame, cols: list[str]) -> DataFrame:
+    """mapInPandas footer extraction over a (path) DataFrame."""
     want = list(cols)
 
     def _footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,3 +217,36 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zonemap_refresh(
+    spark: SparkSession, table_path: str, cols: list[str], zonemap_path: str
+) -> tuple[int, int]:
+    """Incremental zone-map maintenance: footers are read ONLY for
+    files not yet in the map, and rows for files that left the table
+    (compaction, vacuum) are dropped — so keeping the map current
+    costs metadata IO proportional to the CHANGE, not the table.
+    Returns (n_files_added, n_files_removed). Falls back to a full
+    build when no map exists."""
+    import os
+
+    current = set(spark.read.parquet(table_path).inputFiles())
+    if not os.path.isdir(zonemap_path):
+        write_zonemap(spark, table_path, cols, zonemap_path)
+        return len(current), 0
+    zm = spark.read.parquet(zonemap_path)
+    known = {r["path"] for r in zm.select("path").distinct().collect()}
+    added, removed = sorted(current - known), known - current
+    kept = zm.filter(~F.col("path").isin(list(removed))) if removed else zm
+    if added:
+        fdf = spark.createDataFrame([(f,) for f in added], "path string")
+        fresh = _footer_stats(fdf, cols)
+        kept = kept.unionByName(fresh)
+    # write via temp + swap: the map must never be half-written
+    tmp = zonemap_path.rstrip("/") + ".tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(zonemap_path, ignore_errors=True)
+    os.rename(tmp, zonemap_path)
+    return len(added), len(removed)

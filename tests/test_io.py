@@ -813,3 +813,22 @@ def test_partitioned_writers_restore_overwrite_mode(spark):
         assert spark.conf.get(key, None) == prev
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_read_csv_dlq_routes_malformed(spark, tmp_path):
+    """CSV DLQ: parseable rows land typed in `good`, malformed rows
+    land raw in `bad`, nothing is lost, nothing aborts."""
+    from etl_spark.sources.records import read_csv_dlq
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,alpha,2.5\n"
+        "2,beta,not_a_number\n"  # double column fails -> corrupt
+        "3,gamma,7.25\n"
+        "oops\n"  # wrong arity -> corrupt
+    )
+    good, bad = read_csv_dlq(spark, str(p), "id LONG, name STRING, v DOUBLE")
+    g = sorted(tuple(r) for r in good.collect())
+    assert g == [(1, "alpha", 2.5), (3, "gamma", 7.25)]
+    b = sorted(r["raw_line"] for r in bad.collect())
+    assert b == ["2,beta,not_a_number", "oops"]

@@ -158,3 +158,32 @@ def test_clustered_layout_prunes_minimally(spark, tmp_path):
         for r in zonemap_scan(spark, scattered, zm_s, "k", 4000, 4099).collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_zonemap_refresh_incremental(spark, tmp_path):
+    """refresh reads footers only for NEW files, drops rows for
+    removed files, and the refreshed map prunes identically to a
+    from-scratch rebuild."""
+    import os
+
+    from etl_spark.sources.zonemap import zonemap_refresh
+
+    d = tmp_path / "t"
+    d.mkdir()
+    for i in range(3):
+        ks = list(range(i * 100, (i + 1) * 100))
+        pq.write_table(pa.table({"k": pa.array(ks, pa.int64())}), str(d / f"f{i}.parquet"))
+    zm = str(tmp_path / "zm")
+    a, r = zonemap_refresh(spark, str(d), ["k"], zm)
+    assert (a, r) == (3, 0)  # initial full build
+    # add one file, remove one
+    pq.write_table(
+        pa.table({"k": pa.array(list(range(300, 400)), pa.int64())}), str(d / "f3.parquet")
+    )
+    os.remove(str(d / "f0.parquet"))
+    a, r = zonemap_refresh(spark, str(d), ["k"], zm)
+    assert (a, r) == (1, 1)
+    kept, total = pruned_files(spark, zm, "k", 320, 330)
+    assert total == 3 and len(kept) == 1 and kept[0].endswith("f3.parquet")
+    got = sorted(r["k"] for r in zonemap_scan(spark, str(d), zm, "k", 150, 349).collect())
+    assert got == list(range(150, 350))
