@@ -433,3 +433,77 @@ def e08_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+EWMA_N = 8  # trailing window width; weights 2^0 (oldest) .. 2^(n-1) (newest)
+
+
+@register(
+    "e09_ewma_spike",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT a.event_id, a.user_id, a.cents,
+                   SUM(b.cents * (CAST(1 AS BIGINT)
+                       << CAST(LEAST(a.rn, {EWMA_N}) - 1
+                               - (a.rn - b.rn) AS INT))) AS wsum,
+                   (CAST(1 AS BIGINT)
+                       << CAST(LEAST(a.rn, {EWMA_N}) AS INT)) - 1 AS wnorm
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.rn BETWEEN a.rn - {EWMA_N - 1} AND a.rn
+            GROUP BY a.event_id, a.user_id, a.cents, a.rn
+        )
+        SELECT event_id, user_id, cents,
+               CAST(wsum // wnorm AS BIGINT) AS ewma_cents,
+               2 * cents > 3 * (wsum // wnorm) AS spike
+        FROM agg
+    """,
+    tags=("events", "window", "anomaly", "scale"),
+    doc="Fixed-point EWMA spike detection over per-user purchase streams.",
+)
+def e09_ewma_spike(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    value with a 1.5x spike flag (2*cents > 3*ewma — integer-exact) — the anomaly primitive behind fraud
+    and error-burst monitors, in EXACT fixed-point arithmetic (the
+    x85 rule applied to smoothing): values become cents, the trailing
+    {N}-row window weights 2^0 (oldest) .. 2^(n-1) (newest) as
+    BIGINTs, and the average is one integer division — so Spark's
+    window-frame evaluation and the oracle's self-join formulation
+    agree bit-for-bit, where a float alpha-recursion would drift by
+    evaluation order. Spark side: ONE window pass per user (ordered
+    collect over a ROWS frame + a zip_with/aggregate fold in
+    codegen); the oracle's O(N x window) self-join is the semantic
+    spec, not the plan. At 100 TB: one shuffle on user_id, state
+    bounded by the frame width."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(EWMA_N - 1), 0)
+    e = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    arr = F.collect_list("cents").over(frame)
+    out = e.withColumn("arr", arr).select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.expr(
+            "CAST(aggregate(zip_with(arr, sequence(0, size(arr) - 1), "
+            "(x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) "
+            "DIV (shiftleft(CAST(1 AS BIGINT), size(arr)) - 1) AS BIGINT)"
+        ).alias("ewma_cents"),
+    )
+    return out.withColumn("spike", 2 * F.col("cents") > 3 * F.col("ewma_cents"))
