@@ -809,3 +809,96 @@ def x35_type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
             F.size(F.array_distinct("t")) / F.size("t").cast("double"), 6
         ).alias("ttr"),
     )
+
+
+# --- in-engine BPE tokenizer training ----------------------------------
+#
+# Sennrich et al. 2016 byte-pair encoding, trained WITHOUT leaving the
+# engine (the x67 train-in-engine pattern applied to tokenizers). The
+# scale insight that makes this tractable: BPE training never needs
+# the corpus after one pass — it operates on the WORD-FREQUENCY table
+# (vocabulary-sized), so each merge round is one aggregate over
+# |vocab| rows plus a 1-row collect, however big the corpus is. The
+# merge application is a codegen'd left-to-right aggregate fold over
+# each word's symbol array (matching the reference greedy semantics:
+# "aaa" under merge (a,a) becomes [aa, a]).
+
+
+def bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(syms array<string>, freq) — one corpus scan, whitespace
+    pre-tokenization, words split to character symbols."""
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("split(w, '')").alias("syms"), "freq")
+    )
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """SQL fold replacing adjacent (a, b) with a||b, left-to-right."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')), "
+        "concat(acc, array(x))))"
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Deterministic:
+    the winning pair maximizes total frequency with lexicographic
+    (a, b) as the tiebreak, so any partitioning elects the same pair.
+    Per round: one vocabulary-sized aggregate + a 1-row collect + a
+    fold re-derivation of the symbol table (persisted per round,
+    previous round unpersisted)."""
+    words = bpe_word_table(docs).persist()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark — guard the
+                    # single-symbol words out before the pair explode
+                    F.expr(
+                        "IF(size(syms) < 2, CAST(array() AS array<struct<a: string, b: string>>), "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b")).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = words.select(F.expr(_merge_expr(a, b)).alias("syms"), "freq").persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return merges
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges to the corpus: (doc_id, n_words,
+    n_bpe_tokens) — the compression the vocabulary buys, computed by
+    replaying the merge folds over each word (order matters and is
+    the training order, per the BPE spec)."""
+    seg = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.expr("split(w, '')").alias("syms"))
+    )
+    for a, b in merges:
+        seg = seg.select("doc_id", F.expr(_merge_expr(a, b)).alias("syms"))
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("syms")).alias("n_bpe_tokens"),
+    )
