@@ -1,0 +1,134 @@
+"""Slowly-changing dimension (SCD Type 2) maintenance — versioned
+dimension rows with validity intervals, the Kimball pattern every
+warehouse ETL needs and the reference approximates by overwriting
+dimension rows in place (web_scheduler.py's upload path keeps only
+the latest Excel state, losing history).
+
+A type-2 dimension carries, per business key, a CHAIN of versions:
+(key, attrs..., valid_from, valid_to, is_current) where at most one
+version per key is open (valid_to NULL / is_current true) and
+intervals never overlap — both INVARIANTS are pinned in tests.
+Facts join the version whose interval contains the fact timestamp —
+the as-of/range joins (operators/advanced.py) consume this shape.
+
+Merge semantics (``scd2_merge``): a batch is a set of (key, attrs,
+ts) observations; the LATEST observation per key wins within a batch
+(the Delta-MERGE SCD2 convention — intra-batch history belongs in
+separate batches, which is how schedulers and foreachBatch deliver
+it). Per key:
+
+- unseen key              -> a new open version at ts;
+- attrs == current attrs  -> no-op;
+- exact version exists
+  (key, valid_from==ts, same attrs) -> no-op (the REPLAY of an
+  already-applied batch — immediate at-least-once re-delivery is
+  safe; cross-batch exactly-once belongs to the commit layer, e.g.
+  txlog append_once, like every other sink in this repo);
+- otherwise               -> current version closes at ts, a new
+                             open version starts at ts.
+
+CONTRACT: batches arrive per-key in time order (ts >= the key's
+current valid_from). Out-of-order history rewrites are a different
+operation (interval splitting) — reject them upstream.
+
+Scale shape: one shuffle of the update batch on the key; the closed
+history is UNIONED through untouched (never read beyond the schema,
+never rewritten) — only the current slice joins the batch. Commit
+the result atomically with truncate_load or a txlog overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCD_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(updates: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
+    """Open a fresh dimension from the first observation batch."""
+    dim = updates.select(
+        *[F.col(c) for c in updates.columns if c != ts_col],
+        F.col(ts_col).alias("valid_from"),
+        F.col(ts_col).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).limit(0)
+    return scd2_merge(dim, updates, keys, ts_col)
+
+
+def scd2_merge(
+    dim: DataFrame, updates: DataFrame, keys: list[str], ts_col: str
+) -> DataFrame:
+    """Apply an observation batch to a type-2 dimension; returns the
+    new dimension (pure). Semantics in the module docstring."""
+    attrs = [c for c in updates.columns if c not in keys and c != ts_col]
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    u = updates.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+    cur_keyed = cur.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_c_{c}") for c in attrs],
+        F.lit(True).alias("_has_cur"),
+    )
+    cond = None
+    for k in keys:
+        c = u[k] == cur_keyed[f"_k_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = u.join(cur_keyed, cond, "left")
+    same_as_cur = F.lit(True)
+    for c in attrs:
+        same_as_cur = same_as_cur & F.col(f"_c_{c}").eqNullSafe(F.col(c))
+    no_op = F.coalesce(F.col("_has_cur"), F.lit(False)) & same_as_cur
+    effective = joined.filter(~no_op).select(*keys, *attrs, ts_col)
+
+    # replay guard: a version identical to the incoming one (same key,
+    # same valid_from, same attrs) means this observation already
+    # applied — drop it before anything closes or opens
+    seen = dim.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in attrs],
+        F.col("valid_from").alias("_s_from"),
+    )
+    scond = F.col(ts_col) == F.col("_s_from")
+    for k in keys:
+        scond = scond & (F.col(k) == F.col(f"_s_{k}"))
+    for c in attrs:
+        scond = scond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+    effective = effective.join(seen, scond, "left_anti").persist()
+
+    new_rows = effective.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lit(None).cast(updates.schema[ts_col].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    closer = effective.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys], F.col(ts_col).alias("_close_ts")
+    )
+    ccond = None
+    for k in keys:
+        c = cur[k] == closer[f"_k_{k}"]
+        ccond = c if ccond is None else (ccond & c)
+    kept_cur = cur.join(F.broadcast(closer), ccond, "left").select(
+        *[cur[c] for c in dim.columns if c not in SCD_COLS],
+        "valid_from",
+        F.coalesce(F.col("_close_ts"), F.col("valid_to")).alias("valid_to"),
+        F.col("_close_ts").isNull().alias("is_current"),
+    )
+    return hist.unionByName(kept_cur).unionByName(new_rows.select(*dim.columns))
+
+
+def scd2_asof(dim: DataFrame, ts) -> DataFrame:
+    """The dimension as it stood at ``ts``: the version whose
+    [valid_from, valid_to) interval contains it."""
+    t = F.lit(ts)
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop(*SCD_COLS)

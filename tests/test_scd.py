@@ -1,0 +1,119 @@
+"""SCD Type 2 maintenance (operators/scd.py): interval invariants,
+point-in-time correctness, replay idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.scd import scd2_asof, scd2_init, scd2_merge
+
+T = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+SCHEMA = "cust LONG, segment STRING, ts TIMESTAMP"
+
+
+def _snapshot(dim):
+    rows = [
+        (r["cust"], r["segment"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    ]
+    return sorted(rows, key=lambda t: (t[0], t[2], t[1] or ""))
+
+
+@pytest.fixture()
+def dim(spark):
+    d0 = scd2_init(
+        spark.createDataFrame([(1, "gold", T(1)), (2, "silver", T(1))], SCHEMA),
+        ["cust"],
+        "ts",
+    )
+    # batch 2: cust 1 changes, cust 2 unchanged (no-op), cust 3 new
+    b2 = spark.createDataFrame(
+        [(1, "platinum", T(5)), (2, "silver", T(5)), (3, "bronze", T(5))], SCHEMA
+    )
+    return spark, scd2_merge(d0, b2, ["cust"], "ts"), b2
+
+
+def test_versions_and_invariants(dim):
+    spark, d, _ = dim
+    snap = _snapshot(d)
+    assert snap == [
+        (1, "gold", T(1), T(5), False),
+        (1, "platinum", T(5), None, True),
+        (2, "silver", T(1), None, True),
+        (3, "bronze", T(5), None, True),
+    ]
+    # invariants: at most one open version per key; intervals never
+    # overlap within a key
+    rows = d.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["cust"], []).append(r)
+    for vs in by_key.values():
+        assert sum(1 for v in vs if v["is_current"]) == 1
+        ordered = sorted(vs, key=lambda v: v["valid_from"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+
+
+def test_asof_lookups(dim):
+    spark, d, _ = dim
+    at2 = {r["cust"]: r["segment"] for r in scd2_asof(d, T(2)).collect()}
+    assert at2 == {1: "gold", 2: "silver"}
+    at6 = {r["cust"]: r["segment"] for r in scd2_asof(d, T(6)).collect()}
+    assert at6 == {1: "platinum", 2: "silver", 3: "bronze"}
+    assert scd2_asof(d, dt.datetime(2023, 12, 1)).count() == 0
+
+
+def test_replay_is_noop(dim):
+    spark, d, b2 = dim
+    replayed = scd2_merge(d, b2, ["cust"], "ts")
+    assert _snapshot(replayed) == _snapshot(d)
+
+
+def test_latest_per_key_wins_within_batch(spark):
+    d0 = scd2_init(
+        spark.createDataFrame([(1, "a", T(1))], SCHEMA), ["cust"], "ts"
+    )
+    batch = spark.createDataFrame([(1, "b", T(3)), (1, "c", T(7))], SCHEMA)
+    d1 = scd2_merge(d0, batch, ["cust"], "ts")
+    assert _snapshot(d1) == [
+        (1, "a", T(1), T(7), False),
+        (1, "c", T(7), None, True),
+    ]
+
+
+def test_null_attrs_handled_null_safely(spark):
+    d0 = scd2_init(
+        spark.createDataFrame([(1, None, T(1))], SCHEMA), ["cust"], "ts"
+    )
+    # same NULL state -> no-op; real value -> new version
+    d1 = scd2_merge(
+        d0, spark.createDataFrame([(1, None, T(2))], SCHEMA), ["cust"], "ts"
+    )
+    assert _snapshot(d1) == _snapshot(d0)
+    d2 = scd2_merge(
+        d1, spark.createDataFrame([(1, "x", T(3))], SCHEMA), ["cust"], "ts"
+    )
+    assert _snapshot(d2) == [
+        (1, None, T(1), T(3), False),
+        (1, "x", T(3), None, True),
+    ]
+
+
+def test_facts_join_the_right_version(spark, dim):
+    _, d, _ = dim
+    facts = spark.createDataFrame(
+        [(100, 1, T(2)), (101, 1, T(6)), (102, 3, T(6))],
+        "fact_id LONG, cust LONG, fts TIMESTAMP",
+    )
+    joined = facts.join(
+        d,
+        (facts.cust == d.cust)
+        & (d.valid_from <= facts.fts)
+        & (d.valid_to.isNull() | (d.valid_to > facts.fts)),
+    ).select("fact_id", "segment")
+    got = {r["fact_id"]: r["segment"] for r in joined.collect()}
+    assert got == {100: "gold", 101: "platinum", 102: "bronze"}
