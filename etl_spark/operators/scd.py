@@ -132,3 +132,71 @@ def scd2_asof(dim: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop(*SCD_COLS)
+
+
+def _register_x91() -> None:
+    from pyspark.sql import SparkSession
+
+    from etl_spark.registry import register
+    from etl_spark.tables import load
+
+    @register(
+        "x91_priority_history",
+        oracle="""
+            WITH obs AS (
+                SELECT o_custkey AS cust, o_orderpriority AS prio,
+                       o_orderdate AS ts, o_orderkey AS ok,
+                       lag(o_orderpriority) OVER w AS prev
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ),
+            changes AS (
+                SELECT cust, prio, ts,
+                       lead(ts) OVER (PARTITION BY cust ORDER BY ts, ok)
+                         AS valid_to
+                FROM obs WHERE prev IS NULL OR prev <> prio
+            )
+            SELECT cust, prio, ts AS valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM changes
+        """,
+        tags=("scd", "window", "history"),
+        doc="Per-customer order-priority SCD2 chain derived in one window pass.",
+    )
+    def x91_priority_history(spark: SparkSession, sf: str) -> DataFrame:
+        """Each customer's order-priority HISTORY as a type-2 chain —
+        the gaps-and-islands state-change derivation: consecutive
+        same-priority orders collapse, each state change opens a
+        version valid until the next change (the batch-mode twin of
+        ``scd2_merge``'s incremental maintenance, and the shape
+        ``scd2_asof``/as-of joins consume). One window pass per rule:
+        lag() finds the change points, lead() closes the intervals —
+        two shuffles on the customer key and nothing else, at any
+        scale. Change points are deterministic via the (date,
+        orderkey) tiebreak, so both engines pick identical chains."""
+        w = Window.partitionBy("cust").orderBy("ts", "ok")
+        # same (ts, ok) tiebreak as the change scan: two state
+        # changes on one date must close deterministically
+        wc = Window.partitionBy("cust").orderBy("ts", "ok")
+        obs = load(spark, sf, "orders").select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        changes = (
+            obs.withColumn("prev", F.lag("prio").over(w))
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("prio")))
+            .withColumn("valid_to", F.lead("ts").over(wc))
+        )
+        return changes.select(
+            "cust",
+            "prio",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+
+
+_register_x91()

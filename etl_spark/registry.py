@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.event_analytics  # noqa: F401
     import etl_spark.operators.statistics  # noqa: F401
     import etl_spark.operators.bloomjoin  # noqa: F401
+    import etl_spark.operators.scd  # noqa: F401  (registers x91)
     import etl_spark.operators.relational  # noqa: F401
     import etl_spark.operators.scalar_functions  # noqa: F401
     import etl_spark.operators.analytics  # noqa: F401
@@ -105,7 +106,7 @@ def _ensure_loaded() -> None:
 #      x85 PageRank, x86 fuzzy match, x87 profile, x88 incremental
 #      CC, x89 substring dup, x75 ANN, x76-x82 sketch/sample family,
 #      x83 boolean search) lead per policy rule 1;
-#   3. 15 of the r6-green tier, module-registration order; the
+#   3. 14 of the r6-green tier, module-registration order; the
 #      remaining r6 queries (incl. a07/a08/j08/f10/x16/x25/x45/x47/
 #      x49/x50/x51/x52/x54/x55, displaced by the sketch + index +
 #      bloom/graph/fuzzy/profile families) rotate in r10 — displacing
@@ -121,6 +122,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x89_substring_dup_coverage",
     "x90_entity_clusters",
     "e09_ewma_spike",
+    "x91_priority_history",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -164,7 +166,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x14_bow_clusters",
     "x17_quality_filter",
     "x18_tfidf_top_terms",
-    "x19_corpus_stats",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
