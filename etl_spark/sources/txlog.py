@@ -204,6 +204,18 @@ class TxTable:
         self._seen_batch_ids.add(batch_id)
         return v
 
+    def overwrite_once(self, df: DataFrame, batch_id: int | str) -> int | None:
+        """Idempotent OVERWRITE for streaming foreachBatch — the
+        append_once ledger applied to full-snapshot commits (the shape
+        a streaming SCD2 sink needs: each batch commits the merged
+        dimension as the table's new contents exactly once). Returns
+        the version, or None for a skipped replay."""
+        if self._batch_replayed(batch_id):
+            return None
+        v = self._commit(df, action="overwrite", extra={"batch_id": batch_id})
+        self._seen_batch_ids.add(batch_id)
+        return v
+
     def _batch_replayed(self, batch_id: int | str) -> bool:
         """Incrementally refresh the batch-id ledger from log entries
         committed since the last call, then answer whether

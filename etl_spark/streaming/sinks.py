@@ -299,3 +299,57 @@ def run_takedown_sink(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def run_scd2_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    ts_col: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """Maintain a type-2 dimension from an observation stream — each
+    micro-batch merges into the txlog-backed dimension
+    (operators/scd.py semantics: latest per key wins, no-ops and
+    replayed observations drop) and commits the new snapshot with
+    ``overwrite_once``, so the batch-id ledger gives exactly-once
+    version history even across restarts, on TOP of scd2_merge's own
+    observation-level replay guard (belt and braces: the ledger stops
+    duplicate versions, the guard stops duplicate content). The first
+    batch creates the table. ``on_batch(batch_id, n_dim_rows)``."""
+    import os
+
+    from etl_spark.operators.scd import scd2_init, scd2_merge
+    from etl_spark.sources.txlog import TxTable
+
+    state: dict = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        t = state.get("t")
+        if t is None:
+            if os.path.isdir(os.path.join(table_path, "_txlog")):
+                t = TxTable(table_path)
+            else:
+                t = TxTable.create(
+                    table_path, scd2_init(batch_df.limit(0), keys, ts_col)
+                )
+            state["t"] = t
+        if t._batch_replayed(batch_id):
+            return
+        dim = t.read(spark)
+        new_dim = scd2_merge(dim, batch_df, keys, ts_col).persist()
+        n = new_dim.count()
+        t.overwrite_once(new_dim, batch_id)
+        new_dim.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1617,3 +1617,72 @@ def test_decontam_gate_matches_x25_and_replays(spark, tmp_path, sf_dir):
         (r["doc_id"],) for r in spark.read.parquet(f"{clean}/batch-*").collect()
     )
     assert after == before
+
+
+def test_scd2_sink_streams_and_replays(spark, tmp_path):
+    """Streaming SCD2: two drained observation batches leave the
+    txlog dimension equal to batch-wise scd2_merge application; a
+    fresh-checkpoint replay commits NO new versions and leaves the
+    dimension byte-identical (overwrite_once ledger + merge guard)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.operators.scd import scd2_init, scd2_merge
+    from etl_spark.sources.txlog import TxTable
+    from etl_spark.streaming.sinks import run_scd2_sink
+
+    T = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    b1 = [(1, "gold", T(1)), (2, "silver", T(1))]
+    b2 = [(1, "platinum", T(5)), (3, "bronze", T(5))]
+    in_dir = tmp_path / "scd_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "scd_dim")
+
+    def _drop(rows, name):
+        pq.write_table(
+            pa.table(
+                {
+                    "cust": pa.array([r[0] for r in rows], pa.int64()),
+                    "segment": pa.array([r[1] for r in rows]),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            str(in_dir / name),
+        )
+
+    def _drain(ckpt):
+        stream = spark.readStream.schema("cust LONG, segment STRING, ts TIMESTAMP").parquet(
+            str(in_dir)
+        )
+        q = run_scd2_sink(stream, table, ["cust"], "ts", checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    _drop(b1, "part-0.parquet")
+    _drain(str(tmp_path / "ck1"))
+    _drop(b2, "part-1.parquet")
+    _drain(str(tmp_path / "ck1"))
+
+    t = TxTable(table)
+    got = sorted(
+        (r["cust"], r["segment"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t.read(spark).collect()
+    )
+    d = scd2_init(spark.createDataFrame(b1, "cust LONG, segment STRING, ts TIMESTAMP"), ["cust"], "ts")
+    d = scd2_merge(d, spark.createDataFrame(b2, "cust LONG, segment STRING, ts TIMESTAMP"), ["cust"], "ts")
+    want = sorted(
+        (r["cust"], r["segment"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in d.collect()
+    )
+    assert got == want
+
+    v_before = t.latest_version()
+    _drain(str(tmp_path / "ck2"))  # full replay, fresh checkpoint
+    t2 = TxTable(table)
+    assert t2.latest_version() == v_before  # ledger skipped every batch
+    replay = sorted(
+        (r["cust"], r["segment"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t2.read(spark).collect()
+    )
+    assert replay == want
