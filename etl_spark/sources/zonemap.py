@@ -151,7 +151,11 @@ def pruned_files(
 ) -> tuple[list[str], int]:
     """File paths that can contain ``col`` values in [lo, hi] (either
     bound None = open). Returns (kept_paths, total_files). Files
-    without usable stats are always kept (module contract)."""
+    without usable stats are always kept (module contract).
+
+    The collect here is one row per FILE — the same driver-side scale
+    as Spark's own file-listing step for any parquet read, which this
+    list feeds; it is never row-scale."""
     import datetime as _dt
 
     def _bound(v):
