@@ -143,11 +143,11 @@ def x86_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_pairs(names)
 
 
-# 64-bit-ish content hash shared with the dedup/sketch families
-# (dedup.py _HEX2INT convention) so the CC node ids — and therefore
-# the min-id canonical choice — are bit-identical in both engines.
-_H_SPARK = "CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
-_H_DUCK = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+# the shared md5 hash chain (ONE definition repo-wide — review
+# finding: a second copy can silently diverge from the family it must
+# stay bit-identical with); the CAST-to-STRING inside is a no-op on
+# the string names hashed here
+from etl_spark.extensions.sketches import _H_DUCK, _H_SPARK  # noqa: E402
 
 
 @register(

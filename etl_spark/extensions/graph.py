@@ -58,6 +58,21 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = T_ITERS) -> DataFrame:
     round plus once for degrees)."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()  # scalar collect — bounded driver artifact
+    # PRECONDITION: every node must have outdegree >= 1 (symmetrize a
+    # directed graph first, as x85 does) — a dst-only sink node would
+    # silently fall out of deg and its inflow mass would vanish
+    # (review finding). The check is one anti-join count, paid once.
+    dangling = (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(deg.select("node"), "node", "left_anti")
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"pagerank_fixedpoint: {dangling} node(s) appear only as dst "
+            f"(outdegree 0) — symmetrize or add self-loops first"
+        )
     r0 = SCALE // n
     teleport = (15 * r0) // 100
     ranks = deg.select("node", "deg", F.lit(r0).cast("long").alias("r"))
@@ -236,10 +251,22 @@ def cc_merge(labels: DataFrame, new_pairs: DataFrame) -> tuple[DataFrame, DataFr
         q.join(F.broadcast(existing), "doc_id", "left_semi")
         .filter(F.col("doc_id") != F.col("lbl"))
         .select(F.col("doc_id").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
+        .persist()
     )
-    newdocs = q.join(F.broadcast(existing), "doc_id", "left_anti").select(
-        "doc_id", "lbl"
+    newdocs = (
+        q.join(F.broadcast(existing), "doc_id", "left_anti")
+        .select("doc_id", "lbl")
+        .persist()
     )
+    # materialize the outputs, then release every intermediate —
+    # under run_cc_monitor this runs once per micro-batch and the
+    # cached blocks would otherwise accumulate for the stream's
+    # lifetime (review finding). Callers unpersist remap/newdocs when
+    # done (cc_index_merge does, after its writes).
+    remap.count()
+    newdocs.count()
+    for df in (sub, mapped, q):
+        df.unpersist()
     return remap, newdocs
 
 
@@ -433,6 +460,8 @@ def cc_index_merge(spark: SparkSession, path: str, new_pairs: DataFrame, version
     remap, newdocs = cc_merge(cc_index_labels(spark, path), new_pairs)
     newdocs.write.mode("overwrite").parquet(f"{d}/newdocs")
     remap.write.mode("overwrite").parquet(f"{d}/remap")
+    remap.unpersist()
+    newdocs.unpersist()
     return True
 
 

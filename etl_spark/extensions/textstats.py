@@ -836,9 +836,18 @@ def bpe_word_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sql_str(x: str) -> str:
+    """SQL string literal: backslashes FIRST, then quotes — a bare
+    backslash in a corpus symbol would otherwise escape the closing
+    quote (AnalysisException) or, worse, turn a merged symbol ending
+    in a backslash plus 'n' into a newline and mis-merge silently
+    (review finding)."""
+    return x.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _merge_expr(a: str, b: str) -> str:
     """SQL fold replacing adjacent (a, b) with a||b, left-to-right."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    qa, qb = _sql_str(a), _sql_str(b)
     return (
         "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
         f"IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}', "

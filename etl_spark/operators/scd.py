@@ -66,7 +66,15 @@ def scd2_merge(
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    # latest-per-key election MUST be deterministic: two observations
+    # of one key at the SAME ts would otherwise elect by shuffle order,
+    # and a replay could elect the other one — slipping past the
+    # exact-version guard and double-versioning. The attr columns are
+    # the total tiebreak (nulls first, Spark's default, is fine: any
+    # fixed order works, it only has to be THE SAME order every time).
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in attrs]
+    )
     u = updates.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
     cur_keyed = cur.select(
@@ -98,7 +106,12 @@ def scd2_merge(
         scond = scond & (F.col(k) == F.col(f"_s_{k}"))
     for c in attrs:
         scond = scond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
-    effective = effective.join(seen, scond, "left_anti").persist()
+    # NOT persisted: `effective` is referenced by both new_rows and
+    # closer, but with the deterministic election above a double
+    # evaluation is byte-identical, and a persist here would leak a
+    # cached batch per micro-batch under run_scd2_sink (review
+    # finding) — the sink persists the RESULT it writes instead
+    effective = effective.join(seen, scond, "left_anti")
 
     new_rows = effective.select(
         *keys,
@@ -175,10 +188,10 @@ def _register_x91() -> None:
         two shuffles on the customer key and nothing else, at any
         scale. Change points are deterministic via the (date,
         orderkey) tiebreak, so both engines pick identical chains."""
+        # ONE window spec for both passes — the change scan and the
+        # interval close must share the (ts, ok) tiebreak, and a
+        # single object cannot drift (review finding)
         w = Window.partitionBy("cust").orderBy("ts", "ok")
-        # same (ts, ok) tiebreak as the change scan: two state
-        # changes on one date must close deterministically
-        wc = Window.partitionBy("cust").orderBy("ts", "ok")
         obs = load(spark, sf, "orders").select(
             F.col("o_custkey").alias("cust"),
             F.col("o_orderpriority").alias("prio"),
@@ -188,7 +201,7 @@ def _register_x91() -> None:
         changes = (
             obs.withColumn("prev", F.lag("prio").over(w))
             .filter(F.col("prev").isNull() | (F.col("prev") != F.col("prio")))
-            .withColumn("valid_to", F.lead("ts").over(wc))
+            .withColumn("valid_to", F.lead("ts").over(w))
         )
         return changes.select(
             "cust",

@@ -29,8 +29,14 @@ from etl_spark.extensions.sketches import _H_SPARK, HASH_DOMAIN, K_SKETCH, salte
 
 
 def _key_sample(df: DataFrame, key: str, k: int) -> DataFrame:
-    """(h, cnt) for the k smallest-hash distinct keys, with cnt the
-    key's row multiplicity. One aggregate + the salted top-K."""
+    """(h, cnt) for the k+1 smallest-hash distinct keys, with cnt the
+    key's row multiplicity. One aggregate + the salted top-K. The
+    EXTRA row is the overflow sentinel: getting exactly k rows back
+    means the side has exactly k distinct keys (still exact), while
+    k+1 rows means it overflowed and the (k+1)-th hash is the
+    exclusive sampling threshold — sampling k alone cannot tell
+    "exactly k" from "more than k" and misclassified the boundary
+    (review finding)."""
     per_key = (
         df.select(F.col(key).alias("k"))
         .filter(F.col("k").isNotNull())
@@ -38,14 +44,15 @@ def _key_sample(df: DataFrame, key: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.expr(_H_SPARK.format(col="k")).alias("h"), "cnt")
     )
-    return salted_min_k(per_key, [], k=k).select("h", "cnt", "rn")
+    return salted_min_k(per_key, [], k=k + 1).select("h", "cnt", "rn")
 
 
 def estimate_join_rows(
     a: DataFrame, key_a: str, b: DataFrame, key_b: str, k: int = K_SKETCH
 ) -> float:
     """Estimated row count of ``a JOIN b ON a.key_a = b.key_b``.
-    Exact when both sides have <= k distinct keys; otherwise unbiased
+    Exact when both sides have <= k distinct keys (including EXACTLY k,
+    via the k+1 overflow sentinel); otherwise unbiased
     with relative error ~ 1/sqrt(matched sample size)."""
     sa = _key_sample(a, key_a, k).persist()
     sb = _key_sample(b, key_b, k).persist()
@@ -54,13 +61,15 @@ def estimate_join_rows(
         agg = s.agg(
             F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
         ).collect()[0]
-        if agg["n"] >= k:  # side overflowed: its threshold binds
+        if agg["n"] == k + 1:  # overflow sentinel row came back
             taus.append(agg["mx"] / HASH_DOMAIN)
     tau = min(taus) if taus else 1.0
     matched = sa.select("h", F.col("cnt").alias("ca")).join(
         sb.select("h", F.col("cnt").alias("cb")), "h"
     )
     if taus:
+        # strictly below the threshold: the sentinel row itself (and
+        # any row at/above the smaller side's cutoff) is not sampled
         matched = matched.filter(F.col("h") < F.lit(tau * HASH_DOMAIN))
     total = matched.agg(F.sum(F.col("ca") * F.col("cb")).alias("t")).collect()[0]["t"]
     sa.unpersist()

@@ -71,4 +71,17 @@ def read_csv_dlq(
     bad = full.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
+    # hand the caller a release path for the mandatory cache (review
+    # finding: an unreachable persist accumulates per ingested file) —
+    # call release_csv_dlq(good) after materializing both halves
+    good._dlq_parsed = full  # type: ignore[attr-defined]
+    bad._dlq_parsed = full  # type: ignore[attr-defined]
     return good, bad
+
+
+def release_csv_dlq(df: DataFrame) -> None:
+    """Unpersist the cached parse behind a ``read_csv_dlq`` result
+    (either half) once both halves have been materialized."""
+    parsed = getattr(df, "_dlq_parsed", None)
+    if parsed is not None:
+        parsed.unpersist()

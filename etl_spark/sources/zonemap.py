@@ -165,6 +165,7 @@ def pruned_files(
         return v
 
     lo, hi = _bound(lo), _bound(hi)
+    _heal_tmp(zonemap_path)
     zm = spark.read.parquet(zonemap_path).filter(F.col("col") == col)
     is_str = isinstance(lo, str) or isinstance(hi, str)
     mn = F.col("min_str") if is_str else F.col("min_num")
@@ -176,6 +177,14 @@ def pruned_files(
     if hi is not None:
         rng = rng & (mn <= F.lit(hi))
     rows = zm.select("path", (keep | rng).alias("k")).collect()
+    if not rows:
+        # the map has NO rows for this column: it was never built for
+        # it — pruning on absent evidence would silently skip every
+        # file (wrong data, not wasted IO). Refuse loudly instead.
+        raise ValueError(
+            f"zone map at {zonemap_path} has no statistics for column "
+            f"{col!r} — build it with write_zonemap/zonemap_refresh"
+        )
     return sorted(r["path"] for r in rows if r["k"]), len(rows)
 
 
@@ -193,6 +202,15 @@ def zonemap_scan(
     proportional to the matching range instead of the table."""
     paths, _ = pruned_files(spark, zonemap_path, col, lo, hi)
     full = spark.read.parquet(table_path)
+    # STALENESS GUARD (the airtight half of the contract): any file in
+    # the table that the map has never seen is kept unconditionally —
+    # a map built before new files landed must cost IO, never rows.
+    mapped = {
+        r["path"]
+        for r in spark.read.parquet(zonemap_path).select("path").distinct().collect()
+    }
+    unmapped = sorted(set(full.inputFiles()) - mapped)
+    paths = sorted(set(paths) | set(unmapped))
     if not paths:
         return full.limit(0)
     df = spark.read.parquet(*paths)
@@ -235,6 +253,7 @@ def zonemap_refresh(
     import os
 
     current = set(spark.read.parquet(table_path).inputFiles())
+    _heal_tmp(zonemap_path)
     if not os.path.isdir(zonemap_path):
         write_zonemap(spark, table_path, cols, zonemap_path)
         return len(current), 0
@@ -246,7 +265,12 @@ def zonemap_refresh(
         fdf = spark.createDataFrame([(f,) for f in added], "path string")
         fresh = _footer_stats(fdf, cols)
         kept = kept.unionByName(fresh)
-    # write via temp + swap: the map must never be half-written
+    # temp + swap with CRASH SELF-HEAL: a crash between rmtree and
+    # rename leaves only <path>.tmp (with its _SUCCESS) — readers and
+    # the next refresh adopt it via _heal_tmp, so the map is never
+    # lost, though a SINGLE maintainer is assumed (the txlog
+    # one-writer convention; concurrent readers during the swap
+    # window should retry)
     tmp = zonemap_path.rstrip("/") + ".tmp"
     kept.write.mode("overwrite").parquet(tmp)
     import shutil
@@ -254,3 +278,16 @@ def zonemap_refresh(
     shutil.rmtree(zonemap_path, ignore_errors=True)
     os.rename(tmp, zonemap_path)
     return len(added), len(removed)
+
+
+def _heal_tmp(zonemap_path: str) -> None:
+    """Adopt a completed-but-unswapped refresh (crash between rmtree
+    and rename): if the map dir is gone and <path>.tmp carries
+    _SUCCESS, the tmp IS the newest committed map."""
+    import os
+
+    tmp = zonemap_path.rstrip("/") + ".tmp"
+    if not os.path.isdir(zonemap_path) and os.path.exists(
+        os.path.join(tmp, "_SUCCESS")
+    ):
+        os.rename(tmp, zonemap_path)

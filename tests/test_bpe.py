@@ -97,3 +97,9 @@ def test_segment_counts_shrink_with_merges():
     for d in seg0:
         assert seg5[d] < seg0[d]  # learned merges compress
         assert seg5[d] >= len(corpus[d].split())  # never below word count
+
+
+def test_backslash_and_quote_symbols_survive():
+    # symbols that are SQL-literal hazards: backslash, quote
+    corpus = ["a\\b a\\b a\\b", "it's it's"]
+    assert _train(corpus, 3) == _ref_bpe(corpus, 3)

@@ -45,3 +45,15 @@ def test_disjoint_sides_estimate_zero(spark):
     a = spark.range(0, 3000).select(F.col("id").alias("k"))
     b = spark.range(10_000, 13_000).select(F.col("id").alias("k"))
     assert estimate_join_rows(a, "k", b, "k") == 0.0
+
+
+def test_exact_at_the_k_boundary(spark):
+    # exactly k distinct keys per side: must be EXACT (the review
+    # finding: a full-but-not-overflowed sample was misclassified as
+    # overflowed and inflated by 1/tau)
+    from etl_spark.extensions.sketches import K_SKETCH
+
+    a = spark.range(0, K_SKETCH).select(F.col("id").alias("k"))
+    b = spark.range(0, K_SKETCH).select(F.col("id").alias("k"))
+    true = a.join(b, "k").count()
+    assert estimate_join_rows(a, "k", b, "k") == float(true)

@@ -199,3 +199,11 @@ def test_x88_oracle_shape(spark, sf_dir):
         by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
     for cid, docs in by_cluster.items():
         assert cid == min(docs)
+
+
+def test_pagerank_rejects_dangling_sink_nodes(spark):
+    # directed edge with a dst-only node: rank mass would silently
+    # leak — the precondition check must refuse instead
+    directed = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
+    with pytest.raises(ValueError, match="outdegree 0"):
+        pagerank_fixedpoint(directed)

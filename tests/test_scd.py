@@ -117,3 +117,22 @@ def test_facts_join_the_right_version(spark, dim):
     ).select("fact_id", "segment")
     got = {r["fact_id"]: r["segment"] for r in joined.collect()}
     assert got == {100: "gold", 101: "platinum", 102: "bronze"}
+
+
+def test_same_ts_conflict_elects_deterministically(spark):
+    """Two observations of one key at the SAME ts: the election must
+    be identical under any partitioning (and therefore on replay) —
+    the attr-desc tiebreak pins it."""
+    d0 = scd2_init(spark.createDataFrame([(1, "a", T(1))], SCHEMA), ["cust"], "ts")
+    batch_rows = [(1, "x", T(3)), (1, "y", T(3))]
+    outs = []
+    for parts in (1, 7):
+        b = spark.createDataFrame(batch_rows, SCHEMA).repartition(parts)
+        outs.append(_snapshot(scd2_merge(d0, b, ["cust"], "ts")))
+    assert outs[0] == outs[1]
+    # and the winner is the attr-desc maximum: 'y'
+    assert any(r[1] == "y" and r[4] for r in outs[0])
+    # replaying the same conflicting batch changes nothing
+    d1 = scd2_merge(d0, spark.createDataFrame(batch_rows, SCHEMA), ["cust"], "ts")
+    d2 = scd2_merge(d1, spark.createDataFrame(batch_rows, SCHEMA), ["cust"], "ts")
+    assert _snapshot(d2) == _snapshot(d1)

@@ -187,3 +187,45 @@ def test_zonemap_refresh_incremental(spark, tmp_path):
     assert total == 3 and len(kept) == 1 and kept[0].endswith("f3.parquet")
     got = sorted(r["k"] for r in zonemap_scan(spark, str(d), zm, "k", 150, 349).collect())
     assert got == list(range(150, 350))
+
+
+def test_stale_map_never_skips_new_files(spark, tmp_path):
+    """A file that landed AFTER the map was built is always kept —
+    a stale map costs IO, never rows (the review finding: pruning on
+    absent evidence is corruption)."""
+    d = tmp_path / "t2"
+    d.mkdir()
+    pq.write_table(pa.table({"k": pa.array(range(100), pa.int64())}), str(d / "a.parquet"))
+    zm = str(tmp_path / "zm2")
+    write_zonemap(spark, str(d), ["k"], zm)
+    # new file lands, map NOT refreshed
+    pq.write_table(
+        pa.table({"k": pa.array(range(500, 600), pa.int64())}), str(d / "b.parquet")
+    )
+    got = sorted(r["k"] for r in zonemap_scan(spark, str(d), zm, "k", 550, 560).collect())
+    assert got == list(range(550, 561))
+
+
+def test_unbuilt_column_raises(spark, table_and_map):
+    table, zm = table_and_map
+    with pytest.raises(ValueError, match="no statistics for column"):
+        pruned_files(spark, zm, "not_a_col", 0, 1)
+
+
+def test_crash_selfheal_adopts_tmp(spark, tmp_path):
+    import os
+    import shutil
+
+    from etl_spark.sources.zonemap import zonemap_refresh
+
+    d = tmp_path / "t3"
+    d.mkdir()
+    pq.write_table(pa.table({"k": pa.array(range(100), pa.int64())}), str(d / "a.parquet"))
+    zm = str(tmp_path / "zm3")
+    zonemap_refresh(spark, str(d), ["k"], zm)
+    # simulate the crash window: completed tmp, map dir gone
+    shutil.copytree(zm, zm + ".tmp")
+    shutil.rmtree(zm)
+    kept, total = pruned_files(spark, zm, "k", 0, 10)
+    assert total == 1 and len(kept) == 1
+    assert os.path.isdir(zm) and not os.path.isdir(zm + ".tmp")
