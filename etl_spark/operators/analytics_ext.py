@@ -740,3 +740,86 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+MIN_COPURCHASE = 2  # support floor for the co-purchase pair report
+
+
+@register(
+    "x92_copurchase_lift",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.p AS part_a, b.p AS part_b
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        ),
+        ab AS (
+            SELECT part_a, part_b, COUNT(*) AS n_ab
+            FROM pairs GROUP BY part_a, part_b
+            HAVING COUNT(*) >= {MIN_COPURCHASE}
+        ),
+        pc AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+        tot AS (SELECT COUNT(DISTINCT o) AS n FROM items)
+        SELECT ab.part_a, ab.part_b, CAST(ab.n_ab AS BIGINT) AS n_ab,
+               ROUND(CAST(ab.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                     / (CAST(x.n_p AS DOUBLE) * CAST(y.n_p AS DOUBLE)), 6)
+                 AS lift
+        FROM ab
+        JOIN pc x ON x.p = ab.part_a
+        JOIN pc y ON y.p = ab.part_b
+        CROSS JOIN tot
+    """,
+    tags=("extension", "basket", "agg", "scale"),
+    doc="Market-basket co-purchase pairs with lift, bounded by basket width.",
+)
+def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule mining's first mile: part pairs co-purchased
+    in the same order with support >= {MIN} and their LIFT
+    (P(a,b)/(P(a)P(b)) over orders) — the recommender/affinity report.
+    Pair generation is per-BASKET combinations from one groupBy +
+    codegen'd array combinatorics (sort_array(collect_set) then a
+    nested transform/flatten) — cost is sum over orders of k^2/2 with
+    k the basket width (<= 13 here, <= lines-per-order always), never
+    parts^2 and never a self-join shuffle; the oracle's items
+    self-join is the semantic spec. Counts are exact bigints; lift
+    multiplies two exact-int doubles and divides once, so both
+    engines round the same value."""
+    items = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = items.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    ab = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_COPURCHASE)
+    )
+    pc = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    tot = items.select(F.countDistinct("o").alias("n"))
+    return (
+        ab.join(pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("na")), "part_a")
+        .join(pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
