@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_spark.registry import register
 from etl_spark.tables import load
@@ -822,4 +823,75 @@ def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+@register(
+    "x93_rfm_segments",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey AS cust,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+        scored AS (
+            SELECT cust,
+                   CAST(date_diff('day', last_order, anchor.mx) AS BIGINT)
+                     AS recency_days,
+                   frequency,
+                   CAST(monetary AS DOUBLE) AS monetary,
+                   ntile(5) OVER (ORDER BY last_order DESC, cust) AS r,
+                   ntile(5) OVER (ORDER BY frequency DESC, cust) AS f,
+                   ntile(5) OVER (ORDER BY monetary DESC, cust) AS m
+            FROM cust CROSS JOIN anchor
+        )
+        SELECT cust, recency_days, frequency, monetary,
+               CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+               concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+                 AS rfm
+        FROM scored
+    """,
+    tags=("extension", "segmentation", "window"),
+    doc="RFM quintile segmentation per customer with deterministic tie-breaks.",
+)
+def x93_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation — the retail-analytics staple: every customer
+    scored into recency/frequency/monetary QUINTILES (1 = best) and a
+    composed 'rfm' code. Aggregation is one pass over orders to
+    |customers| rows; the three ntile windows run over that
+    dimension-sized frame, not the fact table, and every ORDER BY
+    carries the cust tiebreak so quintile boundaries are
+    engine-identical under ties (the x91 lesson — ntile without a
+    total order is a nondeterminism trap). Monetary sums exact
+    DECIMAL before the double cast."""
+    orders = load(spark, sf, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = orders.select(F.max("o_orderdate").alias("mx"))
+    scored = cust.crossJoin(F.broadcast(anchor)).select(
+        "cust",
+        F.datediff(F.col("mx"), F.col("last_order")).cast("long").alias("recency_days"),
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "cust")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "cust")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "cust")).alias("m"),
+    )
+    return scored.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+        ).alias("rfm"),
     )
