@@ -137,6 +137,7 @@ HEADLINE = [
     "x91_priority_history",
     "x92_copurchase_lift",
     "x93_rfm_segments",
+    "x94_mom_revenue_growth",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -405,7 +406,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x93-e09",
+        "headline_set_rev": "r9-add-x75-x94-e09",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

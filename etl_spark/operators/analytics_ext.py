@@ -895,3 +895,64 @@ def x93_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
         ).alias("rfm"),
     )
+
+
+@register(
+    "x94_mom_revenue_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT yr, mo,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE) AS prev_revenue,
+               ROUND(CAST(rev - lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE)
+                     / CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE), 6)
+                 AS mom_growth,
+               CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
+                 AS yoy_revenue,
+               ROUND(CAST(rev - lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
+                     / CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE), 6)
+                 AS yoy_growth
+        FROM monthly
+    """,
+    tags=("extension", "timeseries", "window"),
+    doc="Month-over-month and year-over-year revenue growth from one rollup.",
+)
+def x94_mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """The finance-report staple: monthly revenue with MoM and YoY
+    growth rates. One fact-table pass to a months-sized series, then
+    lag(1)/lag(12) over the unpartitioned-but-TINY window (|months|
+    rows — the global window is safe exactly because the aggregate
+    came first; windowing the fact table would not be). Growth =
+    (rev - prev)/prev over DOUBLE casts of exact decimal sums —
+    subtraction of exact decimals happens in decimal, one division in
+    double, identical in both engines; first-month rows carry NULL
+    growth (no fabricated zeros)."""
+    monthly = (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("rev").over(w)
+    prev12 = F.lag("rev", 12).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
+            "mom_growth"
+        ),
+        prev12.cast("double").alias("yoy_revenue"),
+        F.round((F.col("rev") - prev12).cast("double") / prev12.cast("double"), 6).alias(
+            "yoy_growth"
+        ),
+    )

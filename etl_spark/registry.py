@@ -106,7 +106,7 @@ def _ensure_loaded() -> None:
 #      x85 PageRank, x86 fuzzy match, x87 profile, x88 incremental
 #      CC, x89 substring dup, x75 ANN, x76-x82 sketch/sample family,
 #      x83 boolean search) lead per policy rule 1;
-#   3. 12 of the r6-green tier, module-registration order; the
+#   3. 11 of the r6-green tier, module-registration order; the
 #      remaining r6 queries (incl. a07/a08/j08/f10/x16/x25/x45/x47/
 #      x49/x50/x51/x52/x54/x55, displaced by the sketch + index +
 #      bloom/graph/fuzzy/profile families) rotate in r10 — displacing
@@ -125,6 +125,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x91_priority_history",
     "x92_copurchase_lift",
     "x93_rfm_segments",
+    "x94_mom_revenue_growth",
     "x75_ivfpq_residual_knn_join",
     "x76_kmv_distinct_customers",
     "x77_kmv_year_overlap",
@@ -165,7 +166,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x11_quality_score",
     "x12_langid_heuristic",
     "x13_fingerprint",
-    "x14_bow_clusters",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
