@@ -24,6 +24,7 @@ from datetime import datetime
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CONDITIONS = ("not_empty", "rows_gt", "rows_lt", "rows_eq", "rows_neq")
 
@@ -213,3 +214,42 @@ class AlertEngine:
 
     def alert_logs(self) -> DataFrame:
         return self.spark.table(f"{self.db}.alert_logs")
+
+
+def check_profile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    notifier: Notifier,
+    rel_tol: float = 0.10,
+    abs_tol: float = 0.0,
+    subject: str = "profile drift",
+    max_lines: int = 50,
+) -> int:
+    """The data-quality alert loop closed: diff two profile snapshots
+    (``quality.profile`` / ``streaming.monitor.profile_snapshot``)
+    with ``quality.profile_drift`` and notify on breaches — the
+    reference's row-count threshold alert generalized to every column
+    metric and rule verdict at once. Returns the breach count; sends
+    nothing when clean (the reference's alert-on-condition contract,
+    web_scheduler.py:3354). The notification body lists at most
+    ``max_lines`` breaches (alerts are summaries, not dumps)."""
+    from etl_spark.quality import profile_drift
+
+    breached = (
+        profile_drift(current, baseline, abs_tol=abs_tol, rel_tol=rel_tol)
+        .filter("breached")
+        .orderBy(F.desc_nulls_last("rel_change"), "item", "metric")
+        .limit(max_lines + 1)
+        .collect()
+    )
+    if not breached:
+        return 0
+    lines = [
+        f"{r['item']}.{r['metric']}: {r['base']} -> {r['cur']} "
+        f"({r['status']}, rel_change={r['rel_change']})"
+        for r in breached[:max_lines]
+    ]
+    if len(breached) > max_lines:
+        lines.append("... (truncated)")
+    notifier.send(subject, "\n".join(lines))
+    return len(breached[:max_lines]) if len(breached) <= max_lines else max_lines + 1

@@ -291,3 +291,38 @@ def _heal_tmp(zonemap_path: str) -> None:
         os.path.join(tmp, "_SUCCESS")
     ):
         os.rename(tmp, zonemap_path)
+
+
+def zonemap_scan_multi(
+    spark: SparkSession,
+    table_path: str,
+    zonemap_path: str,
+    predicates: list[tuple[str, float | str | None, float | str | None]],
+) -> DataFrame:
+    """Conjunctive range scan: a file survives only if EVERY
+    (col, lo, hi) predicate's zone says it might match — the kept
+    sets intersect, so each extra predicate can only prune further
+    (multi-column skipping is where zone maps beat single-column
+    directory partitioning outright). Unmapped files are kept
+    unconditionally (the staleness guard), and the exact conjunction
+    re-applies after the read."""
+    full = spark.read.parquet(table_path)
+    mapped = {
+        r["path"]
+        for r in spark.read.parquet(zonemap_path).select("path").distinct().collect()
+    }
+    kept: set[str] | None = None
+    for col, lo, hi in predicates:
+        paths, _ = pruned_files(spark, zonemap_path, col, lo, hi)
+        kept = set(paths) if kept is None else (kept & set(paths))
+    paths = sorted((kept or set()) | (set(full.inputFiles()) - mapped))
+    if not paths:
+        return full.limit(0)
+    df = spark.read.parquet(*paths)
+    pred = F.lit(True)
+    for col, lo, hi in predicates:
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)

@@ -158,3 +158,27 @@ def test_alert_export_xlsx_styled(engine, spark, sf_dir, tmp_path):
         assert "xl/worksheets/sheet1.xml" in z.namelist()
         assert b"customWidth" in z.read("xl/worksheets/sheet1.xml")
     assert engine.notifier.sent[0]["attachment"] == out
+
+
+def test_check_profile_drift_notifies_on_breach_only(spark):
+    from etl_spark.alerting import CollectingNotifier, check_profile_drift
+
+    base = spark.createDataFrame(
+        [("v", "completeness", 1.0), ("v", "mean", 100.0)],
+        "item STRING, metric STRING, value DOUBLE",
+    )
+    clean = spark.createDataFrame(
+        [("v", "completeness", 1.0), ("v", "mean", 101.0)],
+        "item STRING, metric STRING, value DOUBLE",
+    )
+    drifted = spark.createDataFrame(
+        [("v", "completeness", 0.5), ("v", "mean", 101.0)],
+        "item STRING, metric STRING, value DOUBLE",
+    )
+    n = CollectingNotifier()
+    assert check_profile_drift(clean, base, n) == 0
+    assert n.sent == []  # clean -> silent (alert-on-condition)
+    got = check_profile_drift(drifted, base, n)
+    assert got == 1 and len(n.sent) == 1
+    assert "v.completeness" in n.sent[0]["body"]
+    assert "mean" not in n.sent[0]["body"]

@@ -229,3 +229,31 @@ def test_crash_selfheal_adopts_tmp(spark, tmp_path):
     kept, total = pruned_files(spark, zm, "k", 0, 10)
     assert total == 1 and len(kept) == 1
     assert os.path.isdir(zm) and not os.path.isdir(zm + ".tmp")
+
+
+def test_multi_predicate_conjunction_prunes_more(spark, table_and_map):
+    from etl_spark.sources.zonemap import pruned_files, zonemap_scan_multi
+
+    table, zm = table_and_map
+    # k in files 1-3; v range confines to file 2 only: the
+    # conjunction must keep fewer files than either predicate alone
+    preds = [("k", 150, 349), ("v", 100.0, 140.0)]
+    kept_k, _ = pruned_files(spark, zm, "k", 150, 349)
+    got = sorted(
+        tuple(r) for r in zonemap_scan_multi(spark, table, zm, preds).collect()
+    )
+    df = spark.read.parquet(table)
+    want = sorted(
+        tuple(r)
+        for r in df.filter(
+            (F.col("k") >= 150) & (F.col("k") <= 349)
+            & (F.col("v") >= 100.0) & (F.col("v") <= 140.0)
+        ).collect()
+    )
+    assert got == want and got
+    # structural: conjunction file set is a subset of the k-only set
+    from etl_spark.sources.zonemap import pruned_files as pf
+
+    kept_v, _ = pf(spark, zm, "v", 100.0, 140.0)
+    assert set(kept_v) & set(kept_k) <= set(kept_k)
+    assert len(set(kept_k) & set(kept_v)) < len(kept_k)
