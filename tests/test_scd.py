@@ -136,3 +136,77 @@ def test_same_ts_conflict_elects_deterministically(spark):
     d1 = scd2_merge(d0, spark.createDataFrame(batch_rows, SCHEMA), ["cust"], "ts")
     d2 = scd2_merge(d1, spark.createDataFrame(batch_rows, SCHEMA), ["cust"], "ts")
     assert _snapshot(d2) == _snapshot(d1)
+
+
+def _ref_scd2(batches):
+    """Driver-side reference: apply batches in order; within a batch
+    the latest ts wins per key (ties by attr desc); no-op if equal to
+    current; else close current at ts and open a new version."""
+    versions = {}  # key -> list of [attr, from, to, current]
+    for batch in batches:
+        latest = {}
+        for k, attr, ts in batch:
+            cur = latest.get(k)
+            if cur is None or (ts, attr or "") > (cur[1], cur[0] or ""):
+                latest[k] = (attr, ts)
+        for k, (attr, ts) in latest.items():
+            chain = versions.setdefault(k, [])
+            open_v = next((v for v in chain if v[3]), None)
+            if open_v is not None and open_v[0] == attr:
+                continue
+            if any(v[0] == attr and v[1] == ts for v in chain):
+                continue  # replayed observation
+            if open_v is not None:
+                open_v[2], open_v[3] = ts, False
+            chain.append([attr, ts, None, True])
+    out = []
+    for k, chain in versions.items():
+        for attr, vf, vt, cur in chain:
+            out.append((k, attr, vf, vt, cur))
+    return sorted(out, key=lambda t: (t[0], t[2], t[1] or ""))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # observations: (key, attr, day) with days strictly useful
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(1, 3),
+)
+def test_scd2_merge_matches_reference_random(obs, n_batches):
+    from etl_spark.session import get_spark
+
+    spark = get_spark(app_name="etl_spark-tests")
+    # enforce the documented contract: per key, batches arrive in time
+    # order — sort observations by day and slice into batches
+    obs = sorted(set(obs), key=lambda o: (o[2], o[0], o[1] or ""))
+    cuts = [len(obs) * i // n_batches for i in range(n_batches + 1)]
+    batches = [
+        [(k, a, T(d)) for k, a, d in obs[cuts[i] : cuts[i + 1]]]
+        for i in range(n_batches)
+        if obs[cuts[i] : cuts[i + 1]]
+    ]
+    dim = None
+    for b in batches:
+        df = spark.createDataFrame(b, SCHEMA.replace("cust", "k").replace("segment", "attr"))
+        if dim is None:
+            dim = scd2_init(df, ["k"], "ts")
+        else:
+            dim = scd2_merge(dim, df, ["k"], "ts")
+    got = sorted(
+        ((r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in dim.collect()),
+        key=lambda t: (t[0], t[2], t[1] or ""),
+    )
+    want = _ref_scd2(batches)
+    assert got == want
