@@ -787,10 +787,16 @@ def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
     self-join is the semantic spec. Counts are exact bigints; lift
     multiplies two exact-int doubles and divides once, so both
     engines round the same value."""
+    # items feeds THREE branches (pairs, per-part counts, the order
+    # total) and Catalyst does not CSE reused DataFrames (the x77
+    # lesson — measured here as a 2.5x quiet slope from the distinct
+    # shuffle re-running per branch; persisted, the slope is the
+    # linear scan term)
     items = (
         load(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .persist()
     )
     baskets = items.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pairs = baskets.select(
