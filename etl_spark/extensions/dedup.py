@@ -977,6 +977,12 @@ def x89_substring_dup_coverage(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("w"),
         )
         .select("doc_id", "w.pos", "w.g")
+        # two branches reuse the window table (the collision groupBy
+        # and the coverage join) and Catalyst does not CSE reused
+        # DataFrames (the x92 lesson): persist — Spark spills the
+        # K-per-token rows to disk at scale, which still beats
+        # re-exploding the corpus per branch
+        .persist()
     )
     dup = (
         w.groupBy("g")
