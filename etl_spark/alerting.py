@@ -229,27 +229,28 @@ def check_profile_drift(
     (``quality.profile`` / ``streaming.monitor.profile_snapshot``)
     with ``quality.profile_drift`` and notify on breaches — the
     reference's row-count threshold alert generalized to every column
-    metric and rule verdict at once. Returns the breach count; sends
-    nothing when clean (the reference's alert-on-condition contract,
-    web_scheduler.py:3354). The notification body lists at most
-    ``max_lines`` breaches (alerts are summaries, not dumps)."""
+    metric and rule verdict at once. Returns the TRUE breach count (the body lists at most
+    ``max_lines`` of them); sends nothing when clean (the reference's alert-on-condition contract,
+    web_scheduler.py:3354). Alerts are summaries, not dumps."""
     from etl_spark.quality import profile_drift
 
-    breached = (
-        profile_drift(current, baseline, abs_tol=abs_tol, rel_tol=rel_tol)
-        .filter("breached")
-        .orderBy(F.desc_nulls_last("rel_change"), "item", "metric")
-        .limit(max_lines + 1)
-        .collect()
-    )
-    if not breached:
+    drift = profile_drift(
+        current, baseline, abs_tol=abs_tol, rel_tol=rel_tol
+    ).filter("breached").persist()
+    n_breached = drift.count()  # the TRUE count — the return value
+    if not n_breached:
+        drift.unpersist()
         return 0
+    top = drift.orderBy(
+        F.desc_nulls_last("rel_change"), "item", "metric"
+    ).limit(max_lines).collect()
+    drift.unpersist()
     lines = [
         f"{r['item']}.{r['metric']}: {r['base']} -> {r['cur']} "
         f"({r['status']}, rel_change={r['rel_change']})"
-        for r in breached[:max_lines]
+        for r in top
     ]
-    if len(breached) > max_lines:
-        lines.append("... (truncated)")
+    if n_breached > max_lines:
+        lines.append(f"... ({n_breached - max_lines} more)")
     notifier.send(subject, "\n".join(lines))
-    return len(breached[:max_lines]) if len(breached) <= max_lines else max_lines + 1
+    return n_breached

@@ -206,14 +206,26 @@ def x85_pagerank_trade_graph(spark: SparkSession, sf: str) -> DataFrame:
 # deltas into a fresh base.
 
 
-def cc_merge(labels: DataFrame, new_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def cc_merge(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    cached_out: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Merge a batch of undirected ``(doc_a, doc_b)`` pairs into
     existing ``(doc_id, lbl)`` labels. Returns ``(remap, newdocs)``:
     ``remap`` = (old_lbl, new_lbl) rows for every existing component
     whose label changes, ``newdocs`` = (doc_id, lbl) for docs not in
     ``labels``. Batch-sized work: the fixpoint runs on the quotient
     graph (endpoints mapped to their current labels), whose size is
-    bounded by the batch's edge count."""
+    bounded by the batch's edge count.
+
+    Both returned frames are consumed twice downstream, so three
+    intermediates persist internally. Pass ``cached_out`` to receive
+    every persisted frame for unpersisting once the results are
+    materialized (cc_index_merge does, per streaming batch); one-shot
+    callers like the registered x88 may omit it — their caches die
+    with the query's session (the registered-query persist
+    convention, cleared by the bench harness between queries)."""
     from etl_spark.extensions.dedup import connected_components
 
     # SCALE SHAPE: the label table is corpus-sized, the batch is not —
@@ -258,15 +270,8 @@ def cc_merge(labels: DataFrame, new_pairs: DataFrame) -> tuple[DataFrame, DataFr
         .select("doc_id", "lbl")
         .persist()
     )
-    # materialize the outputs, then release every intermediate —
-    # under run_cc_monitor this runs once per micro-batch and the
-    # cached blocks would otherwise accumulate for the stream's
-    # lifetime (review finding). Callers unpersist remap/newdocs when
-    # done (cc_index_merge does, after its writes).
-    remap.count()
-    newdocs.count()
-    for df in (sub, mapped, q):
-        df.unpersist()
+    if cached_out is not None:
+        cached_out.extend([sub, mapped, q, remap, newdocs])
     return remap, newdocs
 
 
@@ -457,11 +462,12 @@ def cc_index_merge(spark: SparkSession, path: str, new_pairs: DataFrame, version
     d = os.path.join(path, f"delta_v{version}")
     if batch_committed(os.path.join(d, "remap")):
         return False
-    remap, newdocs = cc_merge(cc_index_labels(spark, path), new_pairs)
+    cached: list = []
+    remap, newdocs = cc_merge(cc_index_labels(spark, path), new_pairs, cached_out=cached)
     newdocs.write.mode("overwrite").parquet(f"{d}/newdocs")
     remap.write.mode("overwrite").parquet(f"{d}/remap")
-    remap.unpersist()
-    newdocs.unpersist()
+    for df in cached:  # per-batch caches must not outlive the batch
+        df.unpersist()
     return True
 
 

@@ -909,35 +909,37 @@ def x93_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         WITH monthly AS (
             SELECT CAST(year(o_orderdate) AS INT) AS yr,
                    CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                     AS mi,
                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-            FROM orders GROUP BY 1, 2
+            FROM orders GROUP BY 1, 2, 3
         )
-        SELECT yr, mo,
-               CAST(rev AS DOUBLE) AS revenue,
-               CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE) AS prev_revenue,
-               ROUND(CAST(rev - lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE)
-                     / CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE), 6)
+        SELECT m.yr, m.mo,
+               CAST(m.rev AS DOUBLE) AS revenue,
+               CAST(p.rev AS DOUBLE) AS prev_revenue,
+               ROUND(CAST(m.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6)
                  AS mom_growth,
-               CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
-                 AS yoy_revenue,
-               ROUND(CAST(rev - lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
-                     / CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE), 6)
+               CAST(y.rev AS DOUBLE) AS yoy_revenue,
+               ROUND(CAST(m.rev - y.rev AS DOUBLE) / CAST(y.rev AS DOUBLE), 6)
                  AS yoy_growth
-        FROM monthly
+        FROM monthly m
+        LEFT JOIN monthly p ON p.mi = m.mi - 1
+        LEFT JOIN monthly y ON y.mi = m.mi - 12
     """,
     tags=("extension", "timeseries", "window"),
-    doc="Month-over-month and year-over-year revenue growth from one rollup.",
+    doc="Month-over-month and year-over-year revenue growth, calendar-anchored.",
 )
 def x94_mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
     """The finance-report staple: monthly revenue with MoM and YoY
-    growth rates. One fact-table pass to a months-sized series, then
-    lag(1)/lag(12) over the unpartitioned-but-TINY window (|months|
-    rows — the global window is safe exactly because the aggregate
-    came first; windowing the fact table would not be). Growth =
-    (rev - prev)/prev over DOUBLE casts of exact decimal sums —
-    subtraction of exact decimals happens in decimal, one division in
-    double, identical in both engines; first-month rows carry NULL
-    growth (no fabricated zeros)."""
+    growth rates, CALENDAR-anchored — comparisons join on a month
+    index (yr*12+mo shifted by 1 / 12), so a gap month yields NULL
+    rather than silently comparing against whatever month happened to
+    come 12 ROWS earlier (the lag(12)-over-rows trap a review pass
+    caught: one missing month shifts every later comparison with no
+    error, and an oracle sharing the flaw cannot see it). One
+    fact-table pass to a months-sized series, two broadcast
+    self-joins over that tiny frame; growth subtracts exact decimals
+    and divides once in double."""
     monthly = (
         load(spark, sf, "orders")
         .groupBy(
@@ -945,20 +947,29 @@ def x94_mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
             F.month("o_orderdate").cast("int").alias("mo"),
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .withColumn("mi", (F.col("yr") * 12 + F.col("mo")).cast("long"))
+        .persist()  # three self-references (the x92 CSE lesson)
     )
-    w = Window.orderBy("yr", "mo")
-    prev = F.lag("rev").over(w)
-    prev12 = F.lag("rev", 12).over(w)
-    return monthly.select(
-        "yr",
-        "mo",
-        F.col("rev").cast("double").alias("revenue"),
-        prev.cast("double").alias("prev_revenue"),
-        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
-            "mom_growth"
-        ),
-        prev12.cast("double").alias("yoy_revenue"),
-        F.round((F.col("rev") - prev12).cast("double") / prev12.cast("double"), 6).alias(
-            "yoy_growth"
-        ),
+    p = monthly.select((F.col("mi") + 1).alias("mi"), F.col("rev").alias("prev"))
+    y = monthly.select((F.col("mi") + 12).alias("mi"), F.col("rev").alias("yoy"))
+    return (
+        monthly.join(F.broadcast(p), "mi", "left")
+        .join(F.broadcast(y), "mi", "left")
+        .select(
+            "yr",
+            "mo",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev").cast("double").alias("prev_revenue"),
+            F.round(
+                (F.col("rev") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double"),
+                6,
+            ).alias("mom_growth"),
+            F.col("yoy").cast("double").alias("yoy_revenue"),
+            F.round(
+                (F.col("rev") - F.col("yoy")).cast("double")
+                / F.col("yoy").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
     )

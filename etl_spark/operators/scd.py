@@ -70,7 +70,7 @@ def scd2_merge(
     # of one key at the SAME ts would otherwise elect by shuffle order,
     # and a replay could elect the other one — slipping past the
     # exact-version guard and double-versioning. The attr columns are
-    # the total tiebreak (nulls first, Spark's default, is fine: any
+    # the total tiebreak (desc puts nulls LAST in Spark: any
     # fixed order works, it only has to be THE SAME order every time).
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(), *[F.col(c).desc() for c in attrs]

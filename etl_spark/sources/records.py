@@ -44,8 +44,9 @@ def read_csv_dlq(
     path: str,
     schema: str,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
-    """CSV ingest with a dead-letter queue: returns ``(good, bad)``
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CSV ingest with a dead-letter queue: returns ``(good, bad,
+    parsed)``
     where ``bad`` carries the RAW line of every row the schema could
     not parse (the `_corrupt_record` PERMISSIVE-mode column) — the
     file-landing twin of ``quality.split_by_rules`` and the streaming
@@ -58,7 +59,8 @@ def read_csv_dlq(
     Spark disallows filtering a CSV frame on only the corrupt column
     without materializing it first (the parser would otherwise prune
     away the evidence), and persisting also guarantees both halves
-    see the SAME parse."""
+    see the SAME parse. ``parsed`` is that cached frame — call
+    ``parsed.unpersist()`` once both halves are materialized."""
     full = (
         spark.read.schema(schema + ", _corrupt_record STRING")
         .option("mode", "PERMISSIVE")
@@ -71,17 +73,8 @@ def read_csv_dlq(
     bad = full.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    # hand the caller a release path for the mandatory cache (review
-    # finding: an unreachable persist accumulates per ingested file) —
-    # call release_csv_dlq(good) after materializing both halves
-    good._dlq_parsed = full  # type: ignore[attr-defined]
-    bad._dlq_parsed = full  # type: ignore[attr-defined]
-    return good, bad
-
-
-def release_csv_dlq(df: DataFrame) -> None:
-    """Unpersist the cached parse behind a ``read_csv_dlq`` result
-    (either half) once both halves have been materialized."""
-    parsed = getattr(df, "_dlq_parsed", None)
-    if parsed is not None:
-        parsed.unpersist()
+    # the cache handle is returned EXPLICITLY (an instance-attribute
+    # hack silently no-ops the moment a caller derives a new frame —
+    # second review finding): unpersist it after materializing both
+    # halves
+    return good, bad, full

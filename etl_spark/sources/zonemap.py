@@ -199,27 +199,10 @@ def zonemap_scan(
     """Range scan with file-level skipping: read ONLY the files the
     zone map cannot rule out, then re-apply the exact predicate —
     row-identical to the full scan (asserted in tests), IO
-    proportional to the matching range instead of the table."""
-    paths, _ = pruned_files(spark, zonemap_path, col, lo, hi)
-    full = spark.read.parquet(table_path)
-    # STALENESS GUARD (the airtight half of the contract): any file in
-    # the table that the map has never seen is kept unconditionally —
-    # a map built before new files landed must cost IO, never rows.
-    mapped = {
-        r["path"]
-        for r in spark.read.parquet(zonemap_path).select("path").distinct().collect()
-    }
-    unmapped = sorted(set(full.inputFiles()) - mapped)
-    paths = sorted(set(paths) | set(unmapped))
-    if not paths:
-        return full.limit(0)
-    df = spark.read.parquet(*paths)
-    pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        pred = pred & (F.col(col) <= F.lit(hi))
-    return df.filter(pred)
+    proportional to the matching range instead of the table. The
+    single-predicate form of ``zonemap_scan_multi`` (one body, so the
+    staleness guard and filter builder cannot drift)."""
+    return zonemap_scan_multi(spark, table_path, zonemap_path, [(col, lo, hi)])
 
 
 def write_clustered(
@@ -307,6 +290,9 @@ def zonemap_scan_multi(
     unconditionally (the staleness guard), and the exact conjunction
     re-applies after the read."""
     full = spark.read.parquet(table_path)
+    if not predicates:
+        return full  # no predicate = no pruning, never an empty scan
+    _heal_tmp(zonemap_path)  # BEFORE any map read (the crash window)
     mapped = {
         r["path"]
         for r in spark.read.parquet(zonemap_path).select("path").distinct().collect()
@@ -315,6 +301,8 @@ def zonemap_scan_multi(
     for col, lo, hi in predicates:
         paths, _ = pruned_files(spark, zonemap_path, col, lo, hi)
         kept = set(paths) if kept is None else (kept & set(paths))
+    # STALENESS GUARD: files the map has never seen are kept
+    # unconditionally — a stale map costs IO, never rows
     paths = sorted((kept or set()) | (set(full.inputFiles()) - mapped))
     if not paths:
         return full.limit(0)

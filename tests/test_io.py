@@ -827,11 +827,9 @@ def test_read_csv_dlq_routes_malformed(spark, tmp_path):
         "3,gamma,7.25\n"
         "oops\n"  # wrong arity -> corrupt
     )
-    good, bad = read_csv_dlq(spark, str(p), "id LONG, name STRING, v DOUBLE")
+    good, bad, parsed = read_csv_dlq(spark, str(p), "id LONG, name STRING, v DOUBLE")
     g = sorted(tuple(r) for r in good.collect())
     assert g == [(1, "alpha", 2.5), (3, "gamma", 7.25)]
     b = sorted(r["raw_line"] for r in bad.collect())
     assert b == ["2,beta,not_a_number", "oops"]
-    from etl_spark.sources.records import release_csv_dlq
-
-    release_csv_dlq(good)  # cache released once both halves are read
+    parsed.unpersist()  # the explicit cache handle, released

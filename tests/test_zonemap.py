@@ -251,9 +251,20 @@ def test_multi_predicate_conjunction_prunes_more(spark, table_and_map):
         ).collect()
     )
     assert got == want and got
-    # structural: conjunction file set is a subset of the k-only set
+    # structural: the files the multi-scan actually READS are a subset
+    # of BOTH single-predicate keep-sets, and strictly fewer than the
+    # k-only set (the conjunction must intersect, not union)
     from etl_spark.sources.zonemap import pruned_files as pf
 
     kept_v, _ = pf(spark, zm, "v", 100.0, 140.0)
-    assert set(kept_v) & set(kept_k) <= set(kept_k)
-    assert len(set(kept_k) & set(kept_v)) < len(kept_k)
+    read_files = set(zonemap_scan_multi(spark, table, zm, preds).inputFiles())
+    assert read_files <= set(kept_k) and read_files <= set(kept_v)
+    assert len(read_files) < len(kept_k)
+
+
+def test_multi_scan_empty_predicates_full_table(spark, table_and_map):
+    from etl_spark.sources.zonemap import zonemap_scan_multi
+
+    table, zm = table_and_map
+    full = spark.read.parquet(table).count()
+    assert zonemap_scan_multi(spark, table, zm, []).count() == full
