@@ -97,75 +97,68 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-9 window (tools/rotate_window.py output, VERDICT r8 #1):
-#   1. the 18 queries whose last driver green is r4 — four rounds
-#      stale, the oldest outstanding debt (o02, set01, f01/f03/f04/
-#      f06/f07/f08, q01 the entry() flagship, q04-q07, q10, q14,
-#      q18/q19, t01 the reference dashboard query);
-#   2. the never-driver-checked r9 registrations (x84 bloom prune,
-#      x85 PageRank, x86 fuzzy match, x87 profile, x88 incremental
-#      CC, x89 substring dup, x75 ANN, x76-x82 sketch/sample family,
-#      x83 boolean search) lead per policy rule 1;
-#   3. 11 of the r6-green tier, module-registration order; the
-#      remaining r6 queries (incl. a07/a08/j08/f10/x16/x25/x45/x47/
-#      x49/x50/x51/x52/x54/x55, displaced by the sketch + index +
-#      bloom/graph/fuzzy/profile families) rotate in r10 — displacing
-#      within the equal-staleness r6 tier keeps the oldest-first
-#      invariant.
+# Round-10 window (tools/rotate_window.py output, VERDICT r9 #1):
+#   1. the 38 oracle-backed queries whose last driver green is r6 —
+#      the oldest outstanding tier, including x15_media_decode's
+#      FIRST hash-backed check since its r9 oracle upgrade (VERDICT
+#      r9 rule-1 lead) and the 14 displaced from the r9 window
+#      (a07/a08/j08/f10/x16/x25/x45/x47/x49/x50/x51/x52/x54/x55);
+#   2. 12 of the r7-green tier, module-registration order (x01-x05
+#      dedup core, x23/x37/x38, x69, x57, x60, x71); the remaining
+#      r7 queries (x72-x74, textstats x31-x35, ...) rotate in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: new registration leads (policy rule 1)
-    "x84_bloom_join_prune",
-    "x85_pagerank_trade_graph",
-    "x86_fuzzy_name_match",
-    "x87_table_profile",
-    "x88_incremental_dup_clusters",
-    "x89_substring_dup_coverage",
-    "x90_entity_clusters",
-    "e09_ewma_spike",
-    "x91_priority_history",
-    "x92_copurchase_lift",
-    "x93_rfm_segments",
-    "x94_mom_revenue_growth",
-    "x75_ivfpq_residual_knn_join",
-    "x76_kmv_distinct_customers",
-    "x77_kmv_year_overlap",
-    "x78_bottomk_sample_quantiles",
-    "x79_token_heavy_hitters",
-    "x80_priority_sample_revenue",
-    "x81_countmin_token_freq",
-    "x82_cms_merge_estimates",
-    "x83_boolean_token_search",
-    # -- last green r4
-    "o02_multikey_page",
-    "set01_union",
-    "f01_split_array_ops",
-    "f03_multiformat_dates",
-    "f04_date_format_parts",
-    "f06_hashes",
-    "f07_coalesce_fallback",
-    "f08_string_ops",
-    "q01_pricing_summary",
-    "q05_region_revenue",
-    "q06_shop_day_rollup",
-    "t01_dashboard_listing",
-    "q04_priority_exists",
-    "q10_returned_items",
-    "q07_nation_volume",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
     # -- last green r6
-    "x46_dedup_verdict",
-    "x06_knn_bruteforce",
-    "x07_embedding_neardup",
-    "x08_ann_ivf_topk",
-    "x21_cosine_lsh_buckets",
-    "x44_incremental_embedding_neardup",
-    "x53_kmeans_update",
-    "x10_token_stats",
-    "x11_quality_score",
-    "x12_langid_heuristic",
-    "x13_fingerprint",
+    "x14_bow_clusters",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
+    "x19_corpus_stats",
+    "x20_bpe_token_count",
+    "x48_quality_gate_agreement",
+    "x15_media_decode",
+    "x16_binary_meta",
+    "x25_decontaminate",
+    "x45_split_token_budget",
+    "x47_curated_corpus",
+    "x49_multimodal_curated",
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x54_lm_quality_score",
+    "x55_split_leakage",
+    "a07_rollup",
+    "a08_count_distinct",
+    "j08_range_join",
+    "f10_explode_unnest",
+    "a09_pivot",
+    "a10_unpivot",
+    "w05_ntile_quartiles",
+    "a11_grouping_sets",
+    "w06_trailing_window",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q20_promo_shippers",
+    "p02_like_contains",
+    "j07_anti",
+    "set02_except",
+    "q03_shipping_priority",
+    "j10_salted_skew_join",
+    "j11_salted_hotkeys_join",
+    # -- last green r7
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
+    "x05_simhash",
+    "x23_jaccard_capped_pairs",
+    "x37_incremental_neardup",
+    "x38_minhash_error",
+    "x69_cluster_size_histogram",
+    "x57_semdedup",
+    "x60_modal_agreement",
+    "x71_kmeans_ivf_knn_join",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
