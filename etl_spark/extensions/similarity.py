@@ -1936,7 +1936,21 @@ def ivfpq_index_probe(
     ).filter(F.col("rk") <= k)
 
 
-def _duck_incremental_knn() -> str:
+# Fixed query-batch cutoff for the REGISTERED x72 (VERDICT r9 #2):
+# the batch is the odd vec_ids below this id — a constant-size delta
+# (<=128 queries) regardless of corpus size, the x37/x44/x59/x64
+# incremental convention. The half-corpus form (every odd vec_id) is
+# super-linear by construction — per-query probe cost grows ~sqrt(n)
+# and the batch grows n/2, the n^1.5 slope BENCH_QUIET_r08 measured
+# at 3.04 per 2x — and is demoted to a test-oracle baseline
+# (x72_halfcorpus_knn_baseline, the x65 precedent).
+X72_BATCH_MAX_ID = 256
+
+
+def _duck_incremental_knn(batch_max_id: int | None = None) -> str:
+    batch_pred = (
+        f" AND vec_id < {batch_max_id}" if batch_max_id is not None else ""
+    )
     return f"""
         WITH seen AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
@@ -1967,7 +1981,7 @@ def _duck_incremental_knn() -> str:
         ),
         q AS (
             SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-            FROM embeddings WHERE vec_id % 2 = 1
+            FROM embeddings WHERE vec_id % 2 = 1{batch_pred}
         ),
         probe AS (
             SELECT qid, cid FROM (
@@ -2007,35 +2021,16 @@ def _duck_incremental_knn() -> str:
     """
 
 
-@register(
-    "x72_incremental_knn_join",
-    oracle=_duck_incremental_knn(),
-    tags=("similarity", "incremental"),
-)
-def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Ingestion-time ANN retrieval — x71's kNN join as a DELTA probe,
-    completing the incremental family for the retrieval side
-    (alongside dedup's x37 MinHash / x44 embedding bands / x59
-    segments and selection's x64 DSIR): the IVF index (centroids +
-    cell assignment) is built ONCE from the SEEN corpus (even vec_id)
-    and stored; each NEW batch (odd vec_id — today's crawl) retrieves
-    its top-K seen neighbors against that stored index without
-    touching the seen corpus beyond the probed cells. This is the
-    retrieval loop of dedup-by-retrieval, hard-negative mining and
-    RAG labeling at ingestion time.
-
-    This registered form derives index and batch from one fixture
-    in-plan so DuckDB can replay it exactly; the production pair is
-    ``build_ivf_index`` (cluster-PARTITIONED cell store — probes
-    prune at file level, asserted in tests) + ``ivf_index_probe``,
-    which produce identical results (parity asserted in
-    test_ivf_index_roundtrip_matches_inplan). Scale shape: per batch,
-    one broadcast of the nlist-row centroid table into the Arrow
-    probe kernel, one equi-join on cid against the pruned cells, one
-    per-qid top-K — batch-sized work, corpus-independent."""
+def _x72_plan(
+    spark: SparkSession, sf: str, batch_max_id: int | None
+) -> DataFrame:
+    """Shared plan builder for the registered x72 (fixed batch) and
+    the demoted half-corpus baseline (``batch_max_id=None``)."""
     emb = load(spark, sf, "embeddings")
     seen = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
+    if batch_max_id is not None:
+        batch = batch.filter(F.col("vec_id") < batch_max_id)
     import math
 
     nlist = int(math.ceil(math.sqrt(seen.count())))
@@ -2056,6 +2051,57 @@ def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_topk(
         q, assign, corpus, probe_cells, dot_pd, KNN_K, exclude_self=False
     )
+
+
+@register(
+    "x72_incremental_knn_join",
+    oracle=_duck_incremental_knn(X72_BATCH_MAX_ID),
+    tags=("similarity", "incremental"),
+)
+def x72_incremental_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time ANN retrieval — x71's kNN join as a DELTA probe,
+    completing the incremental family for the retrieval side
+    (alongside dedup's x37 MinHash / x44 embedding bands / x59
+    segments and selection's x64 DSIR): the IVF index (centroids +
+    cell assignment) is built ONCE from the SEEN corpus (even vec_id)
+    and stored; a FIXED-SIZE new batch (odd vec_id < X72_BATCH_MAX_ID
+    — today's crawl delta, <=128 queries at any corpus size)
+    retrieves its top-K seen neighbors against that stored index
+    without touching the seen corpus beyond the probed cells. This is
+    the retrieval loop of dedup-by-retrieval, hard-negative mining
+    and RAG labeling at ingestion time. The batch is constant-size by
+    design (re-registered per VERDICT r9 #2): with a corpus-
+    proportional batch the probe flops grow n^1.5 (the 3.04-per-2x
+    slope BENCH_QUIET_r08 measured on the old half-corpus form, now
+    ``x72_halfcorpus_knn_baseline``); with a delta-sized batch the
+    per-round cost is batch * nprobe * cell_size ~ sqrt(n), and the
+    linear terms (index scan + assignment) dominate.
+
+    This registered form derives index and batch from one fixture
+    in-plan so DuckDB can replay it exactly; the production pair is
+    ``build_ivf_index`` (cluster-PARTITIONED cell store — probes
+    prune at file level, asserted in tests) + ``ivf_index_probe``,
+    which produce identical results (parity asserted in
+    test_ivf_index_roundtrip_matches_inplan). Scale shape: per batch,
+    one broadcast of the nlist-row centroid table into the Arrow
+    probe kernel, one equi-join on cid against the pruned cells, one
+    per-qid top-K — batch-sized work, corpus-independent."""
+    return _x72_plan(spark, sf, X72_BATCH_MAX_ID)
+
+
+def x72_halfcorpus_knn_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """**Test-oracle baseline ONLY — demoted r10 (the x65 precedent,
+    VERDICT r9 #2): x72_incremental_knn_join with its fixed-size
+    batch is the registered delta-probe.** Probing the entire odd
+    HALF of the corpus against the even-half index is super-linear by
+    construction — batch ~ n/2 queries x nprobe x cell_size ~ sqrt(n)
+    flops each = the n^1.5 term measured at slope 3.04 per 2x
+    (BENCH_QUIET_r08.json) — so it no longer occupies a registry slot
+    anyone could mistake for the scale path. The stored-index parity
+    test keeps exercising it over the FULL odd batch (maximum
+    coverage of the probe kernel); its DuckDB oracle is
+    ``_duck_incremental_knn()`` with no batch cutoff."""
+    return _x72_plan(spark, sf, None)
 
 
 # --- x73: product quantization — the ANN STORAGE story ----------------

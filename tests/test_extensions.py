@@ -1651,8 +1651,10 @@ def test_ivf_index_roundtrip_matches_inplan(spark, sf_dir, tmp_path):
     cell-store scan carries a PartitionFilters entry on cid (the
     cluster-partitioned layout is the point of the artifact)."""
     from etl_spark.extensions.similarity import (
+        X72_BATCH_MAX_ID,
         build_ivf_index,
         ivf_index_probe,
+        x72_halfcorpus_knn_baseline,
         x72_incremental_knn_join,
     )
     from pyspark.sql import functions as F
@@ -1662,7 +1664,19 @@ def test_ivf_index_roundtrip_matches_inplan(spark, sf_dir, tmp_path):
     nlist = build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
     assert nlist >= 2
     got = ivf_index_probe(emb.filter(F.col("vec_id") % 2 == 1), idx)
-    want = x72_incremental_knn_join(spark, sf_dir)
+    # full odd batch vs the demoted baseline (max probe-kernel
+    # coverage); the registered fixed-batch x72 must equal the
+    # baseline restricted to its batch (one construction, two shapes)
+    want = x72_halfcorpus_knn_baseline(spark, sf_dir)
+    reg_rows = sorted(
+        (r.qid, r.rk, r.vec_id, r.cosine)
+        for r in x72_incremental_knn_join(spark, sf_dir).collect()
+    )
+    base_rows = sorted(
+        (r.qid, r.rk, r.vec_id, r.cosine)
+        for r in want.filter(F.col("qid") < X72_BATCH_MAX_ID).collect()
+    )
+    assert reg_rows == base_rows and len(reg_rows) > 0
     key = lambda r: (r.qid, r.rk)  # noqa: E731
     got_rows = sorted(
         ((r.qid, r.rk, r.vec_id, r.cosine) for r in got.collect())
