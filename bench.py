@@ -138,6 +138,8 @@ HEADLINE = [
     "x92_copurchase_lift",
     "x93_rfm_segments",
     "x94_mom_revenue_growth",
+    # r10: perceptual image near-dup (dHash + banded LSH + Hamming)
+    "x95_image_neardup",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -148,6 +150,115 @@ HEADLINE = [
 # window shuffle already spreads work; the extra round-robin exchange
 # costs ~0.2 s). e01 did gain a pushed-down event-type filter (the
 # real 100 TB win: non-funnel traffic never reaches the shuffle).
+
+
+
+# Frozen r9 comparison set (ADVICE r9 #1): the exact 98 query keys in
+# BENCH_r09.json's headline section. The headline set grows every
+# round, so "value"/"value_median" are not comparable across rounds;
+# value_r9set/value_median_r9set sum ONLY these keys, giving a
+# same-population trend line from r9 onward. Never edit this list —
+# that is the point of it.
+FROZEN_SET_R9 = (
+    "a06_lastn_conditional",
+    "a07_rollup",
+    "e01_funnel_steps",
+    "e03_event_transitions",
+    "e09_ewma_spike",
+    "etl_ingest_overwrite",
+    "etl_pipeline_e2e",
+    "j02_star_3way",
+    "j05_correlated_max",
+    "j08_range_join",
+    "j10_salted_skew_join",
+    "j11_salted_hotkeys_join",
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_priority_exists",
+    "q05_region_revenue",
+    "q06_shop_day_rollup",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_returned_supplier",
+    "s01_tumbling_window",
+    "t01_dashboard_listing",
+    "w01_topk_per_group",
+    "w05_ntile_quartiles",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
+    "x05_simhash",
+    "x06_knn_bruteforce",
+    "x13_fingerprint",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
+    "x24_blocked_neardup",
+    "x29_dup_clusters",
+    "x30_chunk_docs",
+    "x31_quality_percentile_gate",
+    "x40_stratified_split",
+    "x41_cross_source_overlap",
+    "x42_neardup_bucket_audit",
+    "x43_embedding_norm_stats",
+    "x44_incremental_embedding_neardup",
+    "x45_split_token_budget",
+    "x46_dedup_verdict",
+    "x47_curated_corpus",
+    "x48_quality_gate_agreement",
+    "x49_multimodal_curated",
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x53_kmeans_update",
+    "x54_lm_quality_score",
+    "x55_split_leakage",
+    "x56_training_manifest",
+    "x57_semdedup",
+    "x58_curation_funnel",
+    "x59_incremental_segment_dedup",
+    "x60_modal_agreement",
+    "x61_length_bucket_packing",
+    "x62_dsir_importance",
+    "x63_source_cap",
+    "x64_incremental_dsir",
+    "x66_epoch_upsample",
+    "x67_quality_lr_step",
+    "x68_shard_stats",
+    "x69_cluster_size_histogram",
+    "x70_source_league",
+    "x71_kmeans_ivf_knn_join",
+    "x72_incremental_knn_join",
+    "x73_pq_adc_topk",
+    "x74_ivfpq_knn_join",
+    "x75_ivfpq_residual_knn_join",
+    "x76_kmv_distinct_customers",
+    "x77_kmv_year_overlap",
+    "x78_bottomk_sample_quantiles",
+    "x79_token_heavy_hitters",
+    "x80_priority_sample_revenue",
+    "x81_countmin_token_freq",
+    "x82_cms_merge_estimates",
+    "x83_boolean_token_search",
+    "x84_bloom_join_prune",
+    "x85_pagerank_trade_graph",
+    "x86_fuzzy_name_match",
+    "x87_table_profile",
+    "x88_incremental_dup_clusters",
+    "x89_substring_dup_coverage",
+    "x90_entity_clusters",
+    "x91_priority_history",
+    "x92_copurchase_lift",
+    "x93_rfm_segments",
+    "x94_mom_revenue_growth",
+)
 
 
 def _etl_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -406,11 +517,17 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r9-add-x75-x94-e09",
+        "headline_set_rev": "r10-add-x95",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,
         **({"errors": errors} if errors else {}),
+        "value_r9set": round(
+            sum(t for n, t in timings.items() if n in FROZEN_SET_R9), 3
+        ),
+        "value_median_r9set": round(
+            sum(t for n, t in medians.items() if n in FROZEN_SET_R9), 3
+        ),
         "queries_median": medians,
         "queries": timings,
         "value_median": round(sum(medians.values()), 3),

@@ -185,6 +185,218 @@ def x15_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     return decode_media(make_media_table(spark, sf))
 
 
+# --- x95: perceptual image near-dup (dHash + banded LSH) --------------
+#
+# The image-side twin of the text dedup family: a difference hash
+# (dHash — Krawetz's "kind of like a perceptual hash" gradient hash)
+# over the decoded pseudo-pixels, banded LSH candidates, exact Hamming
+# re-score. The decode stays the x15 mapInPandas tier (swap
+# `_decode_blob` for PIL and the hash is real); everything downstream
+# is the x24 banded shape, so the 100 TB path is bucket-local — never
+# image x image.
+#
+# dHash here: the payload is cut into an 8x9 grid of byte cells (the
+# "resize" — cell boundaries by integer division, so both engines cut
+# identically), and bit (r, c) = 1 iff cell (r, c+1)'s mean exceeds
+# cell (r, c)'s. Means are compared by integer cross-multiplication
+# (s2*cnt1 > s1*cnt2) — no floats anywhere, so the 64-bit hash is
+# exact in both engines. The hash is carried as 8 per-row band BYTES
+# (0..255) rather than one packed i64: the LSH bands need the bytes
+# anyway and bit 63 would overflow signed BIGINT arithmetic in SQL.
+
+X95_GRID_ROWS = 8
+X95_GRID_COLS = 9  # 9 cells -> 8 gradient bits per row
+X95_MIN_BYTES = X95_GRID_ROWS * X95_GRID_COLS  # smaller "images" skipped
+X95_BUCKET_CAP = 64  # the X24 hot-bucket guard, same constant
+X95_MAX_HAMMING = 16  # of 64 bits; fixture: random pairs peak at ~28
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """Per-blob 64-bit dHash as 8 band bytes: (doc_id, bands
+    ARRAY<BIGINT>[8]), bands[r] = the 8 gradient bits of grid row r.
+    mapInPandas over the binary column (the x15 tier); integer-exact
+    per the block comment. Blobs with payloads under ``X95_MIN_BYTES``
+    are dropped (a real pipeline would route tiny thumbnails to exact
+    byte-hash dedup instead)."""
+    header_size = _HEADER.size
+    rows_, cols_ = X95_GRID_ROWS, X95_GRID_COLS
+    n_cells = rows_ * cols_
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_bands = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                payload = np.frombuffer(
+                    blob, dtype=np.uint8, offset=header_size
+                )
+                n = payload.size
+                if n < n_cells:
+                    continue
+                # cell c covers positions [ceil(c*n/72), ceil((c+1)*n/72))
+                # == the inverse of cell(pos) = pos*72 // n; int64
+                # cumsum keeps every sum exact
+                csum = np.concatenate(
+                    ([0], np.cumsum(payload, dtype=np.int64))
+                )
+                starts = (
+                    np.arange(n_cells + 1, dtype=np.int64) * n + n_cells - 1
+                ) // n_cells
+                s = (csum[starts[1:]] - csum[starts[:-1]]).reshape(
+                    rows_, cols_
+                )
+                cnt = (starts[1:] - starts[:-1]).reshape(rows_, cols_)
+                bit = (
+                    s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]
+                ).astype(np.int64)
+                out_ids.append(doc_id)
+                out_bands.append(
+                    (bit << np.arange(cols_ - 1, dtype=np.int64)).sum(axis=1)
+                )
+            # explicit dtypes: an all-dropped batch would otherwise
+            # infer float64 columns Arrow can't cast to list<int64>
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "bands": pd.Series(
+                        [list(b) for b in out_bands], dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        _dhash, schema="doc_id BIGINT, bands ARRAY<BIGINT>"
+    )
+
+
+def _duck_x95() -> str:
+    cap, maxham = X95_BUCKET_CAP, X95_MAX_HAMMING
+    rows_, cols_ = X95_GRID_ROWS, X95_GRID_COLS
+    n_cells = rows_ * cols_
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   hex(encode(text)) AS hx
+            FROM documents
+            WHERE octet_length(encode(text)) >= {n_cells}
+        ),
+        bytes AS (
+            SELECT doc_id, i - 1 AS pos, n,
+                   ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::BIGINT AS byte
+            FROM b, LATERAL (
+                SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i
+            )
+        ),
+        cells AS (
+            SELECT doc_id, (pos * {n_cells}) // n AS cell,
+                   SUM(byte) AS s, COUNT(*) AS cnt
+            FROM bytes GROUP BY doc_id, (pos * {n_cells}) // n
+        ),
+        grid AS (
+            SELECT doc_id, cell // {cols_} AS r, cell % {cols_} AS c, s, cnt
+            FROM cells
+        ),
+        bits AS (
+            SELECT a.doc_id, a.r AS band_id, a.c AS c,
+                   CASE WHEN b.s * a.cnt > a.s * b.cnt THEN 1 ELSE 0 END
+                     AS bit
+            FROM grid a JOIN grid b
+              ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+            WHERE a.c < {cols_ - 1}
+        ),
+        bands AS (
+            SELECT doc_id, band_id,
+                   CAST(SUM(bit * (1 << CAST(c AS INT))) AS BIGINT)
+                     AS band_byte
+            FROM bits GROUP BY doc_id, band_id
+        ),
+        buckets AS (
+            SELECT band_id, band_byte, COUNT(*) AS n_docs
+            FROM bands GROUP BY band_id, band_byte
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_id = b.band_id AND a.band_byte = b.band_byte
+             AND a.doc_id < b.doc_id
+            JOIN buckets k
+              ON k.band_id = a.band_id AND k.band_byte = a.band_byte
+            WHERE k.n_docs BETWEEN 2 AND {cap}
+        ),
+        ham AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(bit_count(xor(x.band_byte, y.band_byte)))
+                        AS BIGINT) AS hamming
+            FROM cand c
+            JOIN bands x ON x.doc_id = c.doc_a
+            JOIN bands y ON y.doc_id = c.doc_b AND y.band_id = x.band_id
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, hamming
+        FROM ham WHERE hamming <= {maxham}
+    """
+
+
+@register(
+    "x95_image_neardup",
+    oracle=_duck_x95(),
+    tags=("multimodal", "dedup"),
+)
+def x95_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup: blobs → mapInPandas dHash (8 band
+    bytes) → banded LSH candidates (docs sharing any (band, byte)
+    bucket, ``X95_BUCKET_CAP`` hot-bucket guard) → exact 64-bit
+    Hamming re-score, keeping pairs ≤ ``X95_MAX_HAMMING``. On the
+    synthetic corpus low-Hamming pairs track token-Jaccard ~0.6
+    (measured), i.e. the hash finds genuinely similar payloads, not
+    bucket noise.
+
+    Scale shape (the x24 contract, image-side): the hash is one
+    scan-local Arrow pass over the blobs; the only shuffles are keyed
+    on (band_id, band_byte) — bucket-local candidate expansion with a
+    cap, never image x image — then two vec_id-keyed joins to fetch 8
+    band bytes per side for the Hamming sum (zip_with + bit_count,
+    all codegen). At 100 TB the re-score join input is
+    candidate-sized, and the decode/hash pass would ride the existing
+    x15 decode of the corpus (one pass emits metadata AND hash)."""
+    sigs = dhash_media(make_media_table(spark, sf))
+    # two consuming branches (bucket grouping + both re-score sides)
+    # and Catalyst does not CSE reused DataFrames — persist so the
+    # Arrow dHash pass runs once (the x89 lesson)
+    sigs = sigs.persist()
+    bands = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_byte")
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_byte")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= X95_BUCKET_CAP))
+    )
+    pair_expand = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    ham = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= X95_MAX_HAMMING)
+    )
+
+
 @register(
     "x16_binary_meta",
     oracle="""

@@ -103,10 +103,14 @@ def _ensure_loaded() -> None:
 #      FIRST hash-backed check since its r9 oracle upgrade (VERDICT
 #      r9 rule-1 lead) and the 14 displaced from the r9 window
 #      (a07/a08/j08/f10/x16/x25/x45/x47/x49/x50/x51/x52/x54/x55);
-#   2. 12 of the r7-green tier, module-registration order (x01-x05
-#      dedup core, x23/x37/x38, x69, x57, x60, x71); the remaining
-#      r7 queries (x72-x74, textstats x31-x35, ...) rotate in r11.
+#   2. the never-driver-checked r10 registration (x95 perceptual
+#      image near-dup) leads per policy rule 1;
+#   3. 11 of the r7-green tier, module-registration order (x01-x05
+#      dedup core, x23/x37/x38, x69, x57, x60); the remaining r7
+#      queries (x71-x74, textstats x31-x35, ...) rotate in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked: new registration leads (policy rule 1)
+    "x95_image_neardup",
     # -- last green r6
     "x14_bow_clusters",
     "x17_quality_filter",
@@ -158,7 +162,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x69_cluster_size_histogram",
     "x57_semdedup",
     "x60_modal_agreement",
-    "x71_kmeans_ivf_knn_join",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -104,3 +104,105 @@ def test_x15_registered_query_golden(spark, sf_dir):
         assert r.channels == 3
         assert r.n_pixel_bytes == text_len
         assert 0.0 <= r.mean_intensity <= 255.0
+
+
+def test_dhash_identical_payloads_hamming_zero(spark):
+    """Two blobs with identical payloads must share an identical
+    dHash; a blob with a locally perturbed payload should stay CLOSE
+    in Hamming distance (the perceptual property), and a reversed
+    payload should be far."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_spark.extensions.multimodal import _MAGIC, dhash_media
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=720, dtype=np.uint8)
+    perturbed = base.copy()
+    perturbed[100:110] += 40  # local edit, wraps mod 256
+    header = _HEADER.pack(_MAGIC, 10, 72, 1)
+    blobs = {
+        0: header + base.tobytes(),
+        1: header + base.tobytes(),
+        2: header + perturbed.tobytes(),
+        3: header + base[::-1].tobytes(),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(blobs),
+                "media_type": ["image/synthetic"] * 4,
+                "content": list(blobs.values()),
+            }
+        )
+    )
+    sig = {r.doc_id: list(r.bands) for r in dhash_media(df).collect()}
+    assert all(len(b) == 8 and all(0 <= x <= 255 for x in b) for b in sig.values())
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert sig[0] == sig[1]
+    assert ham(sig[0], sig[2]) <= 8  # local edit flips few gradient bits
+    assert ham(sig[0], sig[3]) > 16  # reversal scrambles the gradients
+
+
+def test_dhash_drops_tiny_payloads(spark):
+    import pandas as pd
+
+    from etl_spark.extensions.multimodal import (
+        X95_MIN_BYTES,
+        _MAGIC,
+        dhash_media,
+    )
+
+    header = _HEADER.pack(_MAGIC, 1, 1, 1)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "media_type": ["image/synthetic"] * 2,
+                "content": [
+                    header + b"x" * (X95_MIN_BYTES - 1),
+                    header + b"x" * X95_MIN_BYTES,
+                ],
+            }
+        )
+    )
+    got = {r.doc_id for r in dhash_media(df).collect()}
+    assert got == {1}
+
+
+def test_x95_pairs_are_exact_hamming(spark, sf_dir):
+    """Every emitted pair's hamming must equal the exact distance
+    recomputed from the signatures, respect the threshold, and be
+    a subset of what a full all-pairs sweep at the same threshold
+    finds (LSH can only miss, never invent)."""
+    from etl_spark.extensions.multimodal import (
+        X95_MAX_HAMMING,
+        dhash_media,
+        make_media_table,
+        x95_image_neardup,
+    )
+
+    sig = {
+        r.doc_id: list(r.bands)
+        for r in dhash_media(make_media_table(spark, sf_dir)).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    got = x95_image_neardup(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.doc_a < r.doc_b
+        assert r.hamming <= X95_MAX_HAMMING
+        assert r.hamming == ham(sig[r.doc_a], sig[r.doc_b])
+    all_pairs = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and ham(sig[a], sig[b]) <= X95_MAX_HAMMING
+    }
+    assert {(r.doc_a, r.doc_b) for r in got} <= all_pairs
