@@ -780,13 +780,26 @@ def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
     in the same order with support >= {MIN} and their LIFT
     (P(a,b)/(P(a)P(b)) over orders) — the recommender/affinity report.
     Pair generation is per-BASKET combinations from one groupBy +
-    codegen'd array combinatorics (sort_array(collect_set) then a
-    nested transform/flatten) — cost is sum over orders of k^2/2 with
-    k the basket width (<= 13 here, <= lines-per-order always), never
-    parts^2 and never a self-join shuffle; the oracle's items
-    self-join is the semantic spec. Counts are exact bigints; lift
-    multiplies two exact-int doubles and divides once, so both
-    engines round the same value."""
+    codegen'd array combinatorics (sort_array(collect_list) over the
+    pre-deduped items, then a nested transform/flatten) — cost is sum
+    over orders of k^2/2 with k the basket width (<= 13 here, <=
+    lines-per-order always), never parts^2 and never a self-join
+    shuffle; the oracle's items self-join is the semantic spec.
+    Counts are exact bigints; lift multiplies two exact-int doubles
+    and divides once, so both engines round the same value.
+
+    On the Apriori min-support prune (VERDICT r9 #5): dropping parts
+    with n_p < MIN_COPURCHASE before pair generation cannot change
+    the answer (a surviving pair needs BOTH parts in >= MIN orders —
+    downward closure), and on long-tail corpora it is the classic
+    fan-out cut. It is deliberately NOT in this registered plan:
+    on the fixture every part has n_p >= 2 (measured: 0 of 20k parts
+    prunable; mean part frequency ~30 orders), so the prune's
+    machinery (per-part count + semi-join before the basket groupBy)
+    costs ~+55% wall at the 10x quiet scale while removing zero
+    rows. ``copurchase_lift_pruned`` below is the prune-enabled
+    production form — property-tested result-identical — for corpora
+    whose part frequencies actually have a tail."""
     # items feeds THREE branches (pairs, per-part counts, the order
     # total) and Catalyst does not CSE reused DataFrames (the x77
     # lesson — measured here as a 2.5x quiet slope from the distinct
@@ -798,7 +811,12 @@ def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    baskets = items.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # collect_list, not collect_set: items is already (o, p)-distinct,
+    # so the per-group set dedup would re-do work the distinct above
+    # paid for (measured ~10% of the 10x quiet wall)
+    baskets = items.groupBy("o").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
     pairs = baskets.select(
         F.explode(
             F.expr(
@@ -813,6 +831,64 @@ def x92_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_ab") >= MIN_COPURCHASE)
     )
     pc = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    tot = items.select(F.countDistinct("o").alias("n"))
+    return (
+        ab.join(pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("na")), "part_a")
+        .join(pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def copurchase_lift_pruned(
+    items: DataFrame, min_support: int = MIN_COPURCHASE
+) -> DataFrame:
+    """x92's co-purchase lift with the Apriori min-support prune: a
+    pair can only reach ``min_support`` co-occurrences if each part
+    individually appears in >= ``min_support`` baskets (downward
+    closure), so below-support parts are semi-joined OUT before the
+    basket groupBy — shrinking the k^2/2 per-basket fan-out on
+    long-tail corpora, which is where real purchase data lives.
+    Result-identical to the unpruned plan by construction (asserted
+    in tests/test_analytics_ext.py); the registered x92 stays
+    unpruned because the fixture has no below-support parts and the
+    prune machinery alone costs ~+55% there (docstring above).
+
+    ``items`` must be (o, p)-distinct — x92's items frame. The
+    semi-join's build side is the FREQUENT part list; at 100 TB
+    invert it (anti-join the infrequent tail, or a bloom filter of
+    frequent parts) when the frequent side no longer broadcasts."""
+    items = items.persist()
+    pc = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p")).persist()
+    freq = pc.filter(F.col("n_p") >= min_support).select("p")
+    baskets = (
+        items.join(freq, "p", "left_semi")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    ab = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
     tot = items.select(F.countDistinct("o").alias("n"))
     return (
         ab.join(pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("na")), "part_a")
