@@ -499,7 +499,15 @@ def x79_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 def token_heavy_hitters(tokens: DataFrame, phi: float = HH_PHI) -> DataFrame:
     """The two-pass heavy-hitter plan over a one-column ``token``
     DataFrame — see ``x79_token_heavy_hitters``. Output (token, cnt,
-    freq) is exact and partitioning-independent."""
+    freq) is exact and partitioning-independent.
+
+    Deliberate tradeoff (VERDICT r9 #7): the token stream is SCANNED
+    TWICE (Misra-Gries candidates, then the exact rescore join)
+    rather than persisted between passes — at 100 TB the exploded
+    token stream is corpus-sized x tokens-per-doc, so materializing
+    it (memory or spill) costs more than re-running the scan+explode,
+    which is embarrassingly parallel and reads the same parquet
+    bytes both times."""
     spark = tokens.sparkSession
     cand = tokens.mapInPandas(
         _make_hh_candidates(phi), schema="token string, cnt long"

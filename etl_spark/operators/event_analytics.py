@@ -495,15 +495,31 @@ def e09_ewma_spike(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     arr = F.collect_list("cents").over(frame)
-    out = e.withColumn("arr", arr).select(
-        "event_id",
-        "user_id",
-        "cents",
-        F.expr(
-            "CAST(aggregate(zip_with(arr, sequence(0, size(arr) - 1), "
-            "(x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v) "
-            "DIV (shiftleft(CAST(1 AS BIGINT), size(arr)) - 1) AS BIGINT)"
-        ).alias("ewma_cents"),
+    out = (
+        e.withColumn("arr", arr)
+        .withColumn(
+            "ws",
+            F.expr(
+                "aggregate(zip_with(arr, sequence(0, size(arr) - 1), "
+                "(x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "wn", F.expr("shiftleft(CAST(1 AS BIGINT), size(arr)) - 1")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            # Negative-sum semantics (ADVICE r9 claimed Spark DIV
+            # truncates while DuckDB // floors, diverging by 1 on
+            # refund-heavy streams): MEASURED FALSE — DuckDB's BIGINT
+            # // also truncates toward zero (-8800 // 7 = -1257), so
+            # plain DIV is engine-identical for any sign. Pinned by
+            # tests/test_event_analytics.py, which runs both engines
+            # on a refund-heavy stream with negative weighted sums.
+            F.expr("CAST(ws DIV wn AS BIGINT)").alias("ewma_cents"),
+        )
     )
     return out.withColumn("spike", 2 * F.col("cents") > 3 * F.col("ewma_cents"))

@@ -18,8 +18,14 @@ hits return a SCAN OF THE CACHE (asserted via inputFiles in tests) —
 zero recompute, zero source IO.
 
 Cache entries are self-describing (meta.json records the fingerprint
-inputs) and safe to delete at any time; ``clear_result_cache`` drops
-everything, ``evict`` keeps the newest N entries.
+inputs) and safe to delete BETWEEN queries — not under live handles:
+``cached()`` returns a lazy scan of the entry's files, so evicting an
+entry while a previously returned DataFrame is still unconsumed makes
+that DataFrame's next action fail on missing files (ADVICE r9; Spark
+reads lazily, nothing pins the files). Run ``evict``/
+``clear_result_cache`` only when earlier results are consumed or
+re-derivable. ``clear_result_cache`` drops everything, ``evict``
+keeps the newest N entries.
 """
 
 from __future__ import annotations

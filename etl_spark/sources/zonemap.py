@@ -248,32 +248,50 @@ def zonemap_refresh(
         fdf = spark.createDataFrame([(f,) for f in added], "path string")
         fresh = _footer_stats(fdf, cols)
         kept = kept.unionByName(fresh)
-    # temp + swap with CRASH SELF-HEAL: a crash between rmtree and
-    # rename leaves only <path>.tmp (with its _SUCCESS) — readers and
-    # the next refresh adopt it via _heal_tmp, so the map is never
-    # lost, though a SINGLE maintainer is assumed (the txlog
-    # one-writer convention; concurrent readers during the swap
-    # window should retry)
+    # temp + DOUBLE-RENAME swap (ADVICE r9): rename(old -> .bak) then
+    # rename(tmp -> path) then rmtree(.bak). The old rmtree+rename
+    # left the map ABSENT for the whole rmtree; now the absent window
+    # is just the instant between the two renames, and every crash
+    # point leaves a committed map for _heal_tmp to adopt (.tmp with
+    # _SUCCESS wins over .bak — it is newer). A SINGLE maintainer is
+    # still assumed (the txlog one-writer convention); a concurrent
+    # reader that hits the rename instant should retry.
     tmp = zonemap_path.rstrip("/") + ".tmp"
+    bak = zonemap_path.rstrip("/") + ".bak"
     kept.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(zonemap_path, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(zonemap_path, bak)
     os.rename(tmp, zonemap_path)
+    shutil.rmtree(bak, ignore_errors=True)
     return len(added), len(removed)
 
 
 def _heal_tmp(zonemap_path: str) -> None:
-    """Adopt a completed-but-unswapped refresh (crash between rmtree
-    and rename): if the map dir is gone and <path>.tmp carries
-    _SUCCESS, the tmp IS the newest committed map."""
+    """Adopt the newest committed map after a crashed refresh swap.
+    Crash points of zonemap_refresh's double-rename (old -> .bak,
+    tmp -> path, rmtree .bak):
+
+    - map dir absent, <path>.tmp carries _SUCCESS: the tmp IS the
+      newest committed map — adopt it;
+    - map dir absent, no complete tmp, <path>.bak present: the swap
+      died between the renames with an incomplete tmp — restore the
+      previous map from .bak;
+    - map dir present, <path>.bak left behind: the swap committed but
+      the cleanup didn't — drop the stale .bak."""
     import os
+    import shutil
 
     tmp = zonemap_path.rstrip("/") + ".tmp"
-    if not os.path.isdir(zonemap_path) and os.path.exists(
-        os.path.join(tmp, "_SUCCESS")
-    ):
-        os.rename(tmp, zonemap_path)
+    bak = zonemap_path.rstrip("/") + ".bak"
+    if not os.path.isdir(zonemap_path):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, zonemap_path)
+        elif os.path.isdir(bak):
+            os.rename(bak, zonemap_path)
+    if os.path.isdir(zonemap_path):
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 def zonemap_scan_multi(
@@ -306,7 +324,12 @@ def zonemap_scan_multi(
     paths = sorted((kept or set()) | (set(full.inputFiles()) - mapped))
     if not paths:
         return full.limit(0)
-    df = spark.read.parquet(*paths)
+    # basePath: when the table is hive-partitioned (zone map on a
+    # NON-partition column), reading leaf files directly would drop
+    # the partition-directory columns and the pruned scan would no
+    # longer be schema-identical to the full scan (ADVICE r9);
+    # harmless for unpartitioned tables
+    df = spark.read.option("basePath", table_path).parquet(*paths)
     pred = F.lit(True)
     for col, lo, hi in predicates:
         if lo is not None:

@@ -268,3 +268,80 @@ def test_multi_scan_empty_predicates_full_table(spark, table_and_map):
     table, zm = table_and_map
     full = spark.read.parquet(table).count()
     assert zonemap_scan_multi(spark, table, zm, []).count() == full
+
+
+def test_crash_selfheal_restores_bak(spark, tmp_path):
+    """Crash between the two swap renames with an INCOMPLETE tmp: the
+    previous committed map must come back from .bak; a leftover .bak
+    next to a committed map is garbage-collected."""
+    import os
+    import shutil
+
+    from etl_spark.sources.zonemap import zonemap_refresh
+
+    d = tmp_path / "t4"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), pa.int64())}), str(d / "a.parquet")
+    )
+    zm = str(tmp_path / "zm4")
+    zonemap_refresh(spark, str(d), ["k"], zm)
+    # crash window: old map renamed to .bak, tmp incomplete (no
+    # _SUCCESS), map dir absent
+    shutil.copytree(zm, zm + ".tmp")
+    os.remove(os.path.join(zm + ".tmp", "_SUCCESS"))
+    os.rename(zm, zm + ".bak")
+    kept, total = pruned_files(spark, zm, "k", 0, 10)
+    assert total == 1 and len(kept) == 1
+    assert os.path.isdir(zm) and not os.path.isdir(zm + ".bak")
+    # committed map + stale .bak: heal drops the .bak
+    shutil.copytree(zm, zm + ".bak")
+    pruned_files(spark, zm, "k", 0, 10)
+    assert not os.path.isdir(zm + ".bak")
+
+
+def test_refresh_swap_never_hides_map(spark, tmp_path):
+    """After a refresh the map dir must exist (the rmtree-first swap
+    left it absent for the whole delete)."""
+    import os
+
+    from etl_spark.sources.zonemap import zonemap_refresh
+
+    d = tmp_path / "t5"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), pa.int64())}), str(d / "a.parquet")
+    )
+    zm = str(tmp_path / "zm5")
+    zonemap_refresh(spark, str(d), ["k"], zm)
+    pq.write_table(
+        pa.table({"k": pa.array(range(100, 200), pa.int64())}),
+        str(d / "b.parquet"),
+    )
+    added, removed = zonemap_refresh(spark, str(d), ["k"], zm)
+    assert (added, removed) == (1, 0)
+    assert os.path.isdir(zm)
+    assert not os.path.isdir(zm + ".tmp") and not os.path.isdir(zm + ".bak")
+
+
+def test_partitioned_table_keeps_partition_columns(spark, tmp_path):
+    """Hive-partitioned table, zone map on a NON-partition column:
+    the pruned scan must keep the partition-directory column and stay
+    row/schema-identical to the full scan (ADVICE r9 basePath fix)."""
+    from etl_spark.sources.zonemap import zonemap_scan
+
+    d = str(tmp_path / "pt")
+    df = spark.range(400).select(
+        (F.col("id") % 4).alias("src"), F.col("id").alias("k")
+    )
+    df.write.partitionBy("src").parquet(d)
+    zm = str(tmp_path / "zm_pt")
+    write_zonemap(spark, d, ["k"], zm)
+    got = zonemap_scan(spark, d, zm, "k", 10, 50)
+    full = spark.read.parquet(d).filter(
+        (F.col("k") >= 10) & (F.col("k") <= 50)
+    )
+    assert sorted(got.columns) == sorted(full.columns)
+    assert sorted((r.k, int(r.src)) for r in got.collect()) == sorted(
+        (r.k, int(r.src)) for r in full.collect()
+    )
