@@ -140,6 +140,12 @@ HEADLINE = [
     "x94_mom_revenue_growth",
     # r10: perceptual image near-dup (dHash + banded LSH + Hamming)
     "x95_image_neardup",
+    # r10: classic warehouse shapes — cohort LTV, inventory aging,
+    # ABC/Pareto, normalized weekly retention
+    "x96_cohort_ltv",
+    "x97_inventory_aging",
+    "x98_abc_pareto",
+    "e10_weekly_retention",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -517,7 +523,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r10-add-x95",
+        "headline_set_rev": "r10-add-x95-x98-e10",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

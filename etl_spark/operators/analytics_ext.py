@@ -1049,3 +1049,265 @@ def x94_mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("yoy_growth"),
         )
     )
+
+
+# --- r10: classic warehouse shapes (VERDICT r9 #8) --------------------
+#
+# Cohort LTV, inventory aging, ABC/Pareto classification — the
+# remaining staples of a retail warehouse's reporting layer, on the
+# fixture's orders/lineitem/part tables with the established
+# conventions: money through exact DECIMAL sums, ratio divisions as
+# one DOUBLE division of exact values, ties broken on the key.
+
+
+@register(
+    "x96_cohort_ltv",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS mi,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT))
+                       OVER (PARTITION BY o_custkey) AS cohort_mi
+            FROM orders
+        ),
+        cell AS (
+            SELECT cohort_mi, mi - cohort_mi AS age_months,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+                   SUM(price) AS rev
+            FROM o GROUP BY cohort_mi, mi - cohort_mi
+        ),
+        cum AS (
+            SELECT cohort_mi, age_months, n_active, rev,
+                   SUM(rev) OVER (PARTITION BY cohort_mi
+                                  ORDER BY age_months) AS cum_rev
+            FROM cell
+        ),
+        size0 AS (
+            SELECT cohort_mi, n_active AS cohort_size
+            FROM cell WHERE age_months = 0
+        )
+        SELECT CAST((c.cohort_mi - 1) // 12 AS INT) AS cohort_yr,
+               CAST((c.cohort_mi - 1) % 12 + 1 AS INT) AS cohort_mo,
+               c.age_months, c.n_active,
+               CAST(c.rev AS DOUBLE) AS revenue,
+               CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+               s.cohort_size,
+               ROUND(CAST(c.cum_rev AS DOUBLE)
+                     / CAST(s.cohort_size AS DOUBLE), 6)
+                 AS ltv_per_customer
+        FROM cum c JOIN size0 s USING (cohort_mi)
+    """,
+    tags=("extension", "cohort", "window"),
+    doc="Cohort LTV triangle: first-order-month cohorts x months-since, cumulative revenue per customer.",
+)
+def x96_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """The cohort-LTV triangle every subscription/retail dashboard
+    draws: customers cohorted by FIRST-order month, each later month
+    a (cohort, age) cell with active-customer count and revenue;
+    cumulative revenue over age divided by the cohort's size = LTV
+    per customer at that age. Calendar month INDEX (yr*12+mo)
+    arithmetic, so gaps surface as missing ages, never misaligned
+    rows (the x94 lesson).
+
+    Scale: ONE shuffle of orders on o_custkey computes the per-
+    customer first month as a window min riding the same exchange the
+    (cohort, age) aggregate needs nothing from — the cell aggregate
+    re-shuffles cells (cohort x age, months^2/2 rows, tiny), the
+    cumulative window and the size-at-age-0 self-join run on that
+    months^2-sized frame. The fact table is touched once."""
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        mi.alias("mi"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    o = o.withColumn(
+        "cohort_mi", F.min("mi").over(Window.partitionBy("o_custkey"))
+    )
+    cell = (
+        o.groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age_months"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("price").alias("rev"),
+        )
+        .persist()  # cumulative window + the size-at-0 branch (x92 CSE lesson)
+    )
+    cw = (
+        Window.partitionBy("cohort_mi")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.withColumn("cum_rev", F.sum("rev").over(cw))
+    size0 = cell.filter(F.col("age_months") == 0).select(
+        "cohort_mi", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cum.join(F.broadcast(size0), "cohort_mi")
+        .select(
+            ((F.col("cohort_mi") - 1) / 12).cast("int").alias("cohort_yr"),
+            ((F.col("cohort_mi") - 1) % 12 + 1).cast("int").alias("cohort_mo"),
+            "age_months",
+            "n_active",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            "cohort_size",
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+@register(
+    "x97_inventory_aging",
+    oracle="""
+        WITH anchor AS (
+            SELECT MAX(CAST(l_shipdate AS DATE)) AS mx FROM lineitem
+        ),
+        last_ship AS (
+            SELECT l_partkey AS p_partkey,
+                   MAX(CAST(l_shipdate AS DATE)) AS last_ship
+            FROM lineitem GROUP BY l_partkey
+        ),
+        aged AS (
+            SELECT pt.p_partkey,
+                   CAST(pt.p_retailprice AS DECIMAL(18,2)) AS rp,
+                   CASE
+                     WHEN ls.last_ship IS NULL THEN 'never-shipped'
+                     WHEN date_diff('day', ls.last_ship, anchor.mx) <= 30
+                       THEN '000-030d'
+                     WHEN date_diff('day', ls.last_ship, anchor.mx) <= 60
+                       THEN '031-060d'
+                     WHEN date_diff('day', ls.last_ship, anchor.mx) <= 90
+                       THEN '061-090d'
+                     ELSE '090+d'
+                   END AS age_bucket
+            FROM part pt
+            LEFT JOIN last_ship ls USING (p_partkey)
+            CROSS JOIN anchor
+        )
+        SELECT age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rp) AS DOUBLE) AS retail_value
+        FROM aged GROUP BY age_bucket
+    """,
+    tags=("extension", "inventory", "agg"),
+    doc="Inventory aging report: parts bucketed by days since last shipment, with value at risk.",
+)
+def x97_inventory_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """The slow-mover/dead-stock report: every part bucketed by days
+    since its LAST shipment (anchored to the corpus' newest shipdate,
+    so the query is reproducible), never-shipped parts called out,
+    each bucket carrying its part count and retail value at risk.
+    The aging report is the batch face of the as-of family (j09): the
+    'latest event per key' join, then distance-to-anchor bucketing.
+
+    Scale: one lineitem pass aggregated to a part-keyed max (map-side
+    partial max, one shuffle), a 1-row anchor broadcast, a part-dim
+    left join (dimension-sized), one bucket aggregate of the part
+    dim. The fact table never joins anything row-to-row."""
+    li = load(spark, sf, "lineitem")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("mx"))
+    last_ship = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    age = F.datediff(F.col("mx"), F.col("last_ship"))
+    bucket = (
+        F.when(F.col("last_ship").isNull(), "never-shipped")
+        .when(age <= 30, "000-030d")
+        .when(age <= 60, "031-060d")
+        .when(age <= 90, "061-090d")
+        .otherwise("090+d")
+    )
+    return (
+        load(spark, sf, "part")
+        .join(last_ship, "p_partkey", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            bucket.alias("age_bucket"),
+            F.col("p_retailprice").cast("decimal(18,2)").alias("rp"),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rp").cast("double").alias("retail_value"),
+        )
+    )
+
+
+@register(
+    "x98_abc_pareto",
+    oracle="""
+        WITH pr AS (
+            SELECT l_partkey AS part,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT part, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, part) AS cum_rev,
+                   SUM(rev) OVER () AS tot
+            FROM pr
+        )
+        SELECT part,
+               CAST(rev AS DOUBLE) AS revenue,
+               ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 AS cum_share,
+               CASE
+                 WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80
+                   THEN 'A'
+                 WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                   THEN 'B'
+                 ELSE 'C'
+               END AS abc_class
+        FROM ranked
+    """,
+    tags=("extension", "inventory", "window"),
+    doc="ABC/Pareto classification of parts by cumulative revenue share (80/95 cuts).",
+)
+def x98_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC analysis — the Pareto classification behind cycle-count
+    policy and assortment reviews: parts ranked by revenue, class A
+    while cumulative share <= 80%, B to 95%, C after. Cumulative and
+    total are EXACT decimal window sums, the share divides their
+    doubles once, and the rank order breaks revenue ties on partkey,
+    so the class boundary falls identically in both engines.
+
+    Scale: one fact pass to a part-keyed aggregate (map-side partial
+    sums), then the ranked cumulative window runs over the PART
+    DIMENSION (single ordered partition — dimension-sized like x93's
+    ntile over customers, never fact-sized; shard it per category
+    when even the dimension outgrows one partition)."""
+    pr = (
+        load(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    cw = Window.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tw = Window.partitionBy()
+    ranked = pr.withColumn("cum_rev", F.sum("rev").over(cw)).withColumn(
+        "tot", F.sum("rev").over(tw)
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot").cast("double")
+    return ranked.select(
+        "part",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -523,3 +523,77 @@ def e09_ewma_spike(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out.withColumn("spike", 2 * F.col("cents") > 3 * F.col("ewma_cents"))
+
+
+@register(
+    "e10_weekly_retention",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7
+                        AS BIGINT) AS wk
+            FROM events
+        ),
+        u AS (
+            SELECT user_id, wk,
+                   MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+            FROM e
+        ),
+        cell AS (
+            SELECT cohort_wk, wk - cohort_wk AS age_weeks,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM u GROUP BY cohort_wk, wk - cohort_wk
+        ),
+        size0 AS (
+            SELECT cohort_wk, n_active AS cohort_size
+            FROM cell WHERE age_weeks = 0
+        )
+        SELECT c.cohort_wk, c.age_weeks, c.n_active, s.cohort_size,
+               ROUND(CAST(c.n_active AS DOUBLE)
+                     / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        FROM cell c JOIN size0 s USING (cohort_wk)
+    """,
+    tags=("events", "cohort", "window"),
+    doc="Weekly retention triangle: first-seen-week cohorts x weeks-since, active users and retention rate.",
+)
+def e10_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """The NORMALIZED retention triangle (x96's engagement twin;
+    e02 is the counts-only precursor): users cohorted by FIRST-seen
+    week, each (cohort, age) cell counting distinct active users,
+    retention = cell actives / cohort size — the rate a dashboard
+    actually plots, which e02's raw counts can't give without the
+    size-at-age-0 self-join this query adds. Weeks here are
+    Monday-anchored epoch-day indexes ((date - 1970-01-05) div 7) —
+    pure integer arithmetic on non-negative days, so both engines
+    bucket identically with no date_trunc('week') locale/DST
+    semantics in the parity path.
+
+    Scale: one shuffle of events on user_id carries the window min
+    (first week); the cell aggregate's count-distinct re-shuffles on
+    (cohort, age) — weeks^2/2 groups; the size-at-0 join broadcasts a
+    weeks-sized frame. One fact pass total."""
+    wk = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') DIV 7 AS BIGINT)"
+    )
+    u = load(spark, sf, "events").select("user_id", wk.alias("wk"))
+    u = u.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    cell = (
+        u.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .persist()  # retention needs the age-0 row per cohort (x92 CSE lesson)
+    )
+    size0 = cell.filter(F.col("age_weeks") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return cell.join(F.broadcast(size0), "cohort_wk").select(
+        "cohort_wk",
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )

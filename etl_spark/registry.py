@@ -103,14 +103,19 @@ def _ensure_loaded() -> None:
 #      FIRST hash-backed check since its r9 oracle upgrade (VERDICT
 #      r9 rule-1 lead) and the 14 displaced from the r9 window
 #      (a07/a08/j08/f10/x16/x25/x45/x47/x49/x50/x51/x52/x54/x55);
-#   2. the never-driver-checked r10 registration (x95 perceptual
-#      image near-dup) leads per policy rule 1;
-#   3. 11 of the r7-green tier, module-registration order (x01-x05
-#      dedup core, x23/x37/x38, x69, x57, x60); the remaining r7
-#      queries (x71-x74, textstats x31-x35, ...) rotate in r11.
+#   2. the never-driver-checked r10 registrations (x95 perceptual
+#      image near-dup; x96-x98 + e10 warehouse analytics) lead per
+#      policy rule 1;
+#   3. 7 of the r7-green tier, module-registration order (x01-x05
+#      dedup core, x23, x37); the remaining r7 queries (x38, x69,
+#      x57, x60, x71-x74, textstats x31-x35, ...) rotate in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: new registration leads (policy rule 1)
+    # -- never driver-checked: new registrations lead (policy rule 1)
     "x95_image_neardup",
+    "x96_cohort_ltv",
+    "x97_inventory_aging",
+    "x98_abc_pareto",
+    "e10_weekly_retention",
     # -- last green r6
     "x14_bow_clusters",
     "x17_quality_filter",
@@ -158,10 +163,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x05_simhash",
     "x23_jaccard_capped_pairs",
     "x37_incremental_neardup",
-    "x38_minhash_error",
-    "x69_cluster_size_histogram",
-    "x57_semdedup",
-    "x60_modal_agreement",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
