@@ -146,6 +146,8 @@ HEADLINE = [
     "x97_inventory_aging",
     "x98_abc_pareto",
     "e10_weekly_retention",
+    # r10: thumbnail pipeline (resize tier composed with decode)
+    "x99_media_resize",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -523,7 +525,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r10-add-x95-x98-e10",
+        "headline_set_rev": "r10-add-x95-x99-e10",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

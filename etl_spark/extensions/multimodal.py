@@ -211,6 +211,23 @@ X95_BUCKET_CAP = 64  # the X24 hot-bucket guard, same constant
 X95_MAX_HAMMING = 16  # of 64 bits; fixture: random pairs peak at ~28
 
 
+def _bucket_stats(payload, n_cells: int):
+    """Split ``payload`` (uint8 array, len >= n_cells) into n_cells
+    contiguous buckets — cell c covers positions [ceil(c*n/n_cells),
+    ceil((c+1)*n/n_cells)), the inverse of cell(pos) = pos*n_cells//n
+    — and return exact int64 (sums, counts). The shared 'resize' core
+    of dHash (x95) and resize_media (x99): integer-only, so every
+    engine computes identical cells."""
+    import numpy as np
+
+    n = payload.size
+    csum = np.concatenate(([0], np.cumsum(payload, dtype=np.int64)))
+    starts = (
+        np.arange(n_cells + 1, dtype=np.int64) * n + n_cells - 1
+    ) // n_cells
+    return csum[starts[1:]] - csum[starts[:-1]], starts[1:] - starts[:-1]
+
+
 def dhash_media(media: DataFrame) -> DataFrame:
     """Per-blob 64-bit dHash as 8 band bytes: (doc_id, bands
     ARRAY<BIGINT>[8]), bands[r] = the 8 gradient bits of grid row r.
@@ -229,22 +246,11 @@ def dhash_media(media: DataFrame) -> DataFrame:
                 payload = np.frombuffer(
                     blob, dtype=np.uint8, offset=header_size
                 )
-                n = payload.size
-                if n < n_cells:
+                if payload.size < n_cells:
                     continue
-                # cell c covers positions [ceil(c*n/72), ceil((c+1)*n/72))
-                # == the inverse of cell(pos) = pos*72 // n; int64
-                # cumsum keeps every sum exact
-                csum = np.concatenate(
-                    ([0], np.cumsum(payload, dtype=np.int64))
-                )
-                starts = (
-                    np.arange(n_cells + 1, dtype=np.int64) * n + n_cells - 1
-                ) // n_cells
-                s = (csum[starts[1:]] - csum[starts[:-1]]).reshape(
-                    rows_, cols_
-                )
-                cnt = (starts[1:] - starts[:-1]).reshape(rows_, cols_)
+                s, cnt = _bucket_stats(payload, n_cells)
+                s = s.reshape(rows_, cols_)
+                cnt = cnt.reshape(rows_, cols_)
                 bit = (
                     s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]
                 ).astype(np.int64)
@@ -395,6 +401,109 @@ def x95_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= X95_MAX_HAMMING)
     )
+
+
+# --- x99: media resize (bucket-mean downsample) -----------------------
+
+X99_TARGET_W = 8
+X99_TARGET_H = 6  # 8x6 single-channel thumbnail = 48 payload bytes
+
+
+def resize_media(
+    media: DataFrame, target_w: int = X99_TARGET_W, target_h: int = X99_TARGET_H
+) -> DataFrame:
+    """DETERMINISTIC FAKE RESIZE — the last of the brief's four media
+    ops (decode / feature-extract / frame-sample / RESIZE), standing
+    in for PIL's Image.resize the way `_decode_blob` stands in for
+    Image.open: an area-style downsample where each output pixel is
+    the FLOOR MEAN (integer sum DIV count) of its contiguous payload
+    bucket, written back as a new blob with an updated header
+    (target_w x target_h, 1 channel). Output blobs round-trip through
+    `decode_media` unchanged — the thumbnail-pipeline composition.
+    Blobs with fewer payload bytes than output pixels are dropped
+    (the x95 tiny-image rule). Arrow-batched mapInPandas, scan-local,
+    all integer ops — both engines derive identical pixels."""
+    header_size = _HEADER.size
+    n_cells = target_w * target_h
+    # packed once outside the closure — capturing the Struct itself
+    # would fail pickling (the sample_frames lesson)
+    out_header = _HEADER.pack(_MAGIC, target_w, target_h, 1)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_types, out_blobs = [], [], []
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                payload = np.frombuffer(
+                    blob, dtype=np.uint8, offset=header_size
+                )
+                if payload.size < n_cells:
+                    continue
+                s, cnt = _bucket_stats(payload, n_cells)
+                px = (s // cnt).astype(np.uint8)  # floor mean, 0..255
+                out_ids.append(doc_id)
+                out_types.append(mt)
+                out_blobs.append(out_header + px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "media_type": pd.Series(out_types, dtype="object"),
+                    "content": pd.Series(out_blobs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def _duck_x99() -> str:
+    w, h = X99_TARGET_W, X99_TARGET_H
+    n_cells = w * h
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   hex(encode(text)) AS hx
+            FROM documents
+            WHERE octet_length(encode(text)) >= {n_cells}
+        ),
+        bytes AS (
+            SELECT doc_id, i - 1 AS pos, n,
+                   ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::BIGINT AS byte
+            FROM b, LATERAL (
+                SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i
+            )
+        ),
+        cells AS (
+            SELECT doc_id, (pos * {n_cells}) // n AS cell,
+                   SUM(byte) // COUNT(*) AS pxv
+            FROM bytes GROUP BY doc_id, (pos * {n_cells}) // n
+        )
+        SELECT doc_id,
+               'image/synthetic' AS media_type,
+               CAST({w} AS INT) AS width,
+               CAST({h} AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               CAST({n_cells} AS BIGINT) AS n_pixel_bytes,
+               CAST(SUM(pxv) AS DOUBLE) / {n_cells} AS mean_intensity
+        FROM cells GROUP BY doc_id
+    """
+
+
+@register(
+    "x99_media_resize",
+    oracle=_duck_x99(),
+    tags=("multimodal",),
+)
+def x99_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Thumbnail pipeline: blobs → resize (bucket-mean downsample to
+    {W}x{H}x1) → decode — two Arrow tiers composed, proving the
+    resized blobs are themselves valid media the rest of the family
+    consumes. The oracle re-derives every thumbnail pixel in SQL
+    (integer floor-mean per bucket) and checks the decoded header
+    fields and the thumbnail's mean intensity per doc. Scale: both
+    tiers are scan-local batch UDFs; no shuffle anywhere."""
+    return decode_media(resize_media(make_media_table(spark, sf)))
 
 
 @register(

@@ -206,3 +206,52 @@ def test_x95_pairs_are_exact_hamming(spark, sf_dir):
         if a < b and ham(sig[a], sig[b]) <= X95_MAX_HAMMING
     }
     assert {(r.doc_a, r.doc_b) for r in got} <= all_pairs
+
+
+def test_resize_roundtrip_decodes_and_downsamples(spark, sf_dir):
+    """Resized blobs must decode as valid media with the target
+    geometry, pixel values must be the exact floor bucket means of
+    the source payload, and under-sized sources are dropped."""
+    import numpy as np
+
+    from etl_spark.extensions.multimodal import (
+        X99_TARGET_H,
+        X99_TARGET_W,
+        decode_media,
+        make_media_table,
+        resize_media,
+    )
+
+    n_cells = X99_TARGET_W * X99_TARGET_H
+    media = make_media_table(spark, sf_dir).limit(20)
+    src = {
+        r.doc_id: np.frombuffer(
+            bytes(r.content), dtype=np.uint8, offset=_HEADER.size
+        )
+        for r in media.collect()
+    }
+    resized = resize_media(media)
+    out = {r.doc_id: bytes(r.content) for r in resized.collect()}
+    assert set(out) == {d for d, p in src.items() if p.size >= n_cells}
+    for doc_id, blob in out.items():
+        magic, w, h, c = _HEADER.unpack_from(blob, 0)
+        assert (w, h, c) == (X99_TARGET_W, X99_TARGET_H, 1)
+        px = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
+        assert px.size == n_cells
+        payload = src[doc_id]
+        n = payload.size
+        csum = np.concatenate(([0], np.cumsum(payload, dtype=np.int64)))
+        starts = (
+            np.arange(n_cells + 1, dtype=np.int64) * n + n_cells - 1
+        ) // n_cells
+        want = (csum[starts[1:]] - csum[starts[:-1]]) // (
+            starts[1:] - starts[:-1]
+        )
+        assert list(px) == list(want)
+    # decode round-trip: the resized blob is valid media
+    dec = decode_media(resized).collect()
+    assert all(
+        (r.width, r.height, r.channels, r.n_pixel_bytes)
+        == (X99_TARGET_W, X99_TARGET_H, 1, n_cells)
+        for r in dec
+    ) and len(dec) == len(out)
