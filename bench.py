@@ -148,6 +148,8 @@ HEADLINE = [
     "e10_weekly_retention",
     # r10: thumbnail pipeline (resize tier composed with decode)
     "x99_media_resize",
+    # r10: frame-level stats (the frame-sample tier's registered query)
+    "x100_frame_stats",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

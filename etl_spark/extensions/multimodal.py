@@ -506,6 +506,83 @@ def x99_media_resize(spark: SparkSession, sf: str) -> DataFrame:
     return decode_media(resize_media(make_media_table(spark, sf)))
 
 
+# --- x100: frame-level stats (the audio/video analysis shape) ---------
+
+X100_FRAME_BYTES = 64
+X100_SILENCE_MEAN = 100.0  # frames quieter than this count as silent
+
+
+def _duck_x100() -> str:
+    fb, th = X100_FRAME_BYTES, X100_SILENCE_MEAN
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   hex(encode(text)) AS hx
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::BIGINT AS byte
+            FROM b, LATERAL (
+                SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i
+            )
+        ),
+        frames AS (
+            SELECT doc_id, pos // {fb} AS frame_idx,
+                   CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS fmean
+            FROM bytes GROUP BY doc_id, pos // {fb}
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               MIN(fmean) AS min_frame_mean,
+               MAX(fmean) AS max_frame_mean,
+               CAST(SUM(CASE WHEN fmean < {th} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_silent,
+               ROUND(CAST(SUM(CASE WHEN fmean < {th} THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS silent_fraction
+        FROM frames GROUP BY doc_id
+    """
+
+
+@register(
+    "x100_frame_stats",
+    oracle=_duck_x100(),
+    tags=("multimodal",),
+)
+def x100_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-level media analysis — the silence-detection/energy
+    report an audio pipeline runs over decoded frames, here over the
+    frame-sampling tier's output so that tier (1→N row fan-out from a
+    binary column) finally carries a driver-checked query of its own:
+    per doc, frame count, min/max frame energy, and the count and
+    fraction of 'silent' frames (mean below X100_SILENCE_MEAN). Every
+    per-frame mean is one exact-integer sum divided once (IEEE-
+    identical in both engines); the per-doc stats are min/max/count —
+    order-independent aggregates, so no float-summation-order hazard
+    (the reason this reports min/max/silence rather than avg-of-avgs).
+
+    Scale: the frame fan-out is scan-local inside the Arrow batch
+    tier; the only shuffle is the per-doc aggregate keyed on doc_id,
+    with map-side partial min/max/count."""
+    frames = sample_frames(
+        make_media_table(spark, sf), every_n_bytes=X100_FRAME_BYTES
+    )
+    silent = F.when(
+        F.col("frame_mean") < X100_SILENCE_MEAN, 1
+    ).otherwise(0)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_mean").alias("min_frame_mean"),
+        F.max("frame_mean").alias("max_frame_mean"),
+        F.sum(silent).cast("bigint").alias("n_silent"),
+        F.round(
+            F.sum(silent).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("silent_fraction"),
+    )
+
+
 @register(
     "x16_binary_meta",
     oracle="""

@@ -255,3 +255,40 @@ def test_resize_roundtrip_decodes_and_downsamples(spark, sf_dir):
         == (X99_TARGET_W, X99_TARGET_H, 1, n_cells)
         for r in dec
     ) and len(dec) == len(out)
+
+
+def test_frame_stats_match_manual(spark, sf_dir):
+    """x100's per-doc frame stats re-derived driver-side from the raw
+    blobs for a sample of docs."""
+    import numpy as np
+
+    from etl_spark.extensions.multimodal import (
+        X100_FRAME_BYTES,
+        X100_SILENCE_MEAN,
+        make_media_table,
+        x100_frame_stats,
+    )
+
+    media = make_media_table(spark, sf_dir)
+    raw = {
+        r.doc_id: np.frombuffer(
+            bytes(r.content), dtype=np.uint8, offset=_HEADER.size
+        )
+        for r in media.limit(15).collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in x100_frame_stats(spark, sf_dir).collect()
+        if r.doc_id in raw
+    }
+    assert set(got) == set(raw)
+    for doc_id, payload in raw.items():
+        means = [
+            float(payload[i : i + X100_FRAME_BYTES].mean())
+            for i in range(0, payload.size, X100_FRAME_BYTES)
+        ]
+        r = got[doc_id]
+        assert r.n_frames == len(means)
+        assert r.min_frame_mean == min(means)
+        assert r.max_frame_mean == max(means)
+        assert r.n_silent == sum(1 for m in means if m < X100_SILENCE_MEAN)
