@@ -150,6 +150,8 @@ HEADLINE = [
     "x99_media_resize",
     # r10: frame-level stats (the frame-sample tier's registered query)
     "x100_frame_stats",
+    # r10: incremental image near-dup probe (dHash band index delta)
+    "x101_incremental_image_neardup",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

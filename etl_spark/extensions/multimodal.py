@@ -403,6 +403,65 @@ def x95_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _duck_x101() -> str:
+    """x95's band CTEs reused for the incremental probe: new batch =
+    odd doc_id, seen index = even doc_id."""
+    base = _duck_x95()
+    # keep everything up to (and including) the bands CTE, then swap
+    # the pairing for the delta probe
+    cut = base.index("buckets AS (")
+    return (
+        base[:cut]
+        + """new_side AS (
+            SELECT doc_id, band_id, band_byte FROM bands
+            WHERE doc_id % 2 = 1
+        ),
+        seen AS (
+            SELECT doc_id AS seen_id, band_id, band_byte FROM bands
+            WHERE doc_id % 2 = 0
+        )
+        SELECT n.doc_id,
+               CAST(COUNT(DISTINCT s.seen_id) AS BIGINT) AS n_seen_matches
+        FROM new_side n JOIN seen s
+          ON n.band_id = s.band_id AND n.band_byte = s.band_byte
+        GROUP BY n.doc_id
+    """
+    )
+
+
+@register(
+    "x101_incremental_image_neardup",
+    oracle=_duck_x101(),
+    tags=("multimodal", "dedup", "incremental"),
+)
+def x101_incremental_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time image near-dup: a NEW batch of images (odd
+    doc_id — today's crawl) probed against the SEEN corpus' stored
+    dHash band index (even doc_id) — each new image reports how many
+    distinct stored images share a band bucket with it. The image
+    twin of x37 (MinHash text) and x44 (embedding bands), completing
+    the incremental family across all three modalities: dedup a delta
+    WITHOUT re-pairing the corpus — the seen-side band table is
+    computed once, stored, and only probed per batch.
+
+    Scale: one equi-join keyed on (band_id, band_byte) — new side is
+    batch-sized, seen side is the persisted index — then one
+    count-distinct shuffle on the new doc_id."""
+    sigs = dhash_media(make_media_table(spark, sf)).persist()
+    bands = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_byte")
+    )
+    new = bands.filter(F.col("doc_id") % 2 == 1)
+    seen = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("seen_id"), "band_id", "band_byte"
+    )
+    return (
+        new.join(seen, ["band_id", "band_byte"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("seen_id").alias("n_seen_matches"))
+    )
+
+
 # --- x99: media resize (bucket-mean downsample) -----------------------
 
 X99_TARGET_W = 8

@@ -106,9 +106,9 @@ def _ensure_loaded() -> None:
 #   2. the never-driver-checked r10 registrations (x95 perceptual
 #      image near-dup; x96-x98 + e10 warehouse analytics) lead per
 #      policy rule 1;
-#   3. 5 of the r7-green tier, module-registration order (x01-x05
-#      dedup core); the remaining r7 queries (x23, x37, x38, x69,
-#      x57, x60, x71-x74, textstats x31-x35, ...) rotate in r11.
+#   3. 4 of the r7-green tier, module-registration order (x01-x04
+#      dedup core); the remaining r7 queries (x05, x23, x37, x38,
+#      x69, x57, x60, x71-x74, textstats x31-x35, ...) rotate r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
     "x95_image_neardup",
@@ -118,6 +118,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "e10_weekly_retention",
     "x99_media_resize",
     "x100_frame_stats",
+    "x101_incremental_image_neardup",
     # -- last green r6
     "x14_bow_clusters",
     "x17_quality_filter",
@@ -162,7 +163,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x02_ngram_jaccard_pairs",
     "x03_minhash_signatures",
     "x04_minhash_lsh_pairs",
-    "x05_simhash",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
