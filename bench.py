@@ -152,6 +152,9 @@ HEADLINE = [
     "x100_frame_stats",
     # r10: incremental image near-dup probe (dHash band index delta)
     "x101_incremental_image_neardup",
+    # r10: CRM classics — acquisition/retention split, purchase cadence
+    "x102_new_vs_returning",
+    "x103_interpurchase_gaps",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

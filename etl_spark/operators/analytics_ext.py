@@ -1311,3 +1311,128 @@ def x98_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "x102_new_vs_returning",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS mi,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT))
+                       OVER (PARTITION BY o_custkey) AS cohort_mi
+            FROM orders
+        )
+        SELECT CAST((mi - 1) // 12 AS INT) AS yr,
+               CAST((mi - 1) % 12 + 1 AS INT) AS mo,
+               CASE WHEN mi = cohort_mi THEN 'new' ELSE 'returning' END
+                 AS segment,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM o GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "cohort", "agg"),
+    doc="Monthly revenue split between first-month (new) and returning customers.",
+)
+def x102_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """The acquisition-vs-retention split every growth dashboard
+    leads with: per calendar month, customers/orders/revenue divided
+    into 'new' (the customer's FIRST month — x96's cohort definition)
+    and 'returning'. Same one-shuffle shape as x96: the per-customer
+    first-month window min rides the custkey exchange; the month x
+    segment aggregate is months*2 groups."""
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        mi.alias("mi"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    o = o.withColumn(
+        "cohort_mi", F.min("mi").over(Window.partitionBy("o_custkey"))
+    )
+    seg = F.when(F.col("mi") == F.col("cohort_mi"), "new").otherwise(
+        "returning"
+    )
+    return (
+        o.groupBy(
+            ((F.col("mi") - 1) / 12).cast("int").alias("yr"),
+            ((F.col("mi") - 1) % 12 + 1).cast("int").alias("mo"),
+            seg.alias("segment"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "x103_interpurchase_gaps",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) AS d,
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_d
+            FROM orders
+        ),
+        gaps AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap_days
+            FROM seq WHERE prev_d IS NOT NULL
+        )
+        SELECT CAST(gap_days // 30 AS BIGINT) AS gap_bucket_months,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+        FROM gaps GROUP BY gap_days // 30
+    """,
+    tags=("extension", "cohort", "window"),
+    doc="Inter-purchase gap distribution: days between consecutive orders per customer, 30-day buckets.",
+)
+def x103_interpurchase_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Purchase-cadence distribution — the input to churn-risk rules
+    ('customer is 2x their usual gap overdue'): per customer,
+    LAG(orderdate) in (date, orderkey) order gives days between
+    consecutive orders; gaps bucketed into 30-day bands with exact
+    counts and min/max. Integer day math end-to-end, (ts, key)
+    tie-break on the lag order — the established cross-engine window
+    rules. One shuffle on custkey for the lag, one tiny aggregate on
+    the handful of buckets."""
+    seq = (
+        load(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .withColumn(
+            "prev_d",
+            F.lag("d").over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.asc("ts"), F.asc("k")
+                )
+            ),
+        )
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        "o_custkey",
+        F.datediff("d", "prev_d").cast("long").alias("gap_days"),
+    )
+    return gaps.groupBy(
+        F.expr("gap_days DIV 30").alias("gap_bucket_months")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )

@@ -106,9 +106,11 @@ def _ensure_loaded() -> None:
 #   2. the never-driver-checked r10 registrations (x95 perceptual
 #      image near-dup; x96-x98 + e10 warehouse analytics) lead per
 #      policy rule 1;
-#   3. 4 of the r7-green tier, module-registration order (x01-x04
-#      dedup core); the remaining r7 queries (x05, x23, x37, x38,
-#      x69, x57, x60, x71-x74, textstats x31-x35, ...) rotate r11.
+#   3. x01 (r7) + x72 whose registered SEMANTICS changed this
+#      round (fixed-size delta batch — the r7 row verified the old
+#      half-corpus shape; REVERIFY slot); the remaining r7 queries
+#      (x02-x05, x23, x37, x38, x69, x57, x60, x71, x73, x74,
+#      textstats x31-x35, ...) rotate in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
     "x95_image_neardup",
@@ -119,6 +121,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x99_media_resize",
     "x100_frame_stats",
     "x101_incremental_image_neardup",
+    "x102_new_vs_returning",
+    "x103_interpurchase_gaps",
     # -- last green r6
     "x14_bow_clusters",
     "x17_quality_filter",
@@ -160,9 +164,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "j11_salted_hotkeys_join",
     # -- last green r7
     "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_signatures",
-    "x04_minhash_lsh_pairs",
+    # -- re-registered this round (fixed-size delta batch): the r7
+    #    driver row verified the OLD half-corpus shape, so x72 takes
+    #    a REVERIFY slot (the r5 de-vacuification precedent)
+    "x72_incremental_knn_join",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
@@ -170,7 +175,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # de-vacuification precedent). tests/test_window_rotation.py exempts
 # these from the oldest-first dominance check; clear it when the
 # re-verification lands.
-REVERIFY_THIS_ROUND: frozenset[str] = frozenset()
+REVERIFY_THIS_ROUND: frozenset[str] = frozenset({"x72_incremental_knn_join"})
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -154,6 +154,12 @@ def main() -> None:
     out["x06_knn_bruteforce_sf0.1"] = {"best": min(runs), "all": runs}
 
     path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
+    # MERGE with any focused-harness sections already recorded this
+    # round (quiet_bench_r10_x72 / _wh write to the same file)
+    if os.path.exists(path):
+        prior = json.load(open(path))
+        prior.update(out)
+        out = prior
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out["slope_20x_over_10x"]))
