@@ -274,6 +274,19 @@ def dhash_media(media: DataFrame) -> DataFrame:
     )
 
 
+def dhash_bands(media: DataFrame) -> DataFrame:
+    """Long-form dHash band rows (doc_id, band_id, band_byte) — the
+    LSH key table x95/x101 join on, and the ``bands_fn`` shape
+    ``streaming.neardup.run_neardup_ingest`` consumes, so the SAME
+    generic ingest loop that dedups text (MinHash bands) and
+    embeddings (hyperplane bands) at the streaming front door also
+    dedups images: pass this as ``bands_fn`` over a media-blob
+    stream (tested in test_streaming.py)."""
+    return dhash_media(media).select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_byte")
+    )
+
+
 def _duck_x95() -> str:
     cap, maxham = X95_BUCKET_CAP, X95_MAX_HAMMING
     rows_, cols_ = X95_GRID_ROWS, X95_GRID_COLS
@@ -447,10 +460,7 @@ def x101_incremental_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one equi-join keyed on (band_id, band_byte) — new side is
     batch-sized, seen side is the persisted index — then one
     count-distinct shuffle on the new doc_id."""
-    sigs = dhash_media(make_media_table(spark, sf)).persist()
-    bands = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_byte")
-    )
+    bands = dhash_bands(make_media_table(spark, sf)).persist()
     new = bands.filter(F.col("doc_id") % 2 == 1)
     seen = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("seen_id"), "band_id", "band_byte"

@@ -1686,3 +1686,56 @@ def test_scd2_sink_streams_and_replays(spark, tmp_path):
         for r in t2.read(spark).collect()
     )
     assert replay == want
+
+
+def test_streaming_neardup_drops_image_neardup_across_batches(spark, tmp_path):
+    """The SAME generic near-dup ingest loop, image-side: batch 2
+    must drop a perceptual near-dup (locally perturbed payload) of a
+    batch-1 image via the dHash band index, while a genuinely
+    different image passes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.multimodal import _HEADER, _MAGIC, dhash_bands
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=720, dtype=np.uint8)
+    neardup = base.copy()
+    neardup[200:208] += 30  # local edit: most dHash bands unchanged
+    other = rng.integers(0, 256, size=720, dtype=np.uint8)
+    header = _HEADER.pack(_MAGIC, 10, 72, 1)
+
+    src_dir = tmp_path / "img_src"
+    src_dir.mkdir()
+
+    def _write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "media_type": pa.array(
+                        ["image/synthetic"] * len(rows), pa.string()
+                    ),
+                    "content": pa.array(
+                        [header + r[1].tobytes() for r in rows], pa.binary()
+                    ),
+                }
+            ),
+            str(src_dir / name),
+        )
+
+    _write("a.parquet", [(1, base)])
+    _write("b.parquet", [(2, neardup), (3, other)])
+
+    accepted, batches = _drain_neardup(
+        spark,
+        src_dir,
+        "doc_id LONG, media_type STRING, content BINARY",
+        dhash_bands,
+        "doc_id",
+        tmp_path,
+        "img",
+    )
+    assert accepted == {1, 3}, (accepted, batches)
+    assert sorted(batches) == [(0, 1, 1), (1, 2, 1)]
