@@ -32,6 +32,8 @@ SCALE_QUERIES = (
     "x97_inventory_aging",
     "x98_abc_pareto",
     "e10_weekly_retention",
+    "x102_new_vs_returning",
+    "x103_interpurchase_gaps",
 )
 
 
