@@ -155,6 +155,8 @@ HEADLINE = [
     # r10: CRM classics — acquisition/retention split, purchase cadence
     "x102_new_vs_returning",
     "x103_interpurchase_gaps",
+    # r10: image dup clusters (x95 pairs -> connected components)
+    "x104_image_dup_clusters",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -416,6 +416,60 @@ def x95_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _duck_x104() -> str:
+    """Recursive-CTE transitive closure over the x95 pair graph —
+    the image twin of dedup._duck_dup_clusters (same reach CTE, the
+    x95 Hamming pairs as edges)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_duck_x95()}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        verts AS (
+            SELECT DISTINCT s AS doc_id FROM edges
+        ),
+        reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+        )
+        SELECT doc_id,
+               CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+               (doc_id = MIN(lbl)) AS is_canonical
+        FROM reach
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "x104_image_dup_clusters",
+    oracle=_duck_x104(),
+    tags=("multimodal", "dedup"),
+)
+def x104_image_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Image duplicate CLUSTERS — the step that turns x95's pairwise
+    Hamming matches into keep/drop decisions, completing the image
+    family's pairs → clusters symmetry with text (x04 → x29): each
+    connected component of the near-dup pair graph is one cluster,
+    cluster_id = min doc_id, the canonical (kept) image is the one
+    whose id IS the cluster id. Reuses dedup.connected_components
+    verbatim (hash-to-min label propagation, per-round cost keyed on
+    the pair list — only images IN a dup pair participate; pass
+    checkpoint_dir for durable lineage truncation at cluster scale).
+    """
+    from etl_spark.extensions.dedup import connected_components
+
+    pairs = x95_image_neardup(spark, sf).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
 def _duck_x101() -> str:
     """x95's band CTEs reused for the incremental probe: new batch =
     odd doc_id, seen index = even doc_id."""

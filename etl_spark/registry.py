@@ -106,11 +106,11 @@ def _ensure_loaded() -> None:
 #   2. the never-driver-checked r10 registrations (x95 perceptual
 #      image near-dup; x96-x98 + e10 warehouse analytics) lead per
 #      policy rule 1;
-#   3. x01 (r7) + x72 whose registered SEMANTICS changed this
-#      round (fixed-size delta batch — the r7 row verified the old
-#      half-corpus shape; REVERIFY slot); the remaining r7 queries
-#      (x02-x05, x23, x37, x38, x69, x57, x60, x71, x73, x74,
-#      textstats x31-x35, ...) rotate in r11.
+#   3. x72, whose registered SEMANTICS changed this round (fixed-
+#      size delta batch — the r7 row verified the old half-corpus
+#      shape; REVERIFY slot); the whole r7 tier (x01-x05, x23, x37,
+#      x38, x69, x57, x60, x71, x73, x74, textstats x31-x35, ...)
+#      rotates in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
     "x95_image_neardup",
@@ -123,6 +123,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x101_incremental_image_neardup",
     "x102_new_vs_returning",
     "x103_interpurchase_gaps",
+    "x104_image_dup_clusters",
     # -- last green r6
     "x14_bow_clusters",
     "x17_quality_filter",
@@ -163,7 +164,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "j10_salted_skew_join",
     "j11_salted_hotkeys_join",
     # -- last green r7
-    "x01_dedup_exact",
     # -- re-registered this round (fixed-size delta batch): the r7
     #    driver row verified the OLD half-corpus shape, so x72 takes
     #    a REVERIFY slot (the r5 de-vacuification precedent)
