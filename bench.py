@@ -157,6 +157,8 @@ HEADLINE = [
     "x103_interpurchase_gaps",
     # r10: image dup clusters (x95 pairs -> connected components)
     "x104_image_dup_clusters",
+    # r10: monthly order-to-ship SLA percentiles
+    "x105_ship_sla_monthly",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

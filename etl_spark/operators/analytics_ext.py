@@ -1436,3 +1436,58 @@ def x103_interpurchase_gaps(spark: SparkSession, sf: str) -> DataFrame:
         F.min("gap_days").alias("min_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+@register(
+    "x105_ship_sla_monthly",
+    oracle="""
+        WITH lag AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+                   CAST(month(o.o_orderdate) AS INT) AS mo,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                     AS lag_days
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT yr, mo,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+               ROUND(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+               ROUND(quantile_cont(lag_days, 0.95), 6) AS p95_days,
+               CAST(MAX(lag_days) AS BIGINT) AS max_days
+        FROM lag GROUP BY yr, mo
+    """,
+    tags=("extension", "sla", "agg"),
+    doc="Monthly order-to-ship lag SLA report: exact p50/p90/p95/max days per order month.",
+)
+def x105_ship_sla_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """The fulfillment-SLA report: per order month, exact
+    p50/p90/p95/max of the order-to-ship lag in days — the operations
+    dashboard's latency badge, lifted from per-task Python loops to
+    one plan. Lag is integer day arithmetic; the exact interpolated
+    percentile matches DuckDB's quantile_cont bit-for-bit (the a15
+    pattern — integer inputs, one linear interpolation in double).
+
+    Scale: ONE shuffle joins lineitem to orders on orderkey; the
+    month aggregate is months-sized. Exact percentiles hold the
+    per-group values — at 100 TB swap approx_percentile with a
+    documented error bound (the a15 note) or pre-bucket lag_days
+    (bounded domain) and take percentiles over the histogram."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return lag.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(lag_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lag_days, 0.9)"), 6).alias("p90_days"),
+        F.round(F.expr("percentile(lag_days, 0.95)"), 6).alias("p95_days"),
+        F.max("lag_days").alias("max_days"),
+    )

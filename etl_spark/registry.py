@@ -124,8 +124,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x102_new_vs_returning",
     "x103_interpurchase_gaps",
     "x104_image_dup_clusters",
-    # -- last green r6
-    "x14_bow_clusters",
+    "x105_ship_sla_monthly",
+    # -- last green r6 (x14 displaced to r11 — equal-staleness tier)
     "x17_quality_filter",
     "x18_tfidf_top_terms",
     "x19_corpus_stats",
