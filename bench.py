@@ -159,6 +159,8 @@ HEADLINE = [
     "x104_image_dup_clusters",
     # r10: monthly order-to-ship SLA percentiles
     "x105_ship_sla_monthly",
+    # r10: BM25 ranked retrieval over the token index
+    "x106_bm25_search",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

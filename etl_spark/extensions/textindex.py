@@ -162,3 +162,148 @@ def token_index_probe(
         .select("token", "doc_id", "tf")
     )
     return boolean_search(idx, tokens, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the ranking layer over the boolean index
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _duck_bm25() -> str:
+    k1, b, topk = BM25_K1, BM25_B, BM25_TOP_K
+    terms = QUERY_TOKENS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    # fixed-order per-term addition (one posting row per (doc, term),
+    # so each CASE-sum aggregates <= 1 non-null value — no float
+    # summation-order hazard; the final + chain is a fixed expression
+    # tree both engines evaluate identically)
+    score_sum = " + ".join(
+        f"COALESCE(SUM(CASE WHEN token = '{t}' THEN s END), 0.0)"
+        for t in terms
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ),
+        post AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE token IN ({in_list})
+            GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM post GROUP BY token
+        ),
+        scored AS (
+            SELECT p.doc_id, p.token,
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * ({k1} + 1.0))
+                   / (p.tf + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))
+                     AS s
+            FROM post p
+            JOIN df f USING (token)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        agg AS (
+            SELECT doc_id, ROUND({score_sum}, 6) AS score
+            FROM scored GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM agg
+        )
+        SELECT doc_id, score, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {topk}
+    """
+
+
+@register(
+    "x106_bm25_search",
+    oracle=_duck_bm25(),
+    tags=("text", "index"),
+)
+def x106_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones Okapi weighting)
+    over the token index — the ranking layer x83's boolean AND lacks:
+    OR semantics over QUERY_TOKENS, per-(doc, term) Okapi score
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), per-doc total as a
+    FIXED-ORDER sum of the per-term components (each term pivots to
+    its own conditional aggregate of <= 1 row, then a fixed + chain —
+    no float-summation-order divergence), ranked on the ROUNDED score
+    with doc_id tie-break, top-{K}. ln() cross-engine parity has the
+    x18/x62 precedent.
+
+    Scale: postings and doc lengths are one aggregate each (the
+    stored-index form would read <= |Q| partition buckets — x83's
+    layout); the df table is |Q| rows broadcast; the scored frame is
+    query-hit-sized; the global top-K is TakeOrdered over a
+    hit-sized frame."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("token")
+    )
+    # dl feeds two branches (the avgdl scalar + the score join) and
+    # Catalyst does not CSE reused DataFrames (the x92 lesson);
+    # persisting the doc-sized length table avoids re-running its
+    # token explode. The token stream itself is deliberately NOT
+    # persisted (the x79 tradeoff — re-scanning beats materializing
+    # the exploded stream at scale).
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    q = sorted(set(QUERY_TOKENS))
+    post = (
+        toks.filter(F.col("token").isin(list(q)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = post.groupBy("token").agg(F.count("*").alias("df"))
+    k1, b = BM25_K1, BM25_B
+    s = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    score_sum = None
+    for t in QUERY_TOKENS:
+        term = F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+        score_sum = term if score_sum is None else score_sum + term
+    agg = scored.groupBy("doc_id").agg(F.round(score_sum, 6).alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOP_K)
+    )

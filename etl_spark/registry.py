@@ -125,8 +125,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x103_interpurchase_gaps",
     "x104_image_dup_clusters",
     "x105_ship_sla_monthly",
-    # -- last green r6 (x14 displaced to r11 — equal-staleness tier)
-    "x17_quality_filter",
+    "x106_bm25_search",
+    # -- last green r6 (x14/x17 displaced to r11 — equal-staleness tier)
     "x18_tfidf_top_terms",
     "x19_corpus_stats",
     "x20_bpe_token_count",
