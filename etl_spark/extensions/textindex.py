@@ -274,6 +274,22 @@ def x106_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
+    return bm25_search(post, dl, stats)
+
+
+def bm25_search(
+    post: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    tokens: tuple[str, ...] = QUERY_TOKENS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """The BM25 scorer shared by the in-plan x106 and the stored-index
+    probe: ``post`` = (doc_id, token, tf) already restricted to (or a
+    superset filterable to) the query tokens, ``dl`` = (doc_id, dl),
+    ``stats`` = 1-row (n_docs, avgdl). See x106's docstring for the
+    determinism rules."""
+    post = post.filter(F.col("token").isin(list(sorted(set(tokens)))))
     df = post.groupBy("token").agg(F.count("*").alias("df"))
     k1, b = BM25_K1, BM25_B
     s = (
@@ -294,7 +310,7 @@ def x106_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "token", s.alias("s"))
     )
     score_sum = None
-    for t in QUERY_TOKENS:
+    for t in tokens:
         term = F.coalesce(
             F.sum(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
         )
@@ -305,5 +321,52 @@ def x106_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= BM25_TOP_K)
+        .filter(F.col("rk") <= top_k)
     )
+
+
+def build_bm25_index(docs: DataFrame, path: str) -> None:
+    """Materialize the ranked-retrieval artifact: the bucket-
+    partitioned postings (``path``/postings — build_token_index's
+    layout, so probes prune to <= |Q| bucket dirs), the per-doc
+    length sidecar (``path``/doclen) and the 1-row corpus stats
+    (``path``/stats). The sidecars are what lets a probe score
+    WITHOUT re-scanning the corpus: BM25's only corpus-global inputs
+    are dl, n_docs and avgdl."""
+    build_token_index(docs, f"{path}/postings")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    (
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+    dl.unpersist()
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    tokens: tuple[str, ...] = QUERY_TOKENS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Ranked probe of the stored BM25 index: postings read from ONLY
+    the query tokens' hash buckets (static partition pruning — the
+    token_index_probe convention), doclen/stats from the sidecars,
+    then the shared scorer. Result-identical to the in-plan x106 on
+    the same corpus (asserted in tests/test_textindex.py)."""
+    buckets = sorted({token_bucket(t) for t in tokens})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .select("token", "doc_id", "tf")
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    return bm25_search(post, dl, stats, tokens=tokens, top_k=top_k)

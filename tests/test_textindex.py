@@ -94,3 +94,36 @@ def test_single_token_probe_reads_one_bucket(spark, sf_dir, tmp_path):
         .select("doc_id", F.lit(1).alias("n_terms"), F.col("tf").alias("tf_total"))
     )
     assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+
+
+def test_bm25_stored_probe_matches_inplan_and_prunes(spark, sf_dir, tmp_path):
+    """build_bm25_index -> bm25_index_probe must reproduce the
+    registered x106 row-for-row, and the postings scan must carry a
+    bucket PartitionFilters entry (only the query tokens' buckets are
+    read)."""
+    from etl_spark.extensions.textindex import (
+        N_INDEX_BUCKETS,
+        QUERY_TOKENS,
+        bm25_index_probe,
+        build_bm25_index,
+        token_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(docs, idx)
+    probe = bm25_index_probe(spark, idx)
+    want = SPECS["x106_bm25_search"].fn(spark, sf_dir)
+    got_rows = sorted((r.doc_id, r.score, r.rk) for r in probe.collect())
+    want_rows = sorted((r.doc_id, r.score, r.rk) for r in want.collect())
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in m
+    ]
+    assert pf, "no bucket partition filter in the postings scan"
+    assert len({token_bucket(t) for t in QUERY_TOKENS}) < N_INDEX_BUCKETS
