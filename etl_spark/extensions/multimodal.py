@@ -27,7 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
@@ -378,7 +378,19 @@ def x95_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     band bytes per side for the Hamming sum (zip_with + bit_count,
     all codegen). At 100 TB the re-score join input is
     candidate-sized, and the decode/hash pass would ride the existing
-    x15 decode of the corpus (one pass emits metadata AND hash)."""
+    x15 decode of the corpus (one pass emits metadata AND hash).
+
+    KEY-SPACE HONESTY: 8 bands x 256 byte values = 2,048 distinct
+    bucket keys, so expected occupancy is ~n/256 per band — beyond
+    ~256*CAP/8 ≈ tens of thousands of images the random buckets
+    themselves exceed X95_BUCKET_CAP and the cap starts dropping
+    EVERYTHING (recall → 0), not just hot boilerplate. The 64-bit
+    hash is the fixture-honest demo; the production contract is a
+    WIDER hash with the same plan shape — pHash at 256 bits banded
+    into 16-bit keys gives 16 x 65,536 keys (multi-index hashing,
+    Norouzi et al. '12), and occupancy stays bounded into the
+    billions. Only the `_dhash` kernel and the band split change;
+    every shuffle key and cap stays as written."""
     sigs = dhash_media(make_media_table(spark, sf))
     # two consuming branches (bucket grouping + both re-score sides)
     # and Catalyst does not CSE reused DataFrames — persist so the
@@ -479,17 +491,25 @@ def _duck_x101() -> str:
     cut = base.index("buckets AS (")
     return (
         base[:cut]
-        + """new_side AS (
+        + f"""new_side AS (
             SELECT doc_id, band_id, band_byte FROM bands
             WHERE doc_id % 2 = 1
         ),
         seen AS (
             SELECT doc_id AS seen_id, band_id, band_byte FROM bands
             WHERE doc_id % 2 = 0
+        ),
+        seen_ok AS (
+            SELECT seen_id, band_id, band_byte FROM (
+                SELECT seen_id, band_id, band_byte,
+                       COUNT(*) OVER (PARTITION BY band_id, band_byte)
+                         AS occ
+                FROM seen
+            ) WHERE occ <= {X95_BUCKET_CAP}
         )
         SELECT n.doc_id,
                CAST(COUNT(DISTINCT s.seen_id) AS BIGINT) AS n_seen_matches
-        FROM new_side n JOIN seen s
+        FROM new_side n JOIN seen_ok s
           ON n.band_id = s.band_id AND n.band_byte = s.band_byte
         GROUP BY n.doc_id
     """
@@ -512,15 +532,28 @@ def x101_incremental_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     computed once, stored, and only probed per batch.
 
     Scale: one equi-join keyed on (band_id, band_byte) — new side is
-    batch-sized, seen side is the persisted index — then one
-    count-distinct shuffle on the new doc_id."""
+    batch-sized, seen side is the persisted index with the
+    X95_BUCKET_CAP hot-bucket guard applied — then one count-distinct
+    shuffle on the new doc_id. The cap is LOAD-BEARING here, not just
+    boilerplate hygiene: an 8-bit band key space saturates at tens of
+    thousands of images (the x95 key-space note), at which point
+    uncapped buckets make the probe join quadratic — measured 57+ s
+    at the 50k-doc quiet scale uncapped vs bounded with the cap. The
+    x95 production contract (wider hash, 16-bit band keys) keeps real
+    near-dup buckets under the cap into the billions."""
     bands = dhash_bands(make_media_table(spark, sf)).persist()
     new = bands.filter(F.col("doc_id") % 2 == 1)
     seen = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("seen_id"), "band_id", "band_byte"
     )
+    occ = Window.partitionBy("band_id", "band_byte")
+    seen_ok = (
+        seen.withColumn("occ", F.count(F.lit(1)).over(occ))
+        .filter(F.col("occ") <= X95_BUCKET_CAP)
+        .drop("occ")
+    )
     return (
-        new.join(seen, ["band_id", "band_byte"])
+        new.join(seen_ok, ["band_id", "band_byte"])
         .groupBy("doc_id")
         .agg(F.count_distinct("seen_id").alias("n_seen_matches"))
     )
