@@ -292,3 +292,43 @@ def test_frame_stats_match_manual(spark, sf_dir):
         assert r.min_frame_mean == min(means)
         assert r.max_frame_mean == max(means)
         assert r.n_silent == sum(1 for m in means if m < X100_SILENCE_MEAN)
+
+
+def test_bucket_stats_property():
+    """_bucket_stats must partition the payload exactly (sums of
+    sums = total, counts sum to n, every cell non-empty) and agree
+    with the naive per-position bucketing cell(pos) = pos*n_cells//n,
+    for arbitrary payloads and cell counts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_spark.extensions.multimodal import _bucket_stats
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=0, max_value=255), min_size=1, max_size=600
+        ),
+        n_cells=st.integers(min_value=1, max_value=96),
+    )
+    def check(data, n_cells):
+        payload = np.array(data, dtype=np.uint8)
+        n = payload.size
+        if n < n_cells:
+            return
+        s, cnt = _bucket_stats(payload, n_cells)
+        assert s.size == cnt.size == n_cells
+        assert int(cnt.sum()) == n
+        assert int(s.sum()) == int(payload.astype(np.int64).sum())
+        assert (cnt >= 1).all()
+        # agreement with the naive definition
+        want_s = np.zeros(n_cells, dtype=np.int64)
+        want_c = np.zeros(n_cells, dtype=np.int64)
+        for pos, byte in enumerate(payload):
+            c = pos * n_cells // n
+            want_s[c] += int(byte)
+            want_c[c] += 1
+        assert list(s) == list(want_s) and list(cnt) == list(want_c)
+
+    check()
