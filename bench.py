@@ -161,6 +161,8 @@ HEADLINE = [
     "x105_ship_sla_monthly",
     # r10: BM25 ranked retrieval over the token index
     "x106_bm25_search",
+    # r10: PMI collocations over the corpus bigrams
+    "x107_bigram_pmi",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -911,3 +911,132 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("syms")).alias("n_bpe_tokens"),
     )
+
+
+X107_MIN_BIGRAM = 5  # support floor before PMI ranking (rare-pair noise)
+X107_TOP_K = 50
+
+
+@register(
+    "x107_bigram_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        uni AS (
+            SELECT unnest(t) AS w FROM toks
+        ),
+        uc AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_w) AS BIGINT) AS t_toks,
+                   CAST(COUNT(*) AS BIGINT) AS n_vocab
+            FROM uc
+        ),
+        big AS (
+            SELECT t[i] AS wa, t[i + 1] AS wb
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, len(t))) AS i
+            )
+            WHERE len(t) >= 2
+        ),
+        bc AS (
+            SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM big GROUP BY wa, wb
+        ),
+        btot AS (
+            SELECT CAST(SUM(n_ab) AS BIGINT) AS b_toks FROM bc
+        ),
+        pmi AS (
+            SELECT bc.wa, bc.wb, bc.n_ab,
+                   ROUND(ln(CAST(bc.n_ab AS DOUBLE)
+                            * CAST(t.t_toks AS DOUBLE)
+                            * CAST(t.t_toks AS DOUBLE)
+                            / (CAST(bt.b_toks AS DOUBLE)
+                               * CAST(a.n_w AS DOUBLE)
+                               * CAST(b.n_w AS DOUBLE))), 6) AS pmi
+            FROM bc
+            JOIN uc a ON a.w = bc.wa
+            JOIN uc b ON b.w = bc.wb
+            CROSS JOIN tot t
+            CROSS JOIN btot bt
+            WHERE bc.n_ab >= {X107_MIN_BIGRAM}
+        ),
+        ranked AS (
+            SELECT wa, wb, n_ab, pmi,
+                   CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, wa, wb)
+                        AS INT) AS rank
+            FROM pmi
+        )
+        SELECT rank, wa, wb, n_ab, pmi
+        FROM ranked WHERE rank <= {X107_TOP_K}
+    """,
+    tags=("textstats",),
+)
+def x107_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation detection by pointwise mutual information — the
+    statistic behind phrase-aware tokenizers and multi-word-entity
+    mining (Church & Hanks '90): PMI(a,b) = ln(p(ab)/(p(a)p(b))) with
+    p(ab) over adjacent bigram positions and p(w) over tokens,
+    support floor n_ab >= {MIN} (PMI's rare-pair bias), top-{K}
+    ranked on the ROUNDED score with (wa, wb) tie-break. The whole
+    score is ONE ln of one fixed-shape product/quotient of exact
+    integer counts — no float accumulation anywhere, so cross-engine
+    parity needs only the ln precedent (x18/x62).
+
+    Scale: unigram and bigram counts are the x34 explode-aggregate
+    shape (keyed shuffles on the token/pair — high cardinality
+    spreads load); the two scalar totals broadcast; the unigram-count
+    joins key on the bigram's words, both sides count tables, never
+    the corpus; TakeOrdered(top-K) finishes."""
+    docs = load(spark, sf, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    uni = docs.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w")).persist()
+    tot = uc.agg(F.sum("n_w").alias("t_toks"))
+    big = docs.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS wa, "
+                "element_at(t, i + 1) AS wb))"
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb")
+    bc = (
+        big.groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()  # feeds btot AND the PMI frame (the x92 CSE lesson)
+    )
+    btot = bc.agg(F.sum("n_ab").alias("b_toks"))
+    ua = uc.select(F.col("w").alias("wa"), F.col("n_w").alias("na"))
+    ub = uc.select(F.col("w").alias("wb"), F.col("n_w").alias("nb"))
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("t_toks").cast("double")
+            * F.col("t_toks").cast("double")
+            / (
+                F.col("b_toks").cast("double")
+                * F.col("na").cast("double")
+                * F.col("nb").cast("double")
+            )
+        ),
+        6,
+    )
+    scored = (
+        bc.filter(F.col("n_ab") >= X107_MIN_BIGRAM)
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("wa", "wb", "n_ab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= X107_TOP_K)
+        .select("rank", "wa", "wb", "n_ab", "pmi")
+    )

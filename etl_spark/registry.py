@@ -126,8 +126,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x104_image_dup_clusters",
     "x105_ship_sla_monthly",
     "x106_bm25_search",
-    # -- last green r6 (x14/x17 displaced to r11 — equal-staleness tier)
-    "x18_tfidf_top_terms",
+    "x107_bigram_pmi",
+    # -- last green r6 (x14/x17/x18 displaced to r11 — equal tier)
     "x19_corpus_stats",
     "x20_bpe_token_count",
     "x48_quality_gate_agreement",
