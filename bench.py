@@ -163,6 +163,8 @@ HEADLINE = [
     "x106_bm25_search",
     # r10: PMI collocations over the corpus bigrams
     "x107_bigram_pmi",
+    # r10: per-nation OLS revenue trend (exact fixed-point fit)
+    "x108_revenue_trend",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -139,3 +139,89 @@ def e06_value_k_correlation(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (cov / (F.sqrt(vx) * F.sqrt(vy))).cast("double").alias("corr_vk"),
     )
+
+
+@register(
+    "x108_revenue_trend",
+    oracle="""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                        AS BIGINT) AS mi,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name,
+                     CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                          AS BIGINT)
+        ),
+        fit AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_months,
+                   SUM(mi) AS sx,
+                   SUM(mi * mi) AS sxx,
+                   SUM(rev) AS sy,
+                   SUM(mi * rev) AS sxy
+            FROM monthly GROUP BY nation
+        )
+        SELECT nation, n_months,
+               ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+                 AS slope_per_month,
+               ROUND(CAST(sy AS DOUBLE) / n_months, 6) AS avg_monthly_rev
+        FROM fit
+    """,
+    tags=("statistics", "timeseries"),
+    doc="Per-nation OLS revenue trend: exact fixed-point normal equations, one double division.",
+)
+def x108_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation revenue TREND — the least-squares slope of monthly
+    revenue over the calendar month index, the 'is this market
+    growing' number next to x94's point-to-point growth rates. The
+    normal-equation sums are EXACT end-to-end: x is an integer month
+    index, y an exact decimal revenue, so Σx/Σx² are bigints and
+    Σy/Σxy exact decimals — the slope's numerator and denominator are
+    exact subtractions and the ONLY float operation is the final
+    division (the x85/e09 fixed-point rule applied to regression;
+    a float Σxy would be aggregation-order-dependent and could not
+    hash-match).
+
+    Scale: dims broadcast; one custkey-less fact aggregate keyed on
+    (nation, month) — map-side partial sums — then a nations-sized
+    second aggregate. Nothing is window- or fact-joined."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", mi.alias("mi"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    fit = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("mi").alias("sx"),
+        F.sum(F.col("mi") * F.col("mi")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("mi") * F.col("rev")).alias("sxy"),
+    )
+    num = (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (
+        F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return fit.select(
+        "nation",
+        "n_months",
+        F.round(num / den, 6).alias("slope_per_month"),
+        F.round(F.col("sy").cast("double") / F.col("n_months"), 6).alias(
+            "avg_monthly_rev"
+        ),
+    )

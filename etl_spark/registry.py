@@ -127,8 +127,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x105_ship_sla_monthly",
     "x106_bm25_search",
     "x107_bigram_pmi",
-    # -- last green r6 (x14/x17/x18 displaced to r11 — equal tier)
-    "x19_corpus_stats",
+    "x108_revenue_trend",
+    # -- last green r6 (x14/x17-x19 displaced to r11 — equal tier)
     "x20_bpe_token_count",
     "x48_quality_gate_agreement",
     "x15_media_decode",
