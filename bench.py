@@ -165,6 +165,8 @@ HEADLINE = [
     "x107_bigram_pmi",
     # r10: per-nation OLS revenue trend (exact fixed-point fit)
     "x108_revenue_trend",
+    # r10: windowed conversion funnel (7-day RANGE frame)
+    "e11_windowed_conversion",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

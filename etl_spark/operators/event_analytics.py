@@ -597,3 +597,81 @@ def e10_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+E11_WINDOW_S = 7 * 86400  # conversion window: 7 days in seconds
+
+
+@register(
+    "e11_windowed_conversion",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(ts AS DATE) AS d,
+                   epoch(ts) AS sec,
+                   MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                             RANGE BETWEEN 1 FOLLOWING
+                                       AND {E11_WINDOW_S} FOLLOWING)
+                     AS next_buy_sec
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT d AS click_day,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM(CASE WHEN next_buy_sec IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               ROUND(CAST(SUM(CASE WHEN next_buy_sec IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS conversion_rate
+        FROM e WHERE event_type = 'click'
+        GROUP BY d
+    """,
+    tags=("events", "window", "funnel"),
+    doc="Windowed conversion: clicks converting to a purchase within 7 days, per click day.",
+)
+def e11_windowed_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """The CONVERSION-WINDOW funnel — e01 orders steps, this bounds
+    them in TIME: a click 'converts' iff the same user purchases
+    within 7 days strictly after it. The windowed semantics is the
+    hard part of real funnel queries, and it needs no join at all:
+    one RANGE frame over epoch seconds per user ([+1 s, +7 d]
+    FOLLOWING) carries the next purchase time onto every click — the
+    forward as-of bound, j09's backward carry mirrored. Strictly-
+    after (1 FOLLOWING) keeps same-instant click/purchase pairs out
+    identically in both engines. Daily report: clicks, conversions,
+    rate (exact counts, one division).
+
+    Scale: the event-type IN filter pushes into the scan (most
+    traffic never reaches the shuffle); ONE exchange on user_id for
+    the frame; the daily aggregate is days-sized."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(1, E11_WINDOW_S)
+    )
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("click_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        )
+        .over(w)
+        .alias("next_buy_sec"),
+    )
+    clicks = staged.filter(F.col("event_type") == "click")
+    conv = F.sum(
+        F.when(F.col("next_buy_sec").isNotNull(), 1).otherwise(0)
+    )
+    return clicks.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        conv.cast("bigint").alias("n_converted"),
+        F.round(
+            conv.cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )

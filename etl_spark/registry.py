@@ -128,8 +128,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x106_bm25_search",
     "x107_bigram_pmi",
     "x108_revenue_trend",
-    # -- last green r6 (x14/x17-x19 displaced to r11 — equal tier)
-    "x20_bpe_token_count",
+    "e11_windowed_conversion",
+    # -- last green r6 (x14/x17-x20 displaced to r11 — equal tier)
     "x48_quality_gate_agreement",
     "x15_media_decode",
     "x16_binary_meta",
