@@ -608,9 +608,11 @@ E11_WINDOW_S = 7 * 86400  # conversion window: 7 days in seconds
         WITH e AS (
             SELECT user_id, event_type,
                    CAST(ts AS DATE) AS d,
-                   epoch(ts) AS sec,
-                   MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
-                       OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                              RANGE BETWEEN 1 FOLLOWING
                                        AND {E11_WINDOW_S} FOLLOWING)
                      AS next_buy_sec
@@ -639,7 +641,10 @@ def e11_windowed_conversion(spark: SparkSession, sf: str) -> DataFrame:
     FOLLOWING) carries the next purchase time onto every click — the
     forward as-of bound, j09's backward carry mirrored. Strictly-
     after (1 FOLLOWING) keeps same-instant click/purchase pairs out
-    identically in both engines. Daily report: clicks, conversions,
+    identically in both engines; both sides work at integer-second
+    resolution (Spark unix_timestamp truncates, the oracle floors
+    epoch()) so sub-second timestamp fractions can't shift window
+    membership between engines. Daily report: clicks, conversions,
     rate (exact counts, one division).
 
     Scale: the event-type IN filter pushes into the scan (most
@@ -674,4 +679,83 @@ def e11_windowed_conversion(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             conv.cast("double") / F.count(F.lit(1)), 6
         ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "e12_time_to_convert",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   isodow(ts) AS dow,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                             RANGE BETWEEN 1 FOLLOWING
+                                       AND {E11_WINDOW_S} FOLLOWING)
+                     AS next_buy_sec
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        conv AS (
+            SELECT dow, next_buy_sec - sec AS delay_sec
+            FROM e
+            WHERE event_type = 'click' AND next_buy_sec IS NOT NULL
+        )
+        SELECT CAST(dow AS INT) AS click_dow,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               ROUND(quantile_cont(delay_sec, 0.5) / 60.0, 4) AS p50_min,
+               ROUND(quantile_cont(delay_sec, 0.9) / 60.0, 4) AS p90_min,
+               CAST(MAX(delay_sec) AS BIGINT) AS max_sec
+        FROM conv GROUP BY dow
+    """,
+    tags=("events", "window", "funnel", "statistics"),
+    doc="Click-to-purchase conversion latency percentiles per ISO weekday of the click.",
+)
+def e12_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """HOW LONG does conversion take — e11 counts clicks that convert
+    within 7 days; this measures the latency distribution of those
+    that do, the number that prices a retargeting window. The same
+    forward RANGE frame carries each click's next purchase epoch (one
+    user-keyed Exchange, strictly-after semantics identical in both
+    engines); converted clicks reduce to exact interpolated p50/p90
+    delay minutes per ISO weekday of the click (Spark ``weekday()+1``
+    == DuckDB ``isodow`` — the engine-portable day numbering; delays
+    are integer seconds so the percentile is bit-equal, the
+    a13/x105 pattern).
+
+    Scale: the event-type filter pushes into the scan; one Exchange
+    for the per-user frame; the weekday aggregate holds 7 groups of
+    integer delays — exact percentiles are per-group sorts over
+    conversions only (clicks that never convert are filtered before
+    the aggregate)."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(1, E11_WINDOW_S)
+    )
+    staged = ev.select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("int").alias("click_dow"),
+        sec.alias("sec"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        )
+        .over(w)
+        .alias("next_buy_sec"),
+    )
+    conv = staged.filter(
+        (F.col("event_type") == "click") & F.col("next_buy_sec").isNotNull()
+    ).select("click_dow", (F.col("next_buy_sec") - F.col("sec")).alias("delay_sec"))
+    return conv.groupBy("click_dow").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(delay_sec, 0.5)") / 60.0, 4).alias("p50_min"),
+        F.round(F.expr("percentile(delay_sec, 0.9)") / 60.0, 4).alias("p90_min"),
+        F.max("delay_sec").cast("bigint").alias("max_sec"),
     )

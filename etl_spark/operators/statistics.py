@@ -16,7 +16,7 @@ quantile_cont on the fixtures).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
@@ -224,4 +224,312 @@ def x108_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("sy").cast("double") / F.col("n_months"), 6).alias(
             "avg_monthly_rev"
         ),
+    )
+
+
+# --- x110: full correlation matrix from one scan -------------------------
+#
+# The four lineitem measures and their six unordered pairs. Spark
+# expressions and the DuckDB oracle are generated from this ONE list so
+# the two sides cannot drift.
+_X110_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_X110_PAIRS = [
+    (_X110_VARS[i], _X110_VARS[j])
+    for i in range(len(_X110_VARS))
+    for j in range(i + 1, len(_X110_VARS))
+]
+
+def _x110_key(x: str, y: str) -> str:
+    """Canonical cross-sum column name for the unordered pair."""
+    a, b = sorted((x, y))
+    return f"s_{a}_{b}"
+
+
+_X110_SUM_KEYS = sorted(
+    {_x110_key(v, v) for v in _X110_VARS}
+    | {_x110_key(x, y) for x, y in _X110_PAIRS}
+)
+
+_X110_CORR_DUCK = (
+    "ROUND(CAST(n * CAST({sxy} AS DOUBLE)"
+    " - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE) AS DOUBLE)"
+    " / (sqrt(n * CAST({sxx} AS DOUBLE)"
+    "         - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+    "    * sqrt(n * CAST({syy} AS DOUBLE)"
+    "           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+)
+
+
+def _x110_sum_sql(key: str) -> str:
+    # key = "s_<a>_<b>" with a, b drawn from _X110_VARS
+    for a in _X110_VARS:
+        for b in _X110_VARS:
+            if key == f"s_{a}_{b}":
+                return (
+                    f"SUM(CAST({a} AS DECIMAL(18,2))"
+                    f" * CAST({b} AS DECIMAL(18,2))) AS {key}"
+                )
+    raise ValueError(key)
+
+
+_X110_ORACLE = (
+    """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    """
+    + ",\n".join(
+        f"SUM(CAST({v} AS DECIMAL(18,2))) AS s_{v}" for v in _X110_VARS
+    )
+    + ",\n"
+    + ",\n".join(_x110_sum_sql(k) for k in _X110_SUM_KEYS)
+    + """
+        FROM lineitem
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS var_x, '{y}' AS var_y, n, "
+        + _X110_CORR_DUCK.format(
+            x=x,
+            y=y,
+            sxy=_x110_key(x, y),
+            sxx=_x110_key(x, x),
+            syy=_x110_key(y, y),
+        )
+        + " AS corr FROM m"
+        for x, y in _X110_PAIRS
+    )
+)
+
+
+@register(
+    "x110_corr_matrix",
+    oracle=_X110_ORACLE,
+    tags=("statistics", "agg", "scale"),
+    doc="Pairwise Pearson correlation matrix of the lineitem measures from one exact-sum scan.",
+)
+def x110_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The CORRELATION MATRIX of the lineitem measures — all six
+    unordered pairs of (quantity, extendedprice, discount, tax) — from
+    ONE scan. e06 proved the exact-moment-sum recipe for a single
+    pair; this is the profiling form a feature-engineering pipeline
+    actually runs: every Σx, Σx², Σxy accumulates as an exact
+    DECIMAL (associative — partition order can't change it), the
+    scan produces a single 1-row aggregate, and each pair's Pearson r
+    is one fixed dag of double ops over those exact sums (IEEE
+    mul/sub/sqrt/div are correctly rounded, so both engines produce
+    the identical bits). The built-in ``corr()`` would need six scans
+    or a float-accumulating multi-agg — order-dependent, not
+    oracle-exact.
+
+    Scale: d variables need d + d(d+1)/2 sum columns in ONE
+    map-side-combined aggregate — at 100 TB that's still one pass,
+    one 1-row Exchange; the stack() unpivot to pair rows is
+    driver-sized. O(d²) columns caps d around ~100 before column
+    explosion — past that, switch to the vector form (aggregate a
+    d×d Gram matrix as an array, same math)."""
+    li = load(spark, sf, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in _X110_VARS:
+        aggs.append(F.sum(F.col(v).cast("decimal(18,2)")).alias(f"s_{v}"))
+    for key in _X110_SUM_KEYS:
+        for a in _X110_VARS:
+            for b in _X110_VARS:
+                if key == f"s_{a}_{b}":
+                    aggs.append(
+                        F.sum(
+                            F.col(a).cast("decimal(18,2)")
+                            * F.col(b).cast("decimal(18,2)")
+                        ).alias(key)
+                    )
+    m = li.agg(*aggs)
+
+    def _corr(x: str, y: str):
+        n = F.col("n")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        cov = n * F.col(_x110_key(x, y)).cast("double") - sx * sy
+        vx = n * F.col(_x110_key(x, x)).cast("double") - sx * sx
+        vy = n * F.col(_x110_key(y, y)).cast("double") - sy * sy
+        return F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
+
+    for x, y in _X110_PAIRS:
+        m = m.withColumn(f"c_{x}_{y}", _corr(x, y))
+    stack = ", ".join(
+        f"'{x}', '{y}', c_{x}_{y}" for x, y in _X110_PAIRS
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(_X110_PAIRS)}, {stack}) AS (var_x, var_y, corr)"
+        ),
+        "n",
+    )
+
+
+@register(
+    "x111_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY CAST(ts AS DATE)
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days, SUM(cents) AS total
+            FROM daily
+        ),
+        pre AS (
+            SELECT d.day, d.cents, t.n_days, t.total,
+                   SUM(t.n_days * d.cents - t.total)
+                       OVER (ORDER BY d.day) AS p
+            FROM daily d CROSS JOIN tot t
+        )
+        SELECT day, cents,
+               CAST((p - LEAST(CAST(0 AS BIGINT),
+                               MIN(p) OVER (ORDER BY day))) // n_days
+                    AS BIGINT) AS cusum_up_cents,
+               CAST((GREATEST(CAST(0 AS BIGINT),
+                              MAX(p) OVER (ORDER BY day)) - p) // n_days
+                    AS BIGINT) AS cusum_dn_cents,
+               (p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (ORDER BY day)))
+                   > 2 * total AS shift_up,
+               (GREATEST(CAST(0 AS BIGINT), MAX(p) OVER (ORDER BY day)) - p)
+                   > 2 * total AS shift_dn
+        FROM pre
+    """,
+    tags=("statistics", "timeseries", "anomaly"),
+    doc="CUSUM change-point detection over daily revenue via the prefix-sum/running-extremum identity.",
+)
+def x111_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection over the daily purchase-revenue
+    series — the classic level-shift monitor (Page 1954), whose
+    textbook form s_i = max(0, s_{i-1} + (x_i - μ)) is a sequential
+    recurrence Spark windows can't express directly. The identity
+    s_i = P_i - min(0, min_{j<=i} P_j), with P the prefix sum of
+    deviations, turns it into TWO declarative window functions
+    (cumulative sum + running extremum); the mirrored form detects
+    downward shifts. Arithmetic is exact end-to-end (the e09
+    fixed-point rule): deviations are scaled by n_days (n·x_i −
+    total) so the mean needs NO division, every window value is a
+    BIGINT, and the one integer division at the edge is over
+    non-negative operands (Spark DIV truncates, DuckDB // floors —
+    equal on non-negatives, the e09 advisory applied). A day flags
+    when its accumulated deviation exceeds 2x the mean daily revenue.
+
+    Scale: the fact scan reduces to a days-sized daily aggregate
+    (filter pushed to the scan, map-side combine); the unpartitioned
+    windows run over THAT series — thousands of rows at 100 TB —
+    never over the events themselves. The 1-row totals join is a
+    broadcast crossJoin."""
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
+    )
+    w_all = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "p",
+        F.sum(F.col("n_days") * F.col("cents") - F.col("total")).over(w_all),
+    )
+    zero = F.lit(0).cast("bigint")
+    s_up = F.col("p") - F.least(zero, F.min("p").over(w_all))
+    s_dn = F.greatest(zero, F.max("p").over(w_all)) - F.col("p")
+    return pre.select(
+        "day",
+        "cents",
+        (s_up / F.col("n_days")).cast("bigint").alias("cusum_up_cents"),
+        (s_dn / F.col("n_days")).cast("bigint").alias("cusum_dn_cents"),
+        (s_up > 2 * F.col("total")).alias("shift_up"),
+        (s_dn > 2 * F.col("total")).alias("shift_dn"),
+    )
+
+
+@register(
+    "x112_mad_outliers",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+            FROM v GROUP BY event_type
+        ),
+        d AS (
+            SELECT v.event_type, v.cents,
+                   abs(2 * v.cents - m.med2) AS d2, m.med2
+            FROM v JOIN med m ON v.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(d.med2) / 200.0, 6) AS median_value,
+               ROUND(MIN(a.mad4) / 400.0, 6) AS mad_value,
+               CAST(SUM(CASE WHEN 20000 * d.d2 > 22239 * a.mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(CAST(SUM(CASE WHEN 20000 * d.d2 > 22239 * a.mad4
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS outlier_pct
+        FROM d JOIN mad a ON d.event_type = a.event_type
+        GROUP BY d.event_type
+    """,
+    tags=("statistics", "anomaly", "quality"),
+    doc="Median-absolute-deviation outlier detection per event type, integer-exact thresholds.",
+)
+def x112_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBUST OUTLIER detection: per event type, flag values more
+    than 3 robust standard deviations (3 x 1.4826 x MAD) from the
+    median — the outlier gate that survives the very outliers a
+    mean/stddev z-score would absorb. Everything that crosses an
+    engine boundary is an integer (the e09 rule): cents, DOUBLED
+    deviations d2 = |2x − 2·median| (the 0.5-interpolated median of
+    bigints is half-integral, so 2x it is exact), a QUADRUPLED MAD,
+    and the flag condition 20000·d2 > 22239·mad4, which is exactly
+    |x − med| > 3·1.4826·MAD cleared of fractions — no float ever
+    compares.
+
+    Scale: two group-keyed aggregates (median, then MAD) are
+    groups-sized; each broadcast-joins back onto the fact rows, so
+    the fact table is scanned, never shuffled on a row key. Exact
+    medians sort per group — at 100 TB swap approx_percentile with a
+    documented error bound (the a13 note); the flag algebra is
+    unchanged."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("d2"),
+    )
+    mad = d.groupBy("event_type").agg(
+        (2 * F.expr("percentile(d2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    flagged = d.join(F.broadcast(mad), "event_type")
+    is_out = F.when(
+        20000 * F.col("d2") > 22239 * F.col("mad4"), 1
+    ).otherwise(0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med2") / F.lit(200.0), 6).alias("median_value"),
+        F.round(F.min("mad4") / F.lit(400.0), 6).alias("mad_value"),
+        F.sum(is_out).cast("bigint").alias("n_outliers"),
+        F.round(
+            F.sum(is_out).cast("double") / F.count(F.lit(1)), 6
+        ).alias("outlier_pct"),
     )

@@ -113,6 +113,10 @@ def _ensure_loaded() -> None:
 #      rotates in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
+    "x110_corr_matrix",
+    "x111_cusum_changepoint",
+    "x112_mad_outliers",
+    "e12_time_to_convert",
     "x95_image_neardup",
     "x96_cohort_ltv",
     "x97_inventory_aging",
@@ -157,12 +161,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q16_supplier_cnt",
     "q17_small_quantity_revenue",
     "q20_promo_shippers",
+    # (set02/q03/j10/j11 displaced to r11 by the r10-late
+    #  registrations below — equal r6 tier, policy rule 1)
     "p02_like_contains",
     "j07_anti",
-    "set02_except",
-    "q03_shipping_priority",
-    "j10_salted_skew_join",
-    "j11_salted_hotkeys_join",
     # -- last green r7
     # -- re-registered this round (fixed-size delta batch): the r7
     #    driver row verified the OLD half-corpus shape, so x72 takes
