@@ -167,6 +167,17 @@ HEADLINE = [
     "x108_revenue_trend",
     # r10: windowed conversion funnel (7-day RANGE frame)
     "e11_windowed_conversion",
+    # r10 late batch: robust statistics + sketch/graph primitives
+    "x109_hll_distinct",
+    "x110_corr_matrix",
+    "x111_cusum_changepoint",
+    "x112_mad_outliers",
+    "x114_bitmap_distinct",
+    "x115_triangle_clustering",
+    "x116_rolling_distinct",
+    "x117_bfs_levels",
+    "e12_time_to_convert",
+    "e13_last_touch_attribution",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -544,7 +555,7 @@ def main() -> None:
         # value_median are not directly comparable to BENCH_r07 and
         # earlier; compare per-query rows across that boundary
         # (ADVICE r8).
-        "headline_set_rev": "r10-add-x95-x99-e10",
+        "headline_set_rev": "r10-add-x95-x117",
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

@@ -521,3 +521,263 @@ def cluster_members(spark: SparkSession, path: str, cluster_id: int) -> DataFram
             spark.read.parquet(f"{d}/newdocs").filter(F.col("lbl").isin(olds))
         )
     return base.unionByName(nd).select("doc_id", F.lit(cluster_id).alias("cluster_id"))
+
+
+# --- x115: triangle counting / clustering coefficient ---------------------
+TRI_MIN_SUPPORT = 2  # co-purchase support floor for an edge (x92's floor)
+
+
+@register(
+    "x115_triangle_clustering",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        prs AS (
+            SELECT a.p AS pa, b.p AS pb
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        ),
+        edges AS (
+            SELECT pa AS a, pb AS b FROM prs
+            GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+        ),
+        deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM edges
+                UNION ALL SELECT b AS v FROM edges
+            ) GROUP BY v
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+                   CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+            FROM edges e
+            JOIN deg da ON da.v = e.a
+            JOIN deg db ON db.v = e.b
+        ),
+        tri AS (
+            SELECT x.src AS a, x.dst AS b, y.dst AS c
+            FROM oriented x
+            JOIN oriented y ON y.src = x.dst
+            JOIN oriented z ON z.src = x.src AND z.dst = y.dst
+        ),
+        pernode AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b AS v FROM tri
+                UNION ALL SELECT c AS v FROM tri
+            ) GROUP BY v
+        )
+        SELECT p.v AS p_partkey, g.d AS degree, p.n_triangles,
+               ROUND(2.0 * p.n_triangles / (g.d * (g.d - 1)), 6)
+                 AS clustering_coeff
+        FROM pernode p JOIN deg g ON g.v = p.v
+    """,
+    tags=("graph", "scale"),
+    doc="Per-part triangle counts + local clustering coefficient over the co-purchase graph.",
+)
+def x115_triangle_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """TRIANGLE counting with LOCAL CLUSTERING COEFFICIENTS over the
+    co-purchase graph (edges = part pairs bought together in >=
+    {TRI_MIN_SUPPORT} orders, x92's support floor) — the community-
+    density primitive behind 'bought-together bundles' and graph
+    feature engineering, and the third classic graph algorithm next
+    to x85's PageRank and x29/x88's connected components.
+
+    The scale design is DEGREE ORIENTATION (Suri & Vassilvitskii,
+    WWW 2011 — 'the curse of the last reducer'): each undirected
+    edge points from its lower (degree, id) endpoint to the higher,
+    making the wedge join fan out on OUT-degree, which orientation
+    bounds by O(sqrt(|E|)) even for celebrity hubs — the naive
+    neighbor join explodes quadratically on exactly those hubs. A
+    triangle a<b<c (in orientation order) is counted exactly once:
+    wedge (a->b, b->c) closed by the a->c edge test. Per-basket
+    combinatorics generate candidate pairs (the x92 shape — never a
+    parts x parts join); counts are exact bigints, the coefficient
+    2T/(d(d-1)) is one rounded division.
+
+    Spark shape: pair-gen aggregate -> support filter -> two |E|-row
+    hash joins for degrees -> one wedge join + one closing join ->
+    explode(3 roles) + |V|-sized aggregates. Edges persist across
+    the deg/orient/close consumers (Catalyst does not CSE reused
+    DataFrames — the x92 items lesson)."""
+    li = load(spark, sf, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = items.groupBy("o").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("a", "b")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .persist()
+    )
+    x = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    z = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pernode.join(deg, "v").select(
+        F.col("v").alias("p_partkey"),
+        F.col("d").alias("degree"),
+        "n_triangles",
+        F.round(
+            2.0 * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1)), 6
+        ).alias("clustering_coeff"),
+    )
+
+
+# --- x117: BFS hop levels (bounded-depth shortest path) -------------------
+BFS_SOURCE = 3  # packed node id: supplier s_suppkey = 1 (2k+1 packing)
+BFS_HOPS = 3  # fixed depth, unrolled in the oracle like x85's T_ITERS
+
+_X117_EDGES_SQL = """
+        pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        )"""
+
+_X117_ORACLE = f"""
+        WITH {_X117_EDGES_SQL},
+        l0 AS (SELECT DISTINCT src AS node FROM edges WHERE src = {BFS_SOURCE}),
+        l1 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN l0 ON e.src = l0.node
+            EXCEPT SELECT node FROM l0
+        ),
+        l2 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN l1 ON e.src = l1.node
+            EXCEPT (SELECT node FROM l0 UNION SELECT node FROM l1)
+        ),
+        l3 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN l2 ON e.src = l2.node
+            EXCEPT (SELECT node FROM l0 UNION SELECT node FROM l1
+                    UNION SELECT node FROM l2)
+        ),
+        lv AS (
+            SELECT node, 0 AS level FROM l0
+            UNION ALL SELECT node, 1 FROM l1
+            UNION ALL SELECT node, 2 FROM l2
+            UNION ALL SELECT node, 3 FROM l3
+        )
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               node // 2 AS entity_key,
+               CAST(level AS INT) AS level
+        FROM lv
+"""
+
+
+@register(
+    "x117_bfs_levels",
+    oracle=_X117_ORACLE,
+    tags=("graph", "scale"),
+    doc="Bounded-depth BFS: exact hop distance from one supplier over the trade graph.",
+)
+def x117_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """BREADTH-FIRST hop levels from one source over the x85 trade
+    graph — exact shortest-path distance for every entity within
+    {BFS_HOPS} hops of supplier #1, the reachability/blast-radius
+    primitive (which customers does a failing supplier touch, and
+    through how many intermediaries?) that completes the graph
+    family: PageRank ranks (x85), connected components partition
+    (x29/x88), BFS MEASURES.
+
+    The Pregel-on-DataFrames shape with a FRONTIER optimization:
+    each round expands only the newest level (frontier join edges),
+    anti-joins the visited set, and unions the survivors in at the
+    next level — a node's level is therefore its first discovery
+    round, i.e. the exact hop distance; integers only, nothing to
+    round. Depth is FIXED at {BFS_HOPS} (unrolled in the oracle,
+    the x85 convention) so lineage stays bounded without
+    checkpointing.
+
+    Scale: per round ONE |frontier|-keyed join against the
+    persisted edge list plus one anti-join against visited (both
+    node-id keyed Exchanges, never fact-sized after round 0); the
+    visited set is |V|-bounded. Unbounded-diameter BFS wants the
+    x29 checkpoint loop; bounded-hop queries — the common
+    production ask — want exactly this unrolled form."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    frontier = (
+        edges.filter(F.col("src") == BFS_SOURCE)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    visited = frontier.select("node", F.lit(0).cast("int").alias("level"))
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(hop).cast("int").alias("level"))
+        )
+    return visited.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("entity_key"),
+        "level",
+    )

@@ -843,3 +843,271 @@ def x82_cms_merge_estimates(spark: SparkSession, sf: str) -> DataFrame:
     )
     vocab = tokens.select("token").distinct()
     return cms_estimates(merged, vocab)
+
+
+# --- x109: HyperLogLog-style register sketch ------------------------------
+#
+# m registers; the shared 60-bit md5 hash splits into bucket = h mod m
+# and a 53-bit word w = h div m whose leading-zero run sets the register
+# rho = 54 - bitlength(w) (w = 0 => 54). Both engines read bitlength off
+# the unpadded base-2 string (Spark conv(w,10,2) == DuckDB bin(w)), so
+# registers are integer-identical. alpha_m for m = 128 (Flajolet et al.
+# 2007, Fig. 3), embedded as the SAME double literal on both sides.
+HLL_M = 128
+HLL_ALPHA = 0.7152704932638152  # 0.7213 / (1 + 1.079 / m)
+HLL_W_BITS = 54  # rho range: 1..53 for w >= 1, 54 for w = 0
+
+
+@register(
+    "x109_hll_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_orderpriority,
+                   {_H_DUCK.format(col="o_custkey")} AS hv
+            FROM orders
+        ),
+        reg AS (
+            SELECT o_orderpriority,
+                   hv % {HLL_M} AS bucket,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_W_BITS}
+                            ELSE {HLL_W_BITS} - length(bin(hv // {HLL_M}))
+                       END) AS rho
+            FROM h GROUP BY o_orderpriority, hv % {HLL_M}
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS used_buckets,
+                   SUM(CAST(1 AS BIGINT) << CAST({HLL_W_BITS} - rho AS INT))
+                     + ({HLL_M} - COUNT(*))
+                       * (CAST(1 AS BIGINT) << {HLL_W_BITS}) AS s_scaled
+            FROM reg GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, used_buckets,
+               CAST({HLL_M} - used_buckets AS BIGINT) AS zero_buckets,
+               s_scaled,
+               ROUND(CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                               * {float(1 << HLL_W_BITS)!r} / s_scaled
+                               <= 2.5 * {HLL_M}
+                           AND used_buckets < {HLL_M}
+                          THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                            / ({HLL_M} - used_buckets))
+                          ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                               * {float(1 << HLL_W_BITS)!r} / s_scaled
+                     END, 4) AS est_distinct
+        FROM agg
+    """,
+    tags=("sketch", "scale"),
+    doc="HyperLogLog-register distinct customers per priority, integer registers + one double edge.",
+)
+def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT CUSTOMERS per order priority by HYPERLOGLOG registers
+    (Flajolet et al. 2007) — the constant-space companion to x76's
+    KMV: where KMV keeps the K smallest hashes, HLL keeps m=128
+    integer registers (max leading-zero run per bucket), so the
+    per-group state is 128 bigints NO MATTER the cardinality, and
+    duplicate keys never even need the pre-distinct KMV requires
+    (max() absorbs them). Registers are exact integers end-to-end:
+    rho comes off the unpadded base-2 string length (identical
+    string semantics in both engines — the bin()/conv() pair), the
+    harmonic-mean denominator is SUMMED AS A SCALED BIGINT
+    (2^(54-rho) per register, empty buckets contributing 2^54), and
+    the only floats are the final alpha*m^2*2^54/S division and the
+    small-range linear-counting branch m*ln(m/zeros) (taken, as
+    published, when the raw estimate is under 2.5m and zero
+    registers remain), rounded at the edge.
+
+    Scale: THE streaming-distinct design at 100 TB — per-partition
+    register maps merge by element-wise max (exactly what the
+    two-level groupBy compiles to: map-side partial max, one
+    m-bounded Exchange per group); the x82 merge proof carries over
+    verbatim. Production estimator variants (HLL++ bias correction,
+    sparse encoding below ~m/4) refine the same register state."""
+    orders = load(spark, sf, "orders")
+    h = orders.select(
+        "o_orderpriority",
+        F.expr(_H_SPARK.format(col="o_custkey")).alias("hv"),
+    )
+    w = F.expr(f"hv DIV {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS)).otherwise(
+        F.lit(HLL_W_BITS)
+        - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    reg = h.groupBy(
+        "o_orderpriority", F.pmod(F.col("hv"), F.lit(HLL_M)).alias("bucket")
+    ).agg(F.max(rho).alias("rho"))
+    agg = reg.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - rho AS INT))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_W_BITS).cast("bigint")
+        ).alias("s_scaled"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M * HLL_M)
+        * F.lit(float(1 << HLL_W_BITS))
+        / F.col("s_scaled")
+    )
+    zeros = F.lit(HLL_M) - F.col("used_buckets")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("used_buckets") < HLL_M),
+        F.lit(HLL_M)
+        * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        "o_orderpriority",
+        "used_buckets",
+        zeros.cast("bigint").alias("zero_buckets"),
+        "s_scaled",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+# --- x114: exact distinct via mergeable bitmaps ---------------------------
+BMP_BITS = 63  # positions 0..62 of a BIGINT chunk (sign bit unused)
+
+
+@register(
+    "x114_bitmap_distinct",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   user_id // {BMP_BITS} AS chunk,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(user_id % {BMP_BITS} AS INT)) AS bits
+            FROM events
+            GROUP BY CAST(ts AS DATE), user_id // {BMP_BITS}
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+        FROM chunks GROUP BY day
+    """,
+    tags=("sketch", "agg", "scale"),
+    doc="Exact daily distinct users via bit_or-merged BIGINT bitmap chunks + popcount.",
+)
+def x114_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT daily distinct users WITHOUT a distinct shuffle of raw
+    ids — the bitmap-index trick (Druid/ClickHouse groupBitmap,
+    roaring bitmaps' dense page): user_id maps to bit (id mod 63) of
+    chunk (id div 63); per (day, chunk) the BIGINT bitmaps merge by
+    bit_or — associative and duplicate-absorbing, so map-side partial
+    aggregation collapses each partition's events into at most
+    |ids|/63 chunk rows before the Exchange — and the day's exact
+    distinct count is the popcount sum. Where x76/x109 trade error
+    for constant space, this is EXACT in space proportional to the
+    id-domain/63 — the right tool when ids are dense integers (user
+    ids, row ids) and the domain is addressable.
+
+    Every value crossing engines is a BIGINT (bit patterns, counts);
+    bit_or/bit_count have identical two's-complement semantics in
+    both engines; the sign bit stays unused so no negative bitmap is
+    ever compared.
+
+    Scale: the shuffle key space is days x (domain/63) CHUNKS, not
+    events — at 100 TB the pre-shuffle combine does the dedup work;
+    the day rollup is days-sized. Sparse domains want roaring's
+    sorted-array pages instead of dense chunks; the merge algebra
+    (per-page OR) is unchanged."""
+    ev = load(spark, sf, "events")
+    chunks = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr(f"user_id DIV {BMP_BITS}").alias("chunk"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BMP_BITS} AS INT)))"
+        ).alias("bits")
+    )
+    return chunks.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "x116_rolling_distinct",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                     AS dn,
+                   user_id // {BMP_BITS} AS chunk,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(user_id % {BMP_BITS} AS INT)) AS bits
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        days AS (SELECT DISTINCT day, dn FROM chunks),
+        ids AS (SELECT DISTINCT chunk FROM chunks),
+        spine AS (
+            SELECT d.day, d.dn, i.chunk, COALESCE(c.bits, 0) AS bits
+            FROM days d CROSS JOIN ids i
+            LEFT JOIN chunks c ON c.dn = d.dn AND c.chunk = i.chunk
+        ),
+        rolled AS (
+            SELECT day, chunk,
+                   bit_or(bits) OVER (PARTITION BY chunk ORDER BY dn
+                                      RANGE BETWEEN 6 PRECEDING
+                                                AND CURRENT ROW) AS wbits
+            FROM spine
+        )
+        SELECT day,
+               CAST(SUM(bit_count(wbits)) AS BIGINT) AS rolling_7d_users
+        FROM rolled GROUP BY day
+    """,
+    tags=("sketch", "window", "agg", "scale"),
+    doc="Rolling 7-day distinct users: calendar RANGE window OR over daily bitmap chunks.",
+)
+def x116_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING 7-DAY distinct users (the WAU curve) — the query that
+    makes plain COUNT(DISTINCT) miserable at scale, because every day
+    re-deduplicates a week of raw ids. Composability is why x114's
+    bitmaps exist: daily per-chunk bitmaps OR together under a
+    calendar RANGE window (6 preceding days, keyed on an integer day
+    number so gaps stay calendar-true), and each day's exact rolling
+    distinct is again one popcount sum. The events table is touched
+    ONCE; everything after the daily chunk aggregate operates on
+    days x (id-domain/63) bitmap rows. The day x chunk spine (a
+    broadcast cross join of two tiny distincts) gives windows a row
+    even on days a chunk is silent — without it, a chunk active on
+    Monday but silent on Thursday would silently drop out of
+    Thursday's trailing week.
+
+    Scale: chunk rows, not events, flow through the window; the
+    window partitions by chunk (parallel across the domain) and the
+    final aggregate is days-sized. Same answer at any partitioning —
+    bit_or is associative/commutative/idempotent."""
+    ev = load(spark, sf, "events")
+    chunks = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias(
+            "dn"
+        ),
+        F.expr(f"user_id DIV {BMP_BITS}").alias("chunk"),
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BMP_BITS} AS INT)))"
+        ).alias("bits")
+    ).persist()
+    days = chunks.select("day", "dn").distinct()
+    ids = chunks.select("chunk").distinct()
+    spine = (
+        days.crossJoin(F.broadcast(ids))
+        .join(chunks.select("dn", "chunk", "bits"), ["dn", "chunk"], "left")
+        .select(
+            "day",
+            "dn",
+            "chunk",
+            F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).alias("bits"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("dn").rangeBetween(-6, 0)
+    rolled = spine.withColumn("wbits", F.expr("bit_or(bits)").over(w))
+    return rolled.groupBy("day").agg(
+        F.sum(F.bit_count("wbits")).cast("bigint").alias("rolling_7d_users")
+    )

@@ -759,3 +759,89 @@ def e12_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(delay_sec, 0.9)") / 60.0, 4).alias("p90_min"),
         F.max("delay_sec").cast("bigint").alias("max_sec"),
     )
+
+
+E13_LOOKBACK_S = 86400  # attribution lookback: 1 day in seconds
+
+
+@register(
+    "e13_last_touch_attribution",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN event_type <> 'purchase'
+                        THEN lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT)
+                                       AS VARCHAR), 12, '0')
+                             || ':' || event_type
+                   END AS tagged
+            FROM events
+        ),
+        touched AS (
+            SELECT user_id, event_type, sec, cents,
+                   MAX(tagged) OVER (PARTITION BY user_id ORDER BY sec
+                                     RANGE BETWEEN {E13_LOOKBACK_S} PRECEDING
+                                               AND 1 PRECEDING) AS lt
+            FROM e
+        )
+        SELECT COALESCE(substr(lt, 14), 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               SUM(cents) AS revenue_cents
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY COALESCE(substr(lt, 14), 'direct')
+    """,
+    tags=("events", "window", "attribution"),
+    doc="Last-touch revenue attribution: purchases credit the user's most recent prior event type within 1 day.",
+)
+def e13_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — every purchase credits its revenue to
+    the channel (event type) of the user's most recent NON-purchase
+    event in the preceding day; purchases with no prior touch are
+    'direct'. The marketing-mix report behind budget decisions, and
+    a third distinct use of the bounded RANGE frame (e11 looks
+    forward for existence, e12 for latency, this looks BACKWARD for
+    an argmax). The argmax-over-frame rides one MAX of a sortable
+    tag — epoch seconds zero-padded to fixed width + ':' + type — so
+    'latest touch' is plain string order, identical bytes in both
+    engines (ASCII compare; integer-second epochs per the e11/e12
+    hardening); the channel is a substr off the winning tag, never a
+    join back. Revenue stays integer cents.
+
+    Scale: ONE user-keyed Exchange for the frame; the channel
+    rollup is channels-sized. No self-join, no fact re-scan — the
+    oracle runs the identical window because the frame itself IS the
+    semantic spec."""
+    ev = load(spark, sf, "events")
+    sec = F.unix_timestamp("ts")
+    tagged = F.when(
+        F.col("event_type") != "purchase",
+        F.concat(
+            F.lpad(sec.cast("string"), 12, "0"),
+            F.lit(":"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-E13_LOOKBACK_S, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.max(tagged).over(w).alias("lt"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.substring("lt", 14, 1 << 20), F.lit("direct")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

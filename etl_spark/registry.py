@@ -113,10 +113,16 @@ def _ensure_loaded() -> None:
 #      rotates in r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
+    "x109_hll_distinct",
     "x110_corr_matrix",
     "x111_cusum_changepoint",
     "x112_mad_outliers",
+    "x114_bitmap_distinct",
+    "x115_triangle_clustering",
+    "x116_rolling_distinct",
+    "x117_bfs_levels",
     "e12_time_to_convert",
+    "e13_last_touch_attribution",
     "x95_image_neardup",
     "x96_cohort_ltv",
     "x97_inventory_aging",
@@ -157,14 +163,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "w06_trailing_window",
     "q08_market_share",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q20_promo_shippers",
-    # (set02/q03/j10/j11 displaced to r11 by the r10-late
-    #  registrations below — equal r6 tier, policy rule 1)
-    "p02_like_contains",
-    "j07_anti",
+    # (q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 displaced to r11 by
+    #  the r10-late registrations above — equal r6 tier, policy rule 1)
     # -- last green r7
     # -- re-registered this round (fixed-size delta batch): the r7
     #    driver row verified the OLD half-corpus shape, so x72 takes
