@@ -475,9 +475,9 @@ def x111_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(MIN(d.med2) / 200.0, 6) AS median_value,
                ROUND(MIN(a.mad4) / 400.0, 6) AS mad_value,
-               CAST(SUM(CASE WHEN 20000 * d.d2 > 22239 * a.mad4
+               CAST(SUM(CASE WHEN 10000 * d.d2 > 22239 * a.mad4
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               ROUND(CAST(SUM(CASE WHEN 20000 * d.d2 > 22239 * a.mad4
+               ROUND(CAST(SUM(CASE WHEN 10000 * d.d2 > 22239 * a.mad4
                                    THEN 1 ELSE 0 END) AS DOUBLE)
                      / COUNT(*), 6) AS outlier_pct
         FROM d JOIN mad a ON d.event_type = a.event_type
@@ -494,8 +494,9 @@ def x112_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     engine boundary is an integer (the e09 rule): cents, DOUBLED
     deviations d2 = |2x − 2·median| (the 0.5-interpolated median of
     bigints is half-integral, so 2x it is exact), a QUADRUPLED MAD,
-    and the flag condition 20000·d2 > 22239·mad4, which is exactly
-    |x − med| > 3·1.4826·MAD cleared of fractions — no float ever
+    and the flag condition 10000·d2 > 22239·mad4, which is exactly
+    |x − med| > 3·1.4826·MAD cleared of fractions (d2 = 2|x−med|,
+    mad4 = 4·MAD, so the bound is d2 > (3·1.4826/2)·mad4) — no float ever
     compares.
 
     Scale: two group-keyed aggregates (median, then MAD) are
@@ -522,7 +523,7 @@ def x112_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     flagged = d.join(F.broadcast(mad), "event_type")
     is_out = F.when(
-        20000 * F.col("d2") > 22239 * F.col("mad4"), 1
+        10000 * F.col("d2") > 22239 * F.col("mad4"), 1
     ).otherwise(0)
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

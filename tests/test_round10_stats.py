@@ -1,0 +1,286 @@
+"""Property tests for the round-10 late batch (x109–x117, e12/e13):
+each distributed formulation is checked against an independent naive
+reference computed driver-side — the oracle sweep (test_oracle.py)
+already proves DuckDB parity; these prove the MATH (HLL register
+semantics, bitmap exactness, CUSUM recurrence identity, triangle
+enumeration) against first-principles implementations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_spark.registry import all_specs
+from etl_spark.tables import load
+
+SPECS = all_specs()
+
+
+# --- x114 / x116: bitmaps must be EXACT ----------------------------------
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    got = {
+        r["day"]: r["n_users"]
+        for r in SPECS["x114_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["day"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_rolling_distinct_equals_window_recount(spark, sf_dir):
+    """The bitmap rolling WAU equals re-deduplicating each trailing
+    7-calendar-day slice of raw ids (the quadratic spec)."""
+    rows = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    want = {}
+    for d in days:
+        seen: set = set()
+        for d2 in days:
+            if 0 <= (d - d2).days <= 6:
+                seen |= by_day[d2]
+        want[d] = len(seen)
+    got = {
+        r["day"]: r["rolling_7d_users"]
+        for r in SPECS["x116_rolling_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --- x109: HLL registers match a driver-side reference sketch ------------
+
+
+def _md5_60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_hll_registers_match_reference(spark, sf_dir):
+    from etl_spark.extensions.sketches import HLL_ALPHA, HLL_M, HLL_W_BITS
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    ).collect()
+    regs: dict[str, dict[int, int]] = {}
+    for r in rows:
+        h = _md5_60(r["o_custkey"])
+        b, w = h % HLL_M, h // HLL_M
+        rho = HLL_W_BITS if w == 0 else HLL_W_BITS - w.bit_length()
+        g = regs.setdefault(r["o_orderpriority"], {})
+        g[b] = max(g.get(b, 0), rho)
+    got = {
+        r["o_orderpriority"]: r
+        for r in SPECS["x109_hll_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(regs)
+    for prio, g in regs.items():
+        s = sum(1 << (HLL_W_BITS - rho) for rho in g.values()) + (
+            HLL_M - len(g)
+        ) * (1 << HLL_W_BITS)
+        row = got[prio]
+        assert row["used_buckets"] == len(g)
+        assert row["s_scaled"] == s
+        raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_W_BITS) / s
+        zeros = HLL_M - len(g)
+        est = (
+            HLL_M * math.log(HLL_M / zeros)
+            if raw <= 2.5 * HLL_M and zeros > 0
+            else raw
+        )
+        assert row["est_distinct"] == pytest.approx(est, abs=1e-4)
+        # the estimator should actually estimate: within 25% of truth
+        # (m=128 -> ~9% rel std err; 25% is a 2.7-sigma property bound)
+        truth = len({r["o_custkey"] for r in rows if r["o_orderpriority"] == prio})
+        assert abs(row["est_distinct"] - truth) <= 0.25 * truth
+
+
+# --- x111: window identity equals the sequential CUSUM recurrence --------
+
+
+def test_cusum_identity_matches_recurrence(spark, sf_dir):
+    out = sorted(
+        SPECS["x111_cusum_changepoint"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    xs = [r["cents"] for r in out]
+    n, total = len(xs), sum(xs)
+    s_up = s_dn = 0
+    for r, x in zip(out, xs):
+        s_up = max(0, s_up + (n * x - total))
+        s_dn = max(0, s_dn + (total - n * x))
+        assert r["cusum_up_cents"] == s_up // n
+        assert r["cusum_dn_cents"] == s_dn // n
+        assert r["shift_up"] == (s_up > 2 * total)
+        assert r["shift_dn"] == (s_dn > 2 * total)
+
+
+# --- x112: MAD flags equal the plain-float spec ---------------------------
+
+
+def test_mad_outliers_match_reference(spark, sf_dir):
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 100 + 0.5)
+        )
+
+    def median(v):
+        v = sorted(v)
+        k = len(v)
+        return (v[(k - 1) // 2] + v[k // 2]) / 2
+
+    got = {
+        r["event_type"]: r
+        for r in SPECS["x112_mad_outliers"].fn(spark, sf_dir).collect()
+    }
+    for t, cents in groups.items():
+        med = median(cents)
+        mad = median([abs(c - med) for c in cents])
+        n_out = sum(1 for c in cents if abs(c - med) > 3 * 1.4826 * mad)
+        assert got[t]["n"] == len(cents)
+        assert got[t]["median_value"] == pytest.approx(med / 100, abs=1e-6)
+        assert got[t]["mad_value"] == pytest.approx(mad / 100, abs=1e-6)
+        assert got[t]["n_outliers"] == n_out
+
+
+# --- x115: triangles equal brute-force enumeration ------------------------
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    from etl_spark.extensions.graph import TRI_MIN_SUPPORT
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in items:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: dict = {}
+    for ps in baskets.values():
+        for a, b in itertools.combinations(sorted(ps), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    edges = {p for p, n in pair_n.items() if n >= TRI_MIN_SUPPORT}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count: dict = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for v in (a, b, c):
+                tri_count[v] = tri_count.get(v, 0) + 1
+    # each triangle visited from all 3 of its edges -> counted 3x per node
+    tri_count = {v: n // 3 for v, n in tri_count.items() if n >= 3}
+    got = {
+        r["p_partkey"]: r
+        for r in SPECS["x115_triangle_clustering"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(tri_count)
+    for v, n in tri_count.items():
+        d = len(adj[v])
+        assert got[v]["n_triangles"] == n
+        assert got[v]["degree"] == d
+        assert got[v]["clustering_coeff"] == pytest.approx(
+            2 * n / (d * (d - 1)), abs=1e-6
+        )
+
+
+# --- x117: levels equal a driver-side BFS ---------------------------------
+
+
+def test_bfs_levels_match_reference(spark, sf_dir):
+    from etl_spark.extensions.graph import BFS_HOPS, BFS_SOURCE
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    adj: dict = {}
+    for r in pairs:
+        c, s = r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    level = {BFS_SOURCE: 0}
+    frontier = [BFS_SOURCE]
+    for hop in range(1, BFS_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in level:
+                    level[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    got = {
+        (r["node_type"], r["entity_key"]): r["level"]
+        for r in SPECS["x117_bfs_levels"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        ("customer" if n % 2 == 0 else "supplier", n // 2): lvl
+        for n, lvl in level.items()
+    }
+    assert got == want
+
+
+# --- e13: attribution equals a per-user sequential replay ------------------
+
+
+def test_last_touch_matches_replay(spark, sf_dir):
+    from etl_spark.operators.event_analytics import E13_LOOKBACK_S
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    agg: dict[str, list[int]] = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda r: r["sec"])
+        for r in evs:
+            if r["event_type"] != "purchase":
+                continue
+            touches = [
+                (e["sec"], e["event_type"])
+                for e in evs
+                if e["event_type"] != "purchase"
+                and r["sec"] - E13_LOOKBACK_S <= e["sec"] <= r["sec"] - 1
+            ]
+            channel = max(touches)[1] if touches else "direct"
+            a = agg.setdefault(channel, [0, 0])
+            a[0] += 1
+            a[1] += r["cents"]
+    got = {
+        r["channel"]: [r["n_purchases"], r["revenue_cents"]]
+        for r in SPECS["e13_last_touch_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert got == agg
