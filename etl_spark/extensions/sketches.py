@@ -858,6 +858,76 @@ HLL_ALPHA = 0.7152704932638152  # 0.7213 / (1 + 1.079 / m)
 HLL_W_BITS = 54  # rho range: 1..53 for w >= 1, 54 for w = 0
 
 
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group HLL register table (group..., bucket, rho) from any
+    keyed frame — duplicate keys are absorbed by the max(), so no
+    pre-distinct is needed. This is the MERGEABLE sketch state: store
+    it, ship it, union it with tomorrow's registers and ``hll_merge``
+    — never the raw keys."""
+    h = df.select(
+        *group_cols, F.expr(_H_SPARK.format(col=key_col)).alias("hv")
+    )
+    w = F.expr(f"hv DIV {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS)).otherwise(
+        F.lit(HLL_W_BITS) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return h.groupBy(
+        *group_cols, F.pmod(F.col("hv"), F.lit(HLL_M)).alias("bucket")
+    ).agg(F.max(rho).alias("rho"))
+
+
+def hll_merge(*parts: DataFrame) -> DataFrame:
+    """Merge register tables by element-wise max — associative,
+    commutative, idempotent, so merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) REGISTER-FOR-REGISTER (asserted in
+    tests/test_round10_stats.py), the property that lets partitions /
+    days / engines sketch independently."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    gcols = [c for c in out.columns if c not in ("bucket", "rho")]
+    return out.groupBy(*gcols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table to per-group estimates: used/zero bucket
+    counts, the scaled-BIGINT harmonic denominator, and the published
+    estimator (linear counting under 2.5m with zero registers; raw
+    alpha*m^2/S otherwise) rounded at the edge."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - rho AS INT))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_W_BITS).cast("bigint")
+        ).alias("s_scaled"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M * HLL_M)
+        * F.lit(float(1 << HLL_W_BITS))
+        / F.col("s_scaled")
+    )
+    zeros = F.lit(HLL_M) - F.col("used_buckets")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("used_buckets") < HLL_M),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "used_buckets",
+        zeros.cast("bigint").alias("zero_buckets"),
+        "s_scaled",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
 @register(
     "x109_hll_distinct",
     oracle=f"""
@@ -923,53 +993,51 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     verbatim. Production estimator variants (HLL++ bias correction,
     sparse encoding below ~m/4) refine the same register state."""
     orders = load(spark, sf, "orders")
-    h = orders.select(
-        "o_orderpriority",
-        F.expr(_H_SPARK.format(col="o_custkey")).alias("hv"),
-    )
-    w = F.expr(f"hv DIV {HLL_M}")
-    rho = F.when(w == 0, F.lit(HLL_W_BITS)).otherwise(
-        F.lit(HLL_W_BITS)
-        - F.length(F.conv(w.cast("string"), 10, 2))
-    )
-    reg = h.groupBy(
-        "o_orderpriority", F.pmod(F.col("hv"), F.lit(HLL_M)).alias("bucket")
-    ).agg(F.max(rho).alias("rho"))
-    agg = reg.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("used_buckets"),
-        (
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - rho AS INT))"
-                )
-            )
-            + (F.lit(HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << HLL_W_BITS).cast("bigint")
-        ).alias("s_scaled"),
-    )
-    raw = (
-        F.lit(HLL_ALPHA)
-        * F.lit(HLL_M * HLL_M)
-        * F.lit(float(1 << HLL_W_BITS))
-        / F.col("s_scaled")
-    )
-    zeros = F.lit(HLL_M) - F.col("used_buckets")
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (F.col("used_buckets") < HLL_M),
-        F.lit(HLL_M)
-        * F.log(F.lit(float(HLL_M)) / zeros),
-    ).otherwise(raw)
-    return agg.select(
-        "o_orderpriority",
-        "used_buckets",
-        zeros.cast("bigint").alias("zero_buckets"),
-        "s_scaled",
-        F.round(est, 4).alias("est_distinct"),
-    )
+    regs = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    return hll_estimate(regs, ["o_orderpriority"])
 
 
 # --- x114: exact distinct via mergeable bitmaps ---------------------------
 BMP_BITS = 63  # positions 0..62 of a BIGINT chunk (sign bit unused)
+
+
+def bitmap_chunks(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Per-group dense bitmap state (group..., chunk, bits): id maps
+    to bit (id mod {BMP}) of BIGINT chunk (id div {BMP}). The
+    mergeable EXACT-distinct state — store/union/``bitmap_merge`` it;
+    map-side partial bit_or does the dedup work before any shuffle.
+    ``id_col`` must be a non-negative integer id."""
+    return df.groupBy(
+        *group_cols, F.expr(f"{id_col} DIV {BMP_BITS}").alias("chunk")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST({id_col} % {BMP_BITS} AS INT)))"
+        ).alias("bits")
+    )
+
+
+def bitmap_merge(*parts: DataFrame) -> DataFrame:
+    """Merge bitmap-chunk tables by bit_or — associative, commutative,
+    idempotent, so merge(bitmap(A), bitmap(B)) == bitmap(A ∪ B)
+    chunk-for-chunk (asserted in tests/test_round10_stats.py)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    gcols = [c for c in out.columns if c not in ("chunk", "bits")]
+    return out.groupBy(*gcols, "chunk").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+
+
+def bitmap_count(chunks: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold bitmap chunks to per-group EXACT distinct counts (one
+    popcount sum; n_chunks reported for state-size visibility)."""
+    return chunks.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
+    )
 
 
 @register(
@@ -1014,19 +1082,10 @@ def x114_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     the day rollup is days-sized. Sparse domains want roaring's
     sorted-array pages instead of dense chunks; the merge algebra
     (per-page OR) is unchanged."""
-    ev = load(spark, sf, "events")
-    chunks = ev.groupBy(
-        F.to_date("ts").alias("day"),
-        F.expr(f"user_id DIV {BMP_BITS}").alias("chunk"),
-    ).agg(
-        F.expr(
-            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BMP_BITS} AS INT)))"
-        ).alias("bits")
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
     )
-    return chunks.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
-    )
+    return bitmap_count(bitmap_chunks(ev, ["day"], "user_id"), ["day"])
 
 
 @register(

@@ -438,13 +438,17 @@ def x111_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     zero = F.lit(0).cast("bigint")
     s_up = F.col("p") - F.least(zero, F.min("p").over(w_all))
     s_dn = F.greatest(zero, F.max("p").over(w_all)) - F.col("p")
-    return pre.select(
+    # integer DIV, not float `/` + cast: a double quotient can round UP
+    # across an integer boundary (and loses exactness past 2^53), while
+    # DIV matches the oracle's `//` bit-for-bit on these non-negative
+    # operands (the e09 advisory rule)
+    return pre.withColumn("s_up", s_up).withColumn("s_dn", s_dn).select(
         "day",
         "cents",
-        (s_up / F.col("n_days")).cast("bigint").alias("cusum_up_cents"),
-        (s_dn / F.col("n_days")).cast("bigint").alias("cusum_dn_cents"),
-        (s_up > 2 * F.col("total")).alias("shift_up"),
-        (s_dn > 2 * F.col("total")).alias("shift_dn"),
+        F.expr("s_up DIV n_days").alias("cusum_up_cents"),
+        F.expr("s_dn DIV n_days").alias("cusum_dn_cents"),
+        (F.col("s_up") > 2 * F.col("total")).alias("shift_up"),
+        (F.col("s_dn") > 2 * F.col("total")).alias("shift_dn"),
     )
 
 

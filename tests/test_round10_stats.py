@@ -284,3 +284,57 @@ def test_last_touch_matches_replay(spark, sf_dir):
         for r in SPECS["e13_last_touch_attribution"].fn(spark, sf_dir).collect()
     }
     assert got == agg
+
+
+# --- mergeability proofs: sketch(A) + sketch(B) == sketch(A U B) -----------
+
+
+def test_hll_merge_equals_full_build(spark, sf_dir):
+    from etl_spark.extensions.sketches import hll_merge, hll_registers
+
+    orders = load(spark, sf_dir, "orders")
+    full = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    a = hll_registers(
+        orders.filter("o_orderkey % 2 = 0"), ["o_orderpriority"], "o_custkey"
+    )
+    b = hll_registers(
+        orders.filter("o_orderkey % 2 = 1"), ["o_orderpriority"], "o_custkey"
+    )
+    merged = hll_merge(a, b)
+    key = lambda r: (r["o_orderpriority"], r["bucket"])  # noqa: E731
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    ), "register-level merge must equal the single build"
+    assert {key(r) for r in a.collect()} <= {key(r) for r in full.collect()}
+
+
+def test_bitmap_merge_equals_full_build(spark, sf_dir):
+    from etl_spark.extensions.sketches import (
+        bitmap_chunks,
+        bitmap_count,
+        bitmap_merge,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_id"
+    )
+    full = bitmap_chunks(ev.drop("event_id"), ["day"], "user_id")
+    a = bitmap_chunks(
+        ev.filter("event_id % 2 = 0").drop("event_id"), ["day"], "user_id"
+    )
+    b = bitmap_chunks(
+        ev.filter("event_id % 2 = 1").drop("event_id"), ["day"], "user_id"
+    )
+    merged = bitmap_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    ), "chunk-level merge must equal the single build"
+    # idempotence: merging a part with itself changes nothing
+    again = bitmap_merge(a, a)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+    # counts off the merged state equal counts off the full state
+    got = {tuple(r) for r in bitmap_count(merged, ["day"]).collect()}
+    want = {tuple(r) for r in bitmap_count(full, ["day"]).collect()}
+    assert got == want
