@@ -178,6 +178,9 @@ HEADLINE = [
     "x117_bfs_levels",
     "e12_time_to_convert",
     "e13_last_touch_attribution",
+    # r10 late batch 2: sweep-line interval concurrency + exact histogram
+    "x118_peak_active_orders",
+    "x119_price_histogram",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

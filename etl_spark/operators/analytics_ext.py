@@ -1491,3 +1491,103 @@ def x105_ship_sla_monthly(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(lag_days, 0.95)"), 6).alias("p95_days"),
         F.max("lag_days").alias("max_days"),
     )
+
+
+@register(
+    "x118_peak_active_orders",
+    oracle="""
+        WITH span AS (
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS d0,
+                   MAX(CAST(l.l_shipdate AS DATE)) AS d1,
+                   c.c_nationkey
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), c.c_nationkey
+        ),
+        ev AS (
+            SELECT n.n_name AS nation, d0 AS d, CAST(1 AS BIGINT) AS delta
+            FROM span s JOIN nation n ON n.n_nationkey = s.c_nationkey
+            UNION ALL
+            SELECT n.n_name, d1 + INTERVAL 1 DAY, CAST(-1 AS BIGINT)
+            FROM span s JOIN nation n ON n.n_nationkey = s.c_nationkey
+        ),
+        daily AS (
+            SELECT nation, CAST(d AS DATE) AS d, SUM(delta) AS delta
+            FROM ev GROUP BY nation, CAST(d AS DATE)
+        ),
+        run AS (
+            SELECT nation, d,
+                   SUM(delta) OVER (PARTITION BY nation ORDER BY d) AS active
+            FROM daily
+        )
+        SELECT nation,
+               CAST(MAX(active) AS BIGINT) AS peak_active,
+               MIN(CASE WHEN active = ma THEN d END) AS peak_date
+        FROM (SELECT *, MAX(active) OVER (PARTITION BY nation) AS ma FROM run)
+        GROUP BY nation
+    """,
+    tags=("extension", "interval", "window", "scale"),
+    doc="Peak concurrent open orders per nation via the sweep-line +1/-1 running sum.",
+)
+def x118_peak_active_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """PEAK CONCURRENCY of open orders per nation — an order is
+    'active' from its order date through its latest line shipment,
+    and the question is the warehouse-capacity classic: how many were
+    ever open AT ONCE, and when did the peak hit? The naive form
+    joins every order against every overlapping order (quadratic in
+    the overlap density); the SWEEP-LINE formulation is linear: each
+    interval becomes +1 at start and -1 at end+1 (inclusive ends),
+    deltas pre-aggregate per (nation, date), and a running sum over
+    the date axis IS the active count — the interval-algebra sibling
+    of x111's prefix-sum trick. Peak date ties break to the earliest
+    date in both engines (MIN over the argmax set). Integers and
+    dates only — nothing to round.
+
+    Scale: the fact join reduces to one span row per order (map-side
+    max on shipdate); dims broadcast; the sweep's running sum
+    partitions BY NATION over date-grained aggregates (dates x
+    nations rows, not orders), so the window state is calendar-
+    sized. One fact-keyed Exchange total."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d0"),
+            "c_nationkey",
+        )
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    ev = span.select(
+        "nation", F.col("d0").alias("d"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        span.select(
+            "nation",
+            F.date_add("d1", 1).alias("d"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = ev.groupBy("nation", "d").agg(F.sum("delta").alias("delta"))
+    w_run = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = daily.withColumn("active", F.sum("delta").over(w_run)).withColumn(
+        "ma", F.max("active").over(Window.partitionBy("nation"))
+    )
+    return run.groupBy("nation").agg(
+        F.max("active").cast("bigint").alias("peak_active"),
+        F.min(F.when(F.col("active") == F.col("ma"), F.col("d"))).alias(
+            "peak_date"
+        ),
+    )

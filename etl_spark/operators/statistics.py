@@ -538,3 +538,72 @@ def x112_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(is_out).cast("double") / F.count(F.lit(1)), 6
         ).alias("outlier_pct"),
     )
+
+
+X119_BINS = 20  # equi-width histogram bins
+
+
+@register(
+    "x119_price_histogram",
+    oracle=f"""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        rng AS (
+            SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+                   MAX(cents) - MIN(cents) + 1 AS w
+            FROM c
+        )
+        SELECT c.o_orderpriority,
+               CAST(((c.cents - r.lo) * {X119_BINS}) // r.w AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(r.lo + (((c.cents - r.lo) * {X119_BINS}) // r.w * r.w)
+                        // {X119_BINS} AS BIGINT) AS bin_lo_cents
+        FROM c CROSS JOIN rng r
+        GROUP BY c.o_orderpriority,
+                 ((c.cents - r.lo) * {X119_BINS}) // r.w,
+                 r.lo + (((c.cents - r.lo) * {X119_BINS}) // r.w * r.w)
+                     // {X119_BINS}
+    """,
+    tags=("statistics", "profile", "agg"),
+    doc="Exact equi-width histogram of order value per priority, integer bin arithmetic.",
+)
+def x119_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """EQUI-WIDTH HISTOGRAM of order value per priority — the
+    distribution profile x87's min/max/mean can't show (bimodality,
+    truncation, heaping) and the storage shape behind optimizer
+    statistics and data-drift monitors. Bin arithmetic is ENTIRELY
+    integer so both engines bucket identically: values become cents,
+    bin = (cents - lo) * B DIV (hi - lo + 1) lands exactly in 0..B-1
+    with no float boundary to disagree over (the float formulation
+    floor((x-lo)/width) puts boundary values in different bins per
+    engine's rounding), and each bin's left edge derives from the
+    same integers. Empty bins are absent (sparse form).
+
+    Scale: one 1-row min/max aggregate broadcast-crossed onto the
+    scan, then ONE (priority, bin)-keyed aggregate — at most
+    groups x B rows out. Two passes over the fact (range, then fill)
+    is the textbook tradeoff; a fixed-domain deployment (known
+    price range) drops the range pass."""
+    c = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    rng = c.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        (F.max("cents") - F.min("cents") + 1).alias("w"),
+    )
+    binned = c.crossJoin(F.broadcast(rng)).withColumn(
+        "bin",
+        F.expr(f"(cents - lo) * {X119_BINS} DIV w"),
+    )
+    return binned.groupBy(
+        "o_orderpriority",
+        "bin",
+        F.expr(f"lo + (bin * w) DIV {X119_BINS}").alias("bin_lo_cents"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))

@@ -123,6 +123,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x117_bfs_levels",
     "e12_time_to_convert",
     "e13_last_touch_attribution",
+    "x118_peak_active_orders",
+    "x119_price_histogram",
     "x95_image_neardup",
     "x96_cohort_ltv",
     "x97_inventory_aging",
@@ -161,10 +163,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "w05_ntile_quartiles",
     "a11_grouping_sets",
     "w06_trailing_window",
-    "q08_market_share",
-    "q13_customer_distribution",
-    # (q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 displaced to r11 by
-    #  the r10-late registrations above — equal r6 tier, policy rule 1)
+    # (q08/q13/q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 displaced to
+    #  r11 by the r10-late registrations above — equal r6 tier, policy
+    #  rule 1)
     # -- last green r7
     # -- re-registered this round (fixed-size delta batch): the r7
     #    driver row verified the OLD half-corpus shape, so x72 takes

@@ -1,0 +1,139 @@
+"""Streaming EXACT distinct-user state over mergeable bitmap chunks —
+x114's kernel (extensions/sketches.py::bitmap_chunks) run as an
+ingest-time accumulator, so "distinct users per day" is always
+answerable from bounded state without ever re-scanning raw events.
+
+Reference relevance: the reference's monitors re-run COUNT-style SQL
+per tick (web_scheduler.py:3354 — each alert evaluation is a full
+query against MySQL); a distinct-count monitor done that way re-reads
+the whole day's events every tick. Here each micro-batch folds into
+per-(day, chunk) BIGINT bitmaps and the count is a popcount sum over
+state proportional to the id domain / 63 — never the event volume.
+
+Replay story (belt and braces): bit_or is idempotent, so even a
+double-applied batch cannot change a bit; on top, each batch writes
+its delta under ``batch-<id>`` with Spark's ``_SUCCESS`` as the commit
+marker and replays skip committed dirs (the run_neardup_ingest
+convention), so restarts are byte-identical. ``compact_bitmap_state``
+folds deltas into ``base`` (the compact_cc_index convention) to keep
+the dir count bounded on long-running streams.
+
+Scale: per batch ONE chunk aggregate (map-side bit_or does the dedup
+work) + one bounded write; reads union base + deltas and merge —
+state is days x (domain/63) rows no matter how many events flowed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_spark.extensions.sketches import (
+    bitmap_chunks,
+    bitmap_count,
+    bitmap_merge,
+)
+from etl_spark.streaming.neardup import batch_committed
+
+_SCHEMA = "day date, chunk bigint, bits bigint"
+
+
+def _state_dirs(path: str) -> list[str]:
+    """Committed state dirs: optional ``base`` plus ``batch-<id>``
+    deltas in batch order."""
+    out = []
+    base = os.path.join(path, "base")
+    if batch_committed(base):
+        out.append(base)
+    deltas = []
+    for d in glob.glob(os.path.join(path, "batch-*")):
+        m = re.fullmatch(r"batch-(\d+)", os.path.basename(d))
+        if m and batch_committed(d):
+            deltas.append((int(m.group(1)), d))
+    out.extend(d for _, d in sorted(deltas))
+    return out
+
+
+def bitmap_state(spark: SparkSession, path: str) -> DataFrame:
+    """The effective (day, chunk, bits) state: base ∪ deltas merged
+    by bit_or. Empty state => empty frame with the state schema."""
+    dirs = _state_dirs(path)
+    if not dirs:
+        return spark.createDataFrame([], _SCHEMA)
+    parts = [spark.read.parquet(d) for d in dirs]
+    return parts[0] if len(parts) == 1 else bitmap_merge(*parts)
+
+
+def distinct_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Exact distinct users per day off the stored state — one
+    popcount sum over chunk rows, no event scan."""
+    return bitmap_count(bitmap_state(spark, path), ["day"])
+
+
+def run_distinct_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """``foreachBatch`` sink maintaining the daily distinct-user
+    bitmap state from an events stream (needs ``ts`` and ``user_id``
+    columns). ``on_batch(batch_id, n_rows)`` is the observability
+    hook. Batches are skipped when already committed; a re-run of an
+    uncommitted batch overwrites its own partial delta, and bit_or
+    idempotence makes even an unexpected double-apply harmless."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        d = os.path.join(state_path, f"batch-{batch_id}")
+        if batch_committed(d):
+            return
+        delta = bitmap_chunks(
+            batch_df.select(F.to_date("ts").alias("day"), "user_id"),
+            ["day"],
+            "user_id",
+        )
+        delta.write.mode("overwrite").parquet(d)
+        if on_batch is not None:
+            on_batch(batch_id, batch_df.count())
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_bitmap_state(spark: SparkSession, path: str) -> None:
+    """Fold base + deltas into a fresh ``base`` and drop the deltas
+    (the compact_cc_index convention): the merged state materializes
+    and commits FIRST (to a tmp dir, then an atomic rename over
+    base), so a crash at any point leaves a readable committed
+    state."""
+    import shutil
+
+    dirs = _state_dirs(path)
+    if not dirs:
+        return
+    merged = bitmap_state(spark, path).persist()
+    merged.count()
+    tmp = os.path.join(path, "base.tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
+    base = os.path.join(path, "base")
+    bak = os.path.join(path, "base.bak")
+    if os.path.isdir(base):
+        os.rename(base, bak)
+    os.rename(tmp, base)
+    shutil.rmtree(bak, ignore_errors=True)
+    for d in dirs:
+        if os.path.basename(d) != "base":
+            shutil.rmtree(d, ignore_errors=True)

@@ -338,3 +338,79 @@ def test_bitmap_merge_equals_full_build(spark, sf_dir):
     got = {tuple(r) for r in bitmap_count(merged, ["day"]).collect()}
     want = {tuple(r) for r in bitmap_count(full, ["day"]).collect()}
     assert got == want
+
+
+# --- x118: sweep-line peak equals a driver-side interval replay ------------
+
+
+def test_peak_active_matches_replay(spark, sf_dir):
+    import datetime as dt
+
+    spans = SPECS  # noqa: F841  (keep import shape consistent)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    rows = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_nationkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .collect()
+    )
+    deltas: dict = {}
+    for r in rows:
+        nat = n[r["c_nationkey"]]
+        d0 = r["o_orderdate"].date()
+        deltas.setdefault(nat, {}).setdefault(d0, 0)
+        deltas[nat][d0] += 1
+        d_end = r["d1"] + dt.timedelta(days=1)
+        deltas[nat].setdefault(d_end, 0)
+        deltas[nat][d_end] -= 1
+    want = {}
+    for nat, dd in deltas.items():
+        active = peak = 0
+        peak_date = None
+        for d in sorted(dd):
+            active += dd[d]
+            if active > peak:
+                peak, peak_date = active, d
+        want[nat] = (peak, peak_date)
+    got = {
+        r["nation"]: (r["peak_active"], r["peak_date"])
+        for r in SPECS["x118_peak_active_orders"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --- x119: bins partition the data and edges are consistent ----------------
+
+
+def test_histogram_bins_match_reference(spark, sf_dir):
+    from etl_spark.operators.statistics import X119_BINS
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    cents = [
+        (r["o_orderpriority"], math.floor(r["o_totalprice"] * 100 + 0.5))
+        for r in rows
+    ]
+    lo = min(c for _, c in cents)
+    w = max(c for _, c in cents) - lo + 1
+    want: dict = {}
+    for p, c in cents:
+        b = (c - lo) * X119_BINS // w
+        want[(p, b)] = want.get((p, b), 0) + 1
+    got = {}
+    for r in SPECS["x119_price_histogram"].fn(spark, sf_dir).collect():
+        got[(r["o_orderpriority"], r["bin"])] = r["n_orders"]
+        assert 0 <= r["bin"] < X119_BINS
+        assert r["bin_lo_cents"] == lo + (r["bin"] * w) // X119_BINS
+    assert got == want
+    assert sum(got.values()) == len(cents)

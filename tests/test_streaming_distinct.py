@@ -1,0 +1,157 @@
+"""Streaming exact-distinct state (streaming/distinct.py): the x114
+bitmap kernel run as an ingest-time accumulator. Proves (a) counts off
+the stored state equal batch countDistinct over everything ingested,
+(b) restart from the same checkpoint ingests nothing twice, (c) a
+fresh-checkpoint replay of the same deterministic file sequence
+changes neither state nor counts (commit markers + bit_or
+idempotence), (d) compaction folds deltas into base with identical
+counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from etl_spark.streaming.distinct import (
+    bitmap_state,
+    compact_bitmap_state,
+    distinct_counts,
+    run_distinct_ingest,
+)
+
+SCHEMA = "ts TIMESTAMP, user_id BIGINT"
+
+
+def _drop(src, name, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        str(src / name),
+    )
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def _counts(spark, path):
+    return {
+        str(r["day"]): r["n_users"]
+        for r in distinct_counts(spark, path).collect()
+    }
+
+
+def test_streaming_distinct_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    d1 = dt.datetime(1995, 3, 1, 10, 0)
+    d2 = dt.datetime(1995, 3, 2, 11, 0)
+    # batch 0: day1 users {1, 2, 2}, day2 {70}
+    _drop(src, "f0.parquet", [(d1, 1), (d1, 2), (d1, 2), (d2, 70)])
+    # batch 1: day1 adds {2, 63} (2 is a dup; 63 lands in chunk 1), day2 {70}
+    _drop(src, "f1.parquet", [(d1, 2), (d1, 63), (d2, 70)])
+
+    seen: list[tuple[int, int]] = []
+    q = run_distinct_ingest(
+        _stream(spark, src),
+        state,
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(0, 4), (1, 3)]
+    assert _counts(spark, state) == {"1995-03-01": 3, "1995-03-02": 1}
+
+    # restart, SAME checkpoint, no new files: nothing re-ingested
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert _counts(spark, state) == {"1995-03-01": 3, "1995-03-02": 1}
+
+    # fresh-checkpoint replay of the same deterministic file sequence:
+    # committed batch dirs are skipped; state and counts unchanged
+    before = sorted(map(tuple, bitmap_state(spark, state).collect()))
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, bitmap_state(spark, state).collect())) == before
+    assert _counts(spark, state) == {"1995-03-01": 3, "1995-03-02": 1}
+
+    # late file after the replays: ingests incrementally on top
+    d3 = dt.datetime(1995, 3, 3, 9, 0)
+    _drop(src, "f2.parquet", [(d3, 5), (d1, 500)])
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert _counts(spark, state) == {
+        "1995-03-01": 4,
+        "1995-03-02": 1,
+        "1995-03-03": 1,
+    }
+
+    # compaction: deltas fold into base, counts identical
+    compact_bitmap_state(spark, state)
+    assert os.path.isdir(os.path.join(state, "base"))
+    assert not [
+        d for d in os.listdir(state) if d.startswith("batch-")
+    ], "deltas must be dropped after compaction"
+    assert _counts(spark, state) == {
+        "1995-03-01": 4,
+        "1995-03-02": 1,
+        "1995-03-03": 1,
+    }
+    # and the stream keeps working on top of the compacted base
+    _drop(src, "f3.parquet", [(d3, 6)])
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert _counts(spark, state)["1995-03-03"] == 2
+
+
+def test_streaming_distinct_matches_batch_on_fixture(
+    spark, sf_dir, tmp_path
+):
+    """Drain the whole fixture events table through the sink and
+    compare against batch countDistinct per day."""
+    import shutil
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    state = str(tmp_path / "state_fx")
+    q = run_distinct_ingest(
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        ).parquet(str(src)),
+        state,
+        checkpoint=str(tmp_path / "ckpt_fx"),
+    )
+    q.awaitTermination(120)
+    want = {
+        str(r["day"]): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert _counts(spark, state) == want
