@@ -98,19 +98,23 @@ def _ensure_loaded() -> None:
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
 # Round-10 window (tools/rotate_window.py output, VERDICT r9 #1):
-#   1. the 38 oracle-backed queries whose last driver green is r6 —
-#      the oldest outstanding tier, including x15_media_decode's
-#      FIRST hash-backed check since its r9 oracle upgrade (VERDICT
-#      r9 rule-1 lead) and the 14 displaced from the r9 window
-#      (a07/a08/j08/f10/x16/x25/x45/x47/x49/x50/x51/x52/x54/x55);
-#   2. the never-driver-checked r10 registrations (x95 perceptual
-#      image near-dup; x96-x98 + e10 warehouse analytics) lead per
-#      policy rule 1;
+#   1. the never-driver-checked r10 registrations lead per policy
+#      rule 1: x95 perceptual image near-dup; x96-x98 + e10
+#      warehouse analytics; x99-x106 media/CRM/SLA/BM25; x107/x108 +
+#      e11 collocations/OLS/conversion; the late batch x109-x119 +
+#      e12/e13 (sketches, robust statistics, graph, attribution,
+#      intervals, histogram);
+#   2. the oracle-backed queries whose last driver green is r6 — the
+#      oldest outstanding tier, led by x15_media_decode's FIRST
+#      hash-backed check since its r9 oracle upgrade (VERDICT r9
+#      rule-1 lead). The late registrations displaced the equal-r6
+#      tier's q08/q13/q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 to
+#      r11 (policy rule 1: never-checked dominates);
 #   3. x72, whose registered SEMANTICS changed this round (fixed-
 #      size delta batch — the r7 row verified the old half-corpus
 #      shape; REVERIFY slot); the whole r7 tier (x01-x05, x23, x37,
 #      x38, x69, x57, x60, x71, x73, x74, textstats x31-x35, ...)
-#      rotates in r11.
+#      rotates in r11 together with the displaced r6 remainder.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: new registrations lead (policy rule 1)
     "x109_hll_distinct",

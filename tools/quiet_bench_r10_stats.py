@@ -18,7 +18,9 @@ Design claims per query (slope per 2x <= ~2.0 unless noted):
 - e12/e13: one user-keyed window Exchange + tiny aggregate.
 
 MUST run with no concurrent Spark work. Merges results into
-BENCH_QUIET_r10.json. Usage: python tools/quiet_bench_r10_stats.py
+BENCH_QUIET_r10.json per-query (an argv subset re-measures only those
+queries and leaves the rest of the section intact).
+Usage: python tools/quiet_bench_r10_stats.py [query ...]
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_SCALE = 3
-SCALE_QUERIES = (
+DEFAULT_QUERIES = (
     "x109_hll_distinct",
     "x110_corr_matrix",
     "x111_cusum_changepoint",
@@ -72,6 +74,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    names = tuple(sys.argv[1:]) or DEFAULT_QUERIES
 
     section: dict = {
         "note": (
@@ -82,8 +85,28 @@ def main() -> None:
     }
     for replicas in (10, 20):
         tmp = _build(spark, replicas)
+        # x118 joins customer (inner) + nation: replicate customer with
+        # the SAME key shift as orders (an unreplicated dim would drop
+        # every shifted order and the test would measure nothing);
+        # nation is genuinely dimension-sized and copies as-is.
+        from pyspark.sql import functions as F
+
+        from tools.quiet_bench_r9e import SHIFT
+
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        (
+            cust.crossJoin(reps)
+            .select(
+                (F.col("c_custkey") + F.col("rep") * SHIFT).alias("c_custkey"),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/customer.parquet")
+        )
+        shutil.copy(f"{SF_DIR}/nation.parquet", f"{tmp}/nation.parquet")
         sec: dict = {"replicas": replicas}
-        for name in SCALE_QUERIES:
+        for name in names:
             runs = []
             for _ in range(N_SCALE):
                 runs.append(round(_force(specs[name].fn(spark, tmp)), 3))
@@ -98,10 +121,16 @@ def main() -> None:
             section["scale_20x"][n]["best"] / section["scale_10x"][n]["best"],
             2,
         )
-        for n in SCALE_QUERIES
+        for n in names
     }
     path = os.path.join(REPO, "BENCH_QUIET_r10.json")
     out = json.load(open(path)) if os.path.exists(path) else {}
+    prev = out.get("late_batch_r10")
+    if prev:  # merge per-query so subset runs keep earlier evidence
+        for lvl in ("scale_10x", "scale_20x", "slope_20x_over_10x"):
+            section[lvl] = {**prev.get(lvl, {}), **section[lvl]}
+        for extra in set(prev) - set(section):
+            section[extra] = prev[extra]
     out["late_batch_r10"] = section
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
