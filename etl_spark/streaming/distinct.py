@@ -137,3 +137,117 @@ def compact_bitmap_state(spark: SparkSession, path: str) -> None:
     for d in dirs:
         if os.path.basename(d) != "base":
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- HLL twin: bounded state even when the id domain is unbounded ---------
+
+_HLL_SCHEMA = "day date, bucket bigint, rho int"
+
+
+def hll_state(spark: SparkSession, path: str) -> DataFrame:
+    """Effective per-day HLL registers: base ∪ deltas merged by
+    element-wise max. Empty state => empty frame."""
+    from etl_spark.extensions.sketches import hll_merge
+
+    dirs = _state_dirs(path)
+    if not dirs:
+        return spark.createDataFrame([], _HLL_SCHEMA)
+    parts = [spark.read.parquet(d) for d in dirs]
+    return parts[0] if len(parts) == 1 else hll_merge(*parts)
+
+
+def hll_distinct_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """Per-day distinct-user ESTIMATES off the stored registers (the
+    x109 estimator)."""
+    from etl_spark.extensions.sketches import hll_estimate
+
+    return hll_estimate(hll_state(spark, path), ["day"])
+
+
+def run_hll_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[int, int], Any] | None = None,
+) -> StreamingQuery:
+    """``foreachBatch`` sink maintaining per-day HLL registers from an
+    events stream — the x114-bitmap sink's sibling for UNBOUNDED or
+    non-integer id domains: state is days x m registers no matter how
+    many distinct ids flow (bitmaps grow with the id domain; registers
+    never do). max() is idempotent, so the same replay story as
+    ``run_distinct_ingest`` applies (commit markers as the belt,
+    algebra as the braces)."""
+    from etl_spark.extensions.sketches import hll_registers
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        d = os.path.join(state_path, f"batch-{batch_id}")
+        if batch_committed(d):
+            return
+        delta = hll_registers(
+            batch_df.select(F.to_date("ts").alias("day"), "user_id"),
+            ["day"],
+            "user_id",
+        )
+        delta.write.mode("overwrite").parquet(d)
+        if on_batch is not None:
+            on_batch(batch_id, batch_df.count())
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_hll_state(spark: SparkSession, path: str) -> None:
+    """Fold base + register deltas into a fresh ``base`` (same atomic
+    tmp -> rename -> drop-deltas protocol as compact_bitmap_state)."""
+    import shutil
+
+    dirs = _state_dirs(path)
+    if not dirs:
+        return
+    merged = hll_state(spark, path).persist()
+    merged.count()
+    tmp = os.path.join(path, "base.tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
+    base = os.path.join(path, "base")
+    bak = os.path.join(path, "base.bak")
+    if os.path.isdir(base):
+        os.rename(base, bak)
+    os.rename(tmp, base)
+    shutil.rmtree(bak, ignore_errors=True)
+    for d in dirs:
+        if os.path.basename(d) != "base":
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def distinct_alerts(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    threshold: int = 0,
+) -> list[dict]:
+    """Evaluate the reference's row-count condition map
+    (web_scheduler.py:3354-3366 via alerting.evaluate_condition)
+    against the EXACT per-day distinct counts in the bitmap state —
+    the 'did enough distinct users show up today' monitor, answered
+    from bounded state without scanning events. Returns one dict per
+    firing day: {day, n_users, condition, threshold}."""
+    from etl_spark.alerting import evaluate_condition
+
+    out = []
+    for r in distinct_counts(spark, path).collect():
+        if evaluate_condition(r["n_users"], condition, threshold):
+            out.append(
+                {
+                    "day": r["day"],
+                    "n_users": r["n_users"],
+                    "condition": condition,
+                    "threshold": threshold,
+                }
+            )
+    return sorted(out, key=lambda d: d["day"])

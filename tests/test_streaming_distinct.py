@@ -155,3 +155,84 @@ def test_streaming_distinct_matches_batch_on_fixture(
         .collect()
     }
     assert _counts(spark, state) == want
+
+
+def test_streaming_hll_state_equals_single_build(spark, sf_dir, tmp_path):
+    """Registers accumulated across micro-batches equal one build over
+    everything ingested (max-merge associativity), and estimates land
+    within the m=128 error envelope of the exact counts."""
+    import shutil
+
+    from etl_spark.extensions.sketches import hll_registers
+    from etl_spark.streaming.distinct import (
+        compact_hll_state,
+        hll_distinct_estimates,
+        hll_state,
+        run_hll_ingest,
+    )
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    state = str(tmp_path / "hll_state")
+    ev_schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    q = run_hll_ingest(
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        state,
+        checkpoint=str(tmp_path / "hll_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    full = hll_registers(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.to_date("ts").alias("day"), "user_id"
+        ),
+        ["day"],
+        "user_id",
+    )
+    assert sorted(map(tuple, hll_state(spark, state).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    exact = {
+        str(r["day"]): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in hll_distinct_estimates(spark, state).collect():
+        truth = exact[str(r["day"])]
+        assert abs(r["est_distinct"] - truth) <= 0.3 * truth
+
+    # compaction preserves the registers bit-for-bit
+    before = sorted(map(tuple, hll_state(spark, state).collect()))
+    compact_hll_state(spark, state)
+    assert sorted(map(tuple, hll_state(spark, state).collect())) == before
+
+
+def test_distinct_alerts_fire_on_condition(spark, tmp_path):
+    import datetime as dt
+
+    from etl_spark.streaming.distinct import distinct_alerts
+
+    src = tmp_path / "al_in"
+    src.mkdir()
+    state = str(tmp_path / "al_state")
+    d1 = dt.datetime(1995, 3, 1, 10, 0)
+    d2 = dt.datetime(1995, 3, 2, 10, 0)
+    _drop(src, "f0.parquet", [(d1, 1), (d1, 2), (d1, 3), (d2, 9)])
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "al_ckpt")
+    )
+    q.awaitTermination(120)
+    low = distinct_alerts(spark, state, "rows_lt", 2)
+    assert [(str(a["day"]), a["n_users"]) for a in low] == [("1995-03-02", 1)]
+    high = distinct_alerts(spark, state, "rows_gt", 2)
+    assert [(str(a["day"]), a["n_users"]) for a in high] == [("1995-03-01", 3)]
+    assert len(distinct_alerts(spark, state, "not_empty")) == 2
