@@ -998,6 +998,9 @@ def x109_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- x114: exact distinct via mergeable bitmaps ---------------------------
+# (x113 is a retired number: it was sketched as a deequ-style DQ
+#  constraint suite and turned out to duplicate x87's existing
+#  single-scan profile + constraint verdicts, so it was never built.)
 BMP_BITS = 63  # positions 0..62 of a BIGINT chunk (sign bit unused)
 
 
