@@ -1,0 +1,171 @@
+"""Plan LINTER — the scale anti-patterns this repo's VERDICT/plan-lock
+discipline polices by hand, automated as a reusable check: feed it any
+DataFrame and get back the findings a 100 TB reviewer would write.
+
+The reference has no planner to lint (SQL ships verbatim to MySQL,
+web_scheduler.py:896-1026); on Spark the physical plan is the
+performance contract, and these are the contract's known breach
+patterns:
+
+- ``cartesian``            CartesianProduct — O(n*m), a scale killer
+                           unless one side is a bounded artifact.
+- ``nested-loop``          BroadcastNestedLoopJoin — legitimate ONLY
+                           for the deliberate broadcast-crossJoin of a
+                           1-row/k-row aggregate (this repo's totals
+                           pattern); anything else is a missing join
+                           key.
+- ``python-udf``           BatchEvalPython — row-at-a-time Python in
+                           the hot path (~100x slower than builtins;
+                           ArrowEvalPython is the sanctioned escape
+                           hatch and is NOT flagged).
+- ``filter-not-pushed``    a Filter sits directly on a parquet scan
+                           whose PushedFilters is empty — the
+                           predicate evaluates post-scan (casts or
+                           UDFs in the predicate usually caused it).
+- ``wide-scan``            a parquet scan reads more than
+                           ``wide_scan_cols`` columns — column
+                           pruning likely lost (select early).
+- ``many-exchanges``       more than ``max_exchanges`` shuffles in one
+                           plan — look for a reusable partitioning or
+                           a fused formulation.
+
+Each finding is a dict {rule, severity, detail}; an empty list is a
+clean bill. ``assert_clean(df, allow=...)`` is the test-friendly
+wrapper (used alongside tests/test_plan_lock.py, which pins the same
+properties per registered query — the advisor is the ad-hoc/production
+face of that gate).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from etl_spark.plans.inspect import formatted_plan, node_count
+
+
+def lint_plan(
+    df: DataFrame,
+    max_exchanges: int = 6,
+    wide_scan_cols: int = 24,
+) -> list[dict]:
+    plan = formatted_plan(df)
+    findings: list[dict] = []
+
+    n = node_count(plan, "CartesianProduct")
+    if n:
+        findings.append(
+            {
+                "rule": "cartesian",
+                "severity": "high",
+                "detail": f"{n} CartesianProduct node(s): O(n*m) pair "
+                f"generation — add a join key, block/bucket the pair "
+                f"space, or broadcast a bounded side",
+            }
+        )
+    n = node_count(plan, "BroadcastNestedLoopJoin")
+    if n:
+        findings.append(
+            {
+                "rule": "nested-loop",
+                "severity": "review",
+                "detail": f"{n} BroadcastNestedLoopJoin node(s): fine "
+                f"when the broadcast side is a 1-row/k-row aggregate "
+                f"(the totals crossJoin pattern); a missing equi-join "
+                f"key otherwise",
+            }
+        )
+    n = node_count(plan, "BatchEvalPython")
+    if n:
+        findings.append(
+            {
+                "rule": "python-udf",
+                "severity": "high",
+                "detail": f"{n} row-at-a-time Python UDF node(s): use "
+                f"pyspark.sql.functions builtins, or an Arrow-batched "
+                f"pandas_udf when Python is unavoidable",
+            }
+        )
+
+    # scans: '(N) Scan parquet ...' detail blocks carry ReadSchema /
+    # PushedFilters lines; a Filter node whose child is the scan with
+    # no pushed filters means the predicate runs post-scan
+    scan_blocks = re.findall(
+        r"\(\d+\) Scan parquet[^\n]*\n(?:[^\n]*\n)*?(?=\(\d+\)|\Z)", plan
+    )
+    for block in scan_blocks:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if m and m.group(1).strip():
+            ncols = m.group(1).count(",") + 1
+            if ncols > wide_scan_cols:
+                findings.append(
+                    {
+                        "rule": "wide-scan",
+                        "severity": "review",
+                        "detail": f"a parquet scan reads {ncols} columns "
+                        f"(> {wide_scan_cols}): select the needed "
+                        f"columns before wide transforms so pruning "
+                        f"reaches the scan",
+                    }
+                )
+    # tree walk: a Filter whose child chain reaches a parquet scan
+    # within a few hops, where that scan pushed nothing (PushedFilters
+    # empty or absent), evaluates its predicate post-scan. HAVING-style
+    # filters above aggregates are NOT adjacent to a scan and don't
+    # trip this. The tree section precedes the first detail block.
+    tree = plan.split("\n\n(", 1)[0]
+    tree_lines = tree.splitlines()
+    for i, ln in enumerate(tree_lines):
+        if not re.search(r"\bFilter \(\d+\)", ln):
+            continue
+        for j in range(i + 1, min(i + 4, len(tree_lines))):
+            ms = re.search(r"Scan parquet\s*\((\d+)\)", tree_lines[j])
+            if not ms:
+                continue
+            block = re.search(
+                rf"\({ms.group(1)}\) Scan parquet.*?(?=\n\(\d+\)|\Z)",
+                plan,
+                re.S,
+            )
+            pushed = (
+                re.search(r"PushedFilters: \[(.*?)\]", block.group(0))
+                if block
+                else None
+            )
+            if pushed is None or not pushed.group(1).strip():
+                findings.append(
+                    {
+                        "rule": "filter-not-pushed",
+                        "severity": "review",
+                        "detail": "a Filter sits directly above a "
+                        "parquet scan that pushed no predicates — "
+                        "casts/UDFs in the predicate usually block "
+                        "pushdown",
+                    }
+                )
+            break
+        else:
+            continue
+        break
+
+    n = node_count(plan, "Exchange")
+    if n > max_exchanges:
+        findings.append(
+            {
+                "rule": "many-exchanges",
+                "severity": "review",
+                "detail": f"{n} Exchange nodes (> {max_exchanges}): "
+                f"look for a reusable partitioning (same key across "
+                f"stages), broadcastable dims, or a fused formulation",
+            }
+        )
+    return findings
+
+
+def assert_clean(df: DataFrame, allow: tuple[str, ...] = (), **kw) -> None:
+    """Raise AssertionError with the full findings list when
+    ``lint_plan`` reports anything outside ``allow``."""
+    bad = [f for f in lint_plan(df, **kw) if f["rule"] not in allow]
+    if bad:
+        raise AssertionError(f"plan lint findings: {bad}")
