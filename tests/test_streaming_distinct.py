@@ -26,7 +26,11 @@ from etl_spark.streaming.distinct import (
 SCHEMA = "ts TIMESTAMP, user_id BIGINT"
 
 
-def _drop(src, name, rows):
+def _drop(src, name, rows, mtime=None):
+    """Write one source file; ``mtime`` pins the file-stream's batch
+    ORDER (the source lists by modification time — two files written
+    in the same instant batch in nondeterministic order)."""
+    path = str(src / name)
     pq.write_table(
         pa.table(
             {
@@ -34,8 +38,10 @@ def _drop(src, name, rows):
                 "user_id": pa.array([r[1] for r in rows], pa.int64()),
             }
         ),
-        str(src / name),
+        path,
     )
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
 
 
 def _stream(spark, src):
@@ -62,9 +68,9 @@ def test_streaming_distinct_end_to_end(spark, tmp_path):
     d1 = dt.datetime(1995, 3, 1, 10, 0)
     d2 = dt.datetime(1995, 3, 2, 11, 0)
     # batch 0: day1 users {1, 2, 2}, day2 {70}
-    _drop(src, "f0.parquet", [(d1, 1), (d1, 2), (d1, 2), (d2, 70)])
+    _drop(src, "f0.parquet", [(d1, 1), (d1, 2), (d1, 2), (d2, 70)], mtime=1_000_000)
     # batch 1: day1 adds {2, 63} (2 is a dup; 63 lands in chunk 1), day2 {70}
-    _drop(src, "f1.parquet", [(d1, 2), (d1, 63), (d2, 70)])
+    _drop(src, "f1.parquet", [(d1, 2), (d1, 63), (d2, 70)], mtime=1_000_100)
 
     seen: list[tuple[int, int]] = []
     q = run_distinct_ingest(
