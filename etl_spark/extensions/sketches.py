@@ -1173,3 +1173,38 @@ def x116_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return rolled.groupBy("day").agg(
         F.sum(F.bit_count("wbits")).cast("bigint").alias("rolling_7d_users")
     )
+
+
+def bitmap_contains(chunks: DataFrame, id_value: int, **group_filter) -> bool:
+    """EXACT membership test against bitmap state: was ``id_value``
+    recorded (optionally within the group selected by
+    ``group_filter`` column=value pairs)? One chunk-row lookup + a
+    bit test — never a scan of raw ids."""
+    probe = chunks.filter(F.col("chunk") == id_value // BMP_BITS)
+    for col, val in group_filter.items():
+        probe = probe.filter(F.col(col) == val)
+    hit = probe.filter(
+        F.expr(f"(bits & shiftleft(CAST(1 AS BIGINT), {id_value % BMP_BITS})) != 0")
+    )
+    return bool(hit.take(1))
+
+
+def bitmap_intersect_count(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """EXACT distinct-id overlap between two bitmap-chunk states,
+    per group: join on (group..., chunk), bit_and, popcount sum —
+    the exact twin of x77's KMV set overlap (audience overlap,
+    retention intersections) with zero estimation error when ids are
+    bitmap-able. Chunks absent from either side intersect to nothing
+    (inner join). Work is chunk-rows-sized, never id-volume-sized."""
+    bb = b.withColumnRenamed("bits", "bits_b")
+    return (
+        a.join(bb, [*group_cols, "chunk"])
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.bit_count(F.expr("bits & bits_b")))
+            .cast("bigint")
+            .alias("n_common")
+        )
+    )

@@ -414,3 +414,53 @@ def test_histogram_bins_match_reference(spark, sf_dir):
         assert r["bin_lo_cents"] == lo + (r["bin"] * w) // X119_BINS
     assert got == want
     assert sum(got.values()) == len(cents)
+
+
+def test_bitmap_contains_and_intersect(spark, sf_dir):
+    from etl_spark.extensions.sketches import (
+        bitmap_chunks,
+        bitmap_contains,
+        bitmap_intersect_count,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_type"
+    )
+    state = bitmap_chunks(ev.drop("event_type"), ["day"], "user_id").persist()
+    sample = ev.limit(3).collect()
+    for r in sample:
+        assert bitmap_contains(state, r["user_id"], day=r["day"])
+    present = {r["user_id"] for r in ev.collect()}
+    absent = max(present) + 12345
+    assert not bitmap_contains(state, absent)
+
+    # exact overlap of clickers vs purchasers per day == set intersection
+    clicks = bitmap_chunks(
+        ev.filter("event_type = 'click'").drop("event_type"),
+        ["day"],
+        "user_id",
+    )
+    buys = bitmap_chunks(
+        ev.filter("event_type = 'purchase'").drop("event_type"),
+        ["day"],
+        "user_id",
+    )
+    got = {
+        r["day"]: r["n_common"]
+        for r in bitmap_intersect_count(clicks, buys, ["day"]).collect()
+    }
+    by_day: dict = {}
+    for r in ev.collect():
+        by_day.setdefault(r["day"], {"click": set(), "purchase": set()})
+        if r["event_type"] in ("click", "purchase"):
+            by_day[r["day"]][r["event_type"]].add(r["user_id"])
+    want = {
+        d: len(s["click"] & s["purchase"])
+        for d, s in by_day.items()
+        if s["click"] and s["purchase"]
+    }
+    assert {d: n for d, n in got.items() if n > 0} == {
+        d: n for d, n in want.items() if n > 0
+    }
+    # totals must agree exactly, zeros included
+    assert sum(got.values()) == sum(want.values())
