@@ -181,6 +181,10 @@ HEADLINE = [
     # r10 late batch 2: sweep-line interval concurrency + exact histogram
     "x118_peak_active_orders",
     "x119_price_histogram",
+    # r10 late batch 3: weighted percentiles, Gini, DAU/WAU stickiness
+    "x120_weighted_percentiles",
+    "x121_gini_concentration",
+    "e14_dau_wau_stickiness",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

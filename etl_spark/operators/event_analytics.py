@@ -845,3 +845,106 @@ def e13_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+def _e14_oracle() -> str:
+    from etl_spark.extensions.sketches import BMP_BITS
+
+    return f"""
+        WITH chunks AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                     AS dn,
+                   user_id // {BMP_BITS} AS chunk,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(user_id % {BMP_BITS} AS INT)) AS bits
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        dau AS (
+            SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau
+            FROM chunks GROUP BY day
+        ),
+        days AS (SELECT DISTINCT day, dn FROM chunks),
+        ids AS (SELECT DISTINCT chunk FROM chunks),
+        spine AS (
+            SELECT d.day, d.dn, i.chunk, COALESCE(c.bits, 0) AS bits
+            FROM days d CROSS JOIN ids i
+            LEFT JOIN chunks c ON c.dn = d.dn AND c.chunk = i.chunk
+        ),
+        wau AS (
+            SELECT day,
+                   CAST(SUM(bit_count(wbits)) AS BIGINT) AS wau
+            FROM (
+                SELECT day, bit_or(bits)
+                           OVER (PARTITION BY chunk ORDER BY dn
+                                 RANGE BETWEEN 6 PRECEDING
+                                           AND CURRENT ROW) AS wbits
+                FROM spine
+            ) GROUP BY day
+        )
+        SELECT d.day, d.dau, w.wau,
+               ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON w.day = d.day
+    """
+
+
+@register(
+    "e14_dau_wau_stickiness",
+    oracle=_e14_oracle(),
+    tags=("events", "sketch", "window", "scale"),
+    doc="DAU/WAU stickiness per day: exact bitmap distinct counts at both horizons, one ratio.",
+)
+def e14_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """STICKINESS — DAU/WAU, the product-health ratio ('what fraction
+    of this week's users came back today') — composed ENTIRELY from
+    the mergeable bitmap kernels: one chunk aggregate off the events
+    scan feeds BOTH horizons (daily popcounts directly; weekly via
+    the calendar RANGE bit_or window over the day x chunk spine, the
+    x116 shape), and the KPI is one exact-integer division per day.
+    The naive form runs two COUNT(DISTINCT)s per day over
+    overlapping 7-day slices — this touches the fact table once.
+
+    Scale: everything after the chunk aggregate is days x
+    (domain/63) bitmap rows; the join of the two horizon tables is
+    days-sized. Exact at any scale — no estimator error in a KPI
+    executives trend-watch."""
+    from etl_spark.extensions.sketches import bitmap_chunks, bitmap_count
+
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias(
+            "dn"
+        ),
+        "user_id",
+    )
+    chunks = bitmap_chunks(ev, ["day", "dn"], "user_id").persist()
+    dau = bitmap_count(chunks, ["day"]).select(
+        "day", F.col("n_users").alias("dau")
+    )
+    days = chunks.select("day", "dn").distinct()
+    ids = chunks.select("chunk").distinct()
+    spine = (
+        days.crossJoin(F.broadcast(ids))
+        .join(chunks.select("dn", "chunk", "bits"), ["dn", "chunk"], "left")
+        .select(
+            "day",
+            "dn",
+            "chunk",
+            F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).alias("bits"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("dn").rangeBetween(-6, 0)
+    wau = (
+        spine.withColumn("wbits", F.expr("bit_or(bits)").over(w))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("wbits")).cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -607,3 +607,141 @@ def x119_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
         "bin",
         F.expr(f"lo + (bin * w) DIV {X119_BINS}").alias("bin_lo_cents"),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "x120_weighted_percentiles",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        w AS (
+            SELECT o_orderpriority, cents,
+                   SUM(cents) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents) AS cumw,
+                   SUM(cents) OVER (PARTITION BY o_orderpriority) AS total
+            FROM c
+        )
+        SELECT o_orderpriority,
+               ROUND(MIN(CASE WHEN 100 * cumw >= 50 * total
+                              THEN cents END) / 100.0, 2) AS p50_revenue_value,
+               ROUND(MIN(CASE WHEN 100 * cumw >= 90 * total
+                              THEN cents END) / 100.0, 2) AS p90_revenue_value,
+               ROUND(MIN(total) / 100.0, 2) AS total_value
+        FROM w GROUP BY o_orderpriority
+    """,
+    tags=("statistics", "window"),
+    doc="Revenue-weighted percentiles: the order value below which 50%/90% of revenue sits.",
+)
+def x120_weighted_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED percentiles — 'half the revenue comes from orders
+    under $X' — the distribution question plain (count-weighted)
+    percentiles like a13 cannot answer, and the one pricing/capacity
+    teams actually ask. The weighted p-th percentile is the smallest
+    value whose CUMULATIVE weight reaches p% of the group total; with
+    weight = value itself this is the revenue-concentration curve
+    read at p. Both engines evaluate the identical integer predicate
+    100*cumw >= p*total (cents are BIGINT; the default window frame
+    with ORDER BY is RANGE..CURRENT ROW in both engines, so tied
+    values share one cumw and the argmin is unambiguous); the only
+    division is the display /100.
+
+    Scale: one priority-keyed Exchange for the cumulative window,
+    then a groups-sized aggregate. The window sorts per group — the
+    same cost class as any exact percentile; the sketch path at
+    100 TB is a weighted quantile sketch over the same cents."""
+    c = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w_cum = Window.partitionBy("o_orderpriority").orderBy("cents")
+    w_all = Window.partitionBy("o_orderpriority")
+    staged = c.select(
+        "o_orderpriority",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cumw"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+
+    def pick(p: int):
+        return F.min(
+            F.when(100 * F.col("cumw") >= p * F.col("total"), F.col("cents"))
+        )
+
+    return staged.groupBy("o_orderpriority").agg(
+        F.round(pick(50) / 100.0, 2).alias("p50_revenue_value"),
+        F.round(pick(90) / 100.0, 2).alias("p90_revenue_value"),
+        F.round(F.min("total") / 100.0, 2).alias("total_value"),
+    )
+
+
+@register(
+    "x121_gini_concentration",
+    oracle="""
+        WITH cust AS (
+            SELECT c.c_mktsegment, o.o_custkey,
+                   SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, cents,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY cents, o_custkey) AS i
+            FROM cust
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(cents) AS total_cents,
+               ROUND(2.0 * SUM(i * cents)
+                     / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked GROUP BY c_mktsegment
+    """,
+    tags=("statistics", "agg"),
+    doc="Gini coefficient of customer revenue per market segment, exact rank-sum form.",
+)
+def x121_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """REVENUE CONCENTRATION as a Gini coefficient per market segment
+    — the single-number Lorenz curve behind 'do 20% of customers
+    carry 80% of revenue', the continuous companion to x98's
+    ABC/Pareto bucketing. The rank-sum identity G = 2*Σ(i·x_i)/(n·Σx)
+    − (n+1)/n (x ascending, i the 1-based rank) needs one window
+    rank and one aggregate; ranks break revenue ties by customer key
+    so both engines enumerate the identical permutation, Σ(i·x_i)
+    accumulates as an exact BIGINT (rank ≤ n, cents exact; at 100 TB
+    widen to DECIMAL — n·max_cents·n approaches 2^63 near ~10^8
+    customers), and the two divisions happen once at the edge.
+
+    Scale: the per-customer rollup is one fact aggregate; the rank
+    window partitions by segment over CUSTOMERS (not orders); the
+    final aggregate is segments-sized."""
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (n * F.sum("cents").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

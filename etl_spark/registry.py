@@ -129,6 +129,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "e13_last_touch_attribution",
     "x118_peak_active_orders",
     "x119_price_histogram",
+    "x120_weighted_percentiles",
+    "x121_gini_concentration",
+    "e14_dau_wau_stickiness",
     "x95_image_neardup",
     "x96_cohort_ltv",
     "x97_inventory_aging",
@@ -162,10 +165,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "a08_count_distinct",
     "j08_range_join",
     "f10_explode_unnest",
-    "a09_pivot",
-    "a10_unpivot",
+    # (a09/a10/a11 displaced to r11 with the rest — equal r6 tier)
     "w05_ntile_quartiles",
-    "a11_grouping_sets",
     "w06_trailing_window",
     # (q08/q13/q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 displaced to
     #  r11 by the r10-late registrations above — equal r6 tier, policy

@@ -464,3 +464,92 @@ def test_bitmap_contains_and_intersect(spark, sf_dir):
     }
     # totals must agree exactly, zeros included
     assert sum(got.values()) == sum(want.values())
+
+
+# --- x120/x121/e14: weighted percentiles, Gini, stickiness ------------------
+
+
+def test_weighted_percentiles_match_reference(spark, sf_dir):
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            math.floor(r["o_totalprice"] * 100 + 0.5)
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in SPECS["x120_weighted_percentiles"].fn(spark, sf_dir).collect()
+    }
+    for prio, cents in groups.items():
+        cents.sort()
+        total = sum(cents)
+        cum = 0
+        p50 = p90 = None
+        for c in cents:
+            cum += c
+            if p50 is None and 100 * cum >= 50 * total:
+                p50 = c
+            if p90 is None and 100 * cum >= 90 * total:
+                p90 = c
+        assert got[prio]["p50_revenue_value"] == pytest.approx(p50 / 100, abs=1e-9)
+        assert got[prio]["p90_revenue_value"] == pytest.approx(p90 / 100, abs=1e-9)
+        # the weighted median is at or above the count median: big
+        # orders pull revenue mass upward
+        cnt_median = cents[(len(cents) - 1) // 2]
+        assert p50 >= cnt_median
+
+
+def test_gini_matches_reference_and_bounds(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["c_mktsegment"], []).append(
+            (r["cents"], r["o_custkey"])
+        )
+    got = {
+        r["c_mktsegment"]: r
+        for r in SPECS["x121_gini_concentration"].fn(spark, sf_dir).collect()
+    }
+    for seg, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        total = sum(x for x, _ in xs)
+        s = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        gini = 2 * s / (n * total) - (n + 1) / n
+        assert got[seg]["n_customers"] == n
+        assert got[seg]["total_cents"] == total
+        assert got[seg]["gini"] == pytest.approx(gini, abs=1e-6)
+        assert 0 <= got[seg]["gini"] < 1
+
+
+def test_stickiness_equals_component_ratio(spark, sf_dir):
+    dau = {
+        r["day"]: r["n_users"]
+        for r in SPECS["x114_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    wau = {
+        r["day"]: r["rolling_7d_users"]
+        for r in SPECS["x116_rolling_distinct"].fn(spark, sf_dir).collect()
+    }
+    out = SPECS["e14_dau_wau_stickiness"].fn(spark, sf_dir).collect()
+    assert {r["day"] for r in out} == set(dau)
+    for r in out:
+        assert r["dau"] == dau[r["day"]]
+        assert r["wau"] == wau[r["day"]]
+        assert r["stickiness"] == pytest.approx(
+            dau[r["day"]] / wau[r["day"]], abs=1e-6
+        )
+        assert 0 < r["stickiness"] <= 1
