@@ -217,8 +217,8 @@ def e03_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT user_id,
                CAST(total_value AS DOUBLE) AS total_value,
-               CAST(total_value / SUM(total_value) OVER () AS DOUBLE)
-                 AS pct_of_total
+               CAST(total_value AS DOUBLE)
+                 / CAST(SUM(total_value) OVER () AS DOUBLE) AS pct_of_total
         FROM per_user
         ORDER BY total_value DESC, user_id
         LIMIT 5
@@ -231,7 +231,10 @@ def e04_value_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     is an unpartitioned window over the (per-user) aggregate — at
     100 TB that window input is |users|, not |events|, and the final
     top-5 is TakeOrderedAndProject (no full sort). Shares divide
-    exact decimal sums cast to DOUBLE, so parity is bit-stable."""
+    DOUBLE casts of the exact decimal sums — dividing the DECIMALs
+    directly truncates Spark's quotient to a fixed scale while DuckDB
+    keeps more digits, which broke 9-sig-fig parity at sf0.1 (the
+    decimal-division rule in .claude/skills/verify)."""
     per_user = (
         load(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
@@ -240,7 +243,11 @@ def e04_value_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     )
     total_w = Window.partitionBy()
     return (
-        per_user.withColumn("pct_of_total", (F.col("tv") / F.sum("tv").over(total_w)).cast("double"))
+        per_user.withColumn(
+            "pct_of_total",
+            F.col("tv").cast("double")
+            / F.sum("tv").over(total_w).cast("double"),
+        )
         .select(
             "user_id",
             F.col("tv").cast("double").alias("total_value"),
