@@ -623,6 +623,17 @@ def x115_triangle_clustering(spark: SparkSession, sf: str) -> DataFrame:
         .select("a", "b")
         .persist()
     )
+    return triangle_clustering(edges).withColumnRenamed("v", "p_partkey")
+
+
+def triangle_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficients for an
+    UNDIRECTED edge list ``(a, b)`` with a < b and no duplicates — the
+    degree-oriented kernel behind x115, reusable for any graph.
+    Returns (v, degree, n_triangles, clustering_coeff) for nodes in at
+    least one triangle. Callers should persist ``edges`` when its
+    lineage is expensive (it feeds degree, orientation, and closure).
+    """
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -654,13 +665,41 @@ def x115_triangle_clustering(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return pernode.join(deg, "v").select(
-        F.col("v").alias("p_partkey"),
+        "v",
         F.col("d").alias("degree"),
         "n_triangles",
         F.round(
             2.0 * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1)), 6
         ).alias("clustering_coeff"),
     )
+
+
+def bfs_levels(edges: DataFrame, source: int, hops: int) -> DataFrame:
+    """Exact hop distance from ``source`` over a DIRECTED edge list
+    ``(src, dst)`` (symmetrize first for undirected graphs), bounded
+    at ``hops`` — the frontier/visited kernel behind x117, reusable
+    for any graph. Returns (node, level) for reachable nodes;
+    ``edges`` should be persisted by the caller (scanned once per
+    round)."""
+    frontier = (
+        edges.filter(F.col("src") == source)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    visited = frontier.select("node", F.lit(0).cast("int").alias("level"))
+    for hop in range(1, hops + 1):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(hop).cast("int").alias("level"))
+        )
+    return visited
 
 
 # --- x117: BFS hop levels (bounded-depth shortest path) -------------------
@@ -756,24 +795,7 @@ def x117_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .persist()
     )
-    frontier = (
-        edges.filter(F.col("src") == BFS_SOURCE)
-        .select("src")
-        .distinct()
-        .select(F.col("src").alias("node"))
-    )
-    visited = frontier.select("node", F.lit(0).cast("int").alias("level"))
-    for hop in range(1, BFS_HOPS + 1):
-        frontier = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .persist()
-        )
-        visited = visited.unionAll(
-            frontier.select("node", F.lit(hop).cast("int").alias("level"))
-        )
+    visited = bfs_levels(edges, BFS_SOURCE, BFS_HOPS)
     return visited.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -207,3 +207,73 @@ def test_pagerank_rejects_dangling_sink_nodes(spark):
     directed = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
     with pytest.raises(ValueError, match="outdegree 0"):
         pagerank_fixedpoint(directed)
+
+
+# --- r10 kernels on seeded random graphs -----------------------------------
+# The fixture's co-purchase graph is sparse and tie-light; random
+# G(n, m) graphs exercise degree TIES (the orientation tiebreak) and
+# hub nodes (the fan-out the orientation exists to bound).
+
+
+def _random_edges(seed: int, n: int = 40, m: int = 160):
+    import random
+
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < m:
+        a, b = rng.sample(range(n), 2)
+        out.add((min(a, b), max(a, b)))
+    return sorted(out)
+
+
+def test_triangle_kernel_matches_bruteforce_on_random_graphs(spark):
+    from etl_spark.extensions.graph import triangle_clustering
+
+    for seed in (7, 23):
+        edges = _random_edges(seed)
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri: dict = {}
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                for v in (a, b, c):
+                    tri[v] = tri.get(v, 0) + 1
+        tri = {v: k // 3 for v, k in tri.items() if k >= 3}
+        assert tri, f"seed {seed}: fixture graph must contain triangles"
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["v"]: r for r in triangle_clustering(df).collect()}
+        assert set(got) == set(tri), f"seed {seed}"
+        for v, k in tri.items():
+            d = len(adj[v])
+            assert got[v]["n_triangles"] == k
+            assert got[v]["degree"] == d
+            assert got[v]["clustering_coeff"] == round(2 * k / (d * (d - 1)), 6)
+
+
+def test_bfs_kernel_matches_queue_bfs_on_random_graphs(spark):
+    from etl_spark.extensions.graph import bfs_levels
+
+    for seed in (11, 42):
+        und = _random_edges(seed, n=60, m=90)  # sparse: real level structure
+        directed = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        adj: dict = {}
+        for s, d in directed:
+            adj.setdefault(s, set()).add(d)
+        source = und[0][0]
+        level = {source: 0}
+        frontier = [source]
+        for hop in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in level:
+                        level[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        df = spark.createDataFrame(directed, "src long, dst long")
+        got = {r["node"]: r["level"] for r in bfs_levels(df, source, 3).collect()}
+        assert got == level, f"seed {seed}"
+        assert max(level.values()) >= 2, f"seed {seed}: want multi-hop levels"
