@@ -12,6 +12,7 @@ excluding session startup.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -559,10 +560,18 @@ def main() -> None:
         "unit": "sec",
         # x65 left the HEADLINE set in r8 (demoted quadratic) — the
         # suite geomean/median population changed, so value/
-        # value_median are not directly comparable to BENCH_r07 and
-        # earlier; compare per-query rows across that boundary
-        # (ADVICE r8).
-        "headline_set_rev": "r10-add-x95-x117",
+        # value_median are not directly comparable across set
+        # boundaries; compare per-query rows across them (ADVICE r8).
+        # The rev is DERIVED from the set contents (count + digest of
+        # the sorted names) so it can never go stale when HEADLINE
+        # changes (ADVICE r10: the hand-bumped marker missed the
+        # x118-x121/e14 additions).
+        "headline_set_rev": "set-%d-%s" % (
+            len(HEADLINE),
+            hashlib.sha1(
+                ",".join(sorted(HEADLINE)).encode()
+            ).hexdigest()[:8],
+        ),
         "sf": sf_val,
         "scale10x": scale10,
         "scale20x": scale20,

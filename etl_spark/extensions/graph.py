@@ -674,13 +674,32 @@ def triangle_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def bfs_levels(edges: DataFrame, source: int, hops: int) -> DataFrame:
+def bfs_levels(
+    edges: DataFrame, source: int, hops: int, materialize: bool = False
+) -> DataFrame:
     """Exact hop distance from ``source`` over a DIRECTED edge list
     ``(src, dst)`` (symmetrize first for undirected graphs), bounded
     at ``hops`` — the frontier/visited kernel behind x117, reusable
     for any graph. Returns (node, level) for reachable nodes;
     ``edges`` should be persisted by the caller (scanned once per
-    round)."""
+    round).
+
+    Cache discipline (ADVICE r10): per-hop frontiers persist so each
+    is computed once when the BFS executes.
+
+    - ``materialize=False`` (default, the one-shot query shape): the
+      whole BFS stays lazy and runs as ONE fused job at the caller's
+      action; the hop frontiers REMAIN cached afterwards and the
+      caller owns clearing them (``spark.catalog.clearCache()`` or
+      unpersisting the result's lineage). Fastest for collect-once
+      use — an eager per-hop materialization measured 7x slower and
+      a final forced pass 2.4x slower at sf0.1.
+    - ``materialize=True`` (deep graphs / reusable state): the final
+      visited set is persisted and forced, then every intermediate
+      frontier cache is dropped — after return exactly one DataFrame
+      (the result) is cached regardless of depth, and the lineage is
+      safe to re-execute. Callers should ``.unpersist()`` the result
+      when done."""
     frontier = (
         edges.filter(F.col("src") == source)
         .select("src")
@@ -688,6 +707,7 @@ def bfs_levels(edges: DataFrame, source: int, hops: int) -> DataFrame:
         .select(F.col("src").alias("node"))
     )
     visited = frontier.select("node", F.lit(0).cast("int").alias("level"))
+    frontiers = []
     for hop in range(1, hops + 1):
         frontier = (
             edges.join(frontier, edges.src == frontier.node)
@@ -696,9 +716,15 @@ def bfs_levels(edges: DataFrame, source: int, hops: int) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .persist()
         )
+        frontiers.append(frontier)
         visited = visited.unionAll(
             frontier.select("node", F.lit(hop).cast("int").alias("level"))
         )
+    if materialize:
+        visited = visited.persist()
+        visited.count()  # one job: every frontier computed exactly once
+        for f in frontiers:
+            f.unpersist()
     return visited
 
 

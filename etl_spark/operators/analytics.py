@@ -454,12 +454,14 @@ def q07_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle="""
-        SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                             * CAST(1 - l.l_discount AS DECIMAL(18,2))
-                        ELSE 0 END)
-                    / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT CAST(100 AS DOUBLE)
+               * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                          ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE)
                AS promo_revenue_pct
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -476,7 +478,11 @@ def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     one-month shipdate range pushes into the lineitem scan (reads
     ~1/80th of the table); part broadcasts; the whole query is one
     map-side join plus a single-row global aggregate — no shuffle of
-    fact data at any scale."""
+    fact data at any scale. Both sums stay EXACT decimals; each is
+    cast to double once and the 100*p/t edge runs in IEEE doubles in
+    the identical order on both engines (the r10 form let DuckDB's
+    DECIMAL 100.00 literal reorder the arithmetic — a last-ulp
+    divergence the exact gate caught when tightened, r11)."""
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-02-01"))
@@ -490,9 +496,11 @@ def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo_rev) / F.sum(rev))
-            .cast("double")
-            .alias("promo_revenue_pct")
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
         )
     )
 

@@ -698,9 +698,10 @@ def x120_weighted_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                SUM(cents) AS total_cents,
-               ROUND(2.0 * SUM(i * cents)
-                     / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
-                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+               CAST((CAST(2 AS HUGEINT) * SUM(i * cents)
+                     - (COUNT(*) + 1) * SUM(cents)) * 1000000
+                    // (COUNT(*) * CAST(SUM(cents) AS HUGEINT))
+                    AS BIGINT) AS gini_ppm
         FROM ranked GROUP BY c_mktsegment
     """,
     tags=("statistics", "agg"),
@@ -713,10 +714,14 @@ def x121_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     ABC/Pareto bucketing. The rank-sum identity G = 2*Σ(i·x_i)/(n·Σx)
     − (n+1)/n (x ascending, i the 1-based rank) needs one window
     rank and one aggregate; ranks break revenue ties by customer key
-    so both engines enumerate the identical permutation, Σ(i·x_i)
-    accumulates as an exact BIGINT (rank ≤ n, cents exact; at 100 TB
-    widen to DECIMAL — n·max_cents·n approaches 2^63 near ~10^8
-    customers), and the two divisions happen once at the edge.
+    so both engines enumerate the identical permutation, and G is
+    emitted as GINI_PPM = (2·Σ(i·x) − (n+1)·Σx)·10^6 DIV (n·Σx) —
+    integer arithmetic end-to-end (DECIMAL(38,0) here, HUGEINT in the
+    oracle; the numerator is ≥ 0 by the rearrangement inequality, so
+    Spark's truncating DIV equals DuckDB's flooring //). The r10 form
+    ended in ROUND(double, 6), the classic cross-engine rounding
+    boundary the driver's exact hash gate flagged (VERDICT r10 #1);
+    no double exists anywhere in this plan now.
 
     Scale: the per-customer rollup is one fact aggregate; the rank
     window partitions by segment over CUSTOMERS (not orders); the
@@ -734,14 +739,23 @@ def x121_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
     ranked = cust.withColumn("i", F.row_number().over(w))
-    n = F.count(F.lit(1))
-    return ranked.groupBy("c_mktsegment").agg(
-        n.alias("n_customers"),
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
-        F.round(
-            2.0 * F.sum(F.col("i") * F.col("cents"))
-            / (n * F.sum("cents").cast("double"))
-            - (n + F.lit(1.0)) / n,
-            6,
-        ).alias("gini"),
+        F.sum(
+            (F.col("i").cast("bigint") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("sum_ix"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(2 AS DECIMAL(38,0)) * sum_ix"
+            "      - (n_customers + 1) * CAST(total_cents AS DECIMAL(38,0)))"
+            "     * 1000000"
+            "     DIV (CAST(n_customers AS DECIMAL(38,0))"
+            "          * CAST(total_cents AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
     )

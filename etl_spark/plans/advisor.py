@@ -114,8 +114,13 @@ def lint_plan(
     # empty or absent), evaluates its predicate post-scan. HAVING-style
     # filters above aggregates are NOT adjacent to a scan and don't
     # trip this. The tree section precedes the first detail block.
+    # Every Filter line is examined and findings are deduped per scan
+    # id — the r10 form broke out of the OUTER loop at the first
+    # Filter-adjacent-to-scan pair, so a later unpushed filter in a
+    # multi-scan plan was silently never reported (ADVICE r10).
     tree = plan.split("\n\n(", 1)[0]
     tree_lines = tree.splitlines()
+    flagged_scans: set[str] = set()
     for i, ln in enumerate(tree_lines):
         if not re.search(r"\bFilter \(\d+\)", ln):
             continue
@@ -123,8 +128,9 @@ def lint_plan(
             ms = re.search(r"Scan parquet\s*\((\d+)\)", tree_lines[j])
             if not ms:
                 continue
+            scan_id = ms.group(1)
             block = re.search(
-                rf"\({ms.group(1)}\) Scan parquet.*?(?=\n\(\d+\)|\Z)",
+                rf"\({scan_id}\) Scan parquet.*?(?=\n\(\d+\)|\Z)",
                 plan,
                 re.S,
             )
@@ -133,7 +139,10 @@ def lint_plan(
                 if block
                 else None
             )
-            if pushed is None or not pushed.group(1).strip():
+            if (
+                pushed is None or not pushed.group(1).strip()
+            ) and scan_id not in flagged_scans:
+                flagged_scans.add(scan_id)
                 findings.append(
                     {
                         "rule": "filter-not-pushed",
@@ -145,9 +154,6 @@ def lint_plan(
                     }
                 )
             break
-        else:
-            continue
-        break
 
     n = node_count(plan, "Exchange")
     if n > max_exchanges:

@@ -68,7 +68,14 @@ def cached(df: DataFrame, cache_dir: str) -> DataFrame:
     """Return ``df``'s result, from the cache when plan+inputs are
     unchanged. A miss computes ONCE, persists, and returns the stored
     copy, so repeated polls of an unchanged monitoring query cost one
-    cache-directory scan each."""
+    cache-directory scan each.
+
+    CONTRACT (ADVICE r10): the returned DataFrame is a LAZY reader
+    over the cache entry's files — it stays valid only while the
+    entry exists. Consume it (collect/write) before calling
+    ``evict``/``clear_result_cache``, or re-call ``cached`` after an
+    eviction; materializing here instead would pull every result
+    through the driver, which is wrong for large cached frames."""
     fp = plan_fingerprint(df)
     entry = os.path.join(cache_dir, fp)
     data = os.path.join(entry, "data")
@@ -94,7 +101,9 @@ def _touch(entry: str) -> None:
 
 def evict(cache_dir: str, keep: int) -> int:
     """Drop all but the ``keep`` most-recently-used entries. Returns
-    the number removed."""
+    the number removed. Invalidates lazy DataFrames previously
+    returned by ``cached`` for the removed entries — see the contract
+    note there (ADVICE r10)."""
     if not os.path.isdir(cache_dir):
         return 0
     entries = [

@@ -11,12 +11,43 @@ name before hashing values.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Runtime session confs every registered query's semantics depend on.
+# The driver runs queries inside ITS OWN SparkSession (see
+# __spark_entry__.py) — nothing guaranteed the session timezone there,
+# and CORRECTNESS_r10 showed x111/e13 flipping on to_date /
+# unix_timestamp under a session config our builder never reproduces
+# (VERDICT r10 "What's wrong" #1). Timezone-aware expressions resolve
+# the session TZ at ANALYSIS time (Catalyst's ResolveTimeZone rule), so
+# pinning immediately before the callable constructs its DataFrame is
+# sufficient and sticks through the driver's later collect(). Both keys
+# are runtime-settable. ANSI is pinned to the Spark 4.x default the
+# whole suite is developed and tested under, so cast/overflow/dividing
+# semantics cannot drift with the host session either.
+_SESSION_PINS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
+}
+
+
+def _pin_session(fn: QueryFn) -> QueryFn:
+    """Wrap a query fn so every invocation re-pins the session confs
+    in ``_SESSION_PINS`` on the caller-supplied session."""
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        for k, v in _SESSION_PINS.items():
+            spark.conf.set(k, v)
+        return fn(spark, sf)
+
+    return run
 
 
 @dataclass(frozen=True)
@@ -43,7 +74,11 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=_pin_session(fn),
+            oracle=oracle,
+            tags=tuple(tags),
+            doc=doc or (fn.__doc__ or ""),
         )
         return fn
 
@@ -97,85 +132,75 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-10 window (tools/rotate_window.py output, VERDICT r9 #1):
-#   1. the never-driver-checked r10 registrations lead per policy
-#      rule 1: x95 perceptual image near-dup; x96-x98 + e10
-#      warehouse analytics; x99-x106 media/CRM/SLA/BM25; x107/x108 +
-#      e11 collocations/OLS/conversion; the late batch x109-x119 +
-#      e12/e13 (sketches, robust statistics, graph, attribution,
-#      intervals, histogram);
-#   2. the oracle-backed queries whose last driver green is r6 — the
-#      oldest outstanding tier, led by x15_media_decode's FIRST
-#      hash-backed check since its r9 oracle upgrade (VERDICT r9
-#      rule-1 lead). The late registrations displaced the equal-r6
-#      tier's q08/q13/q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 to
-#      r11 (policy rule 1: never-checked dominates);
-#   3. x72, whose registered SEMANTICS changed this round (fixed-
-#      size delta batch — the r7 row verified the old half-corpus
-#      shape; REVERIFY slot); the whole r7 tier (x01-x05, x23, x37,
-#      x38, x69, x57, x60, x71, x73, x74, textstats x31-x35, ...)
-#      rotates in r11 together with the displaced r6 remainder.
+# Round-11 window (tools/rotate_window.py output, VERDICT r10 #3):
+#   1. REVERIFY slots lead: the four r10 hash-fails (x109/x111/e13/
+#      x121 — fixed this round via the _pin_session UTC wrapper and
+#      the integer-exact x109/x121 surfaces; VERDICT r10 #1) plus
+#      q14_promo_effect, whose oracle was restructured to
+#      double-identical arithmetic when the tightened exact gate
+#      caught its DECIMAL-literal reorder (task 2 fallout);
+#   2. the r6 tier the r10-late registrations displaced (q08/q13/
+#      q15/q16/q17/q20/p02/j07/set02/q03/j10/j11, x14/x17-x20,
+#      a09-a11);
+#   3. the oldest r7 cohort in registration order (dedup x01-x05,
+#      x23/x37/x38/x69, ANN x57/x60/x71/x73/x74 — x74 also carries
+#      the quiet re-measure task — textstats x31-x35, corpus x26-x30,
+#      x70/x56).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: new registrations lead (policy rule 1)
+    # -- REVERIFY: r10 red rows, fixed this round (policy exemption)
     "x109_hll_distinct",
-    "x110_corr_matrix",
     "x111_cusum_changepoint",
-    "x112_mad_outliers",
-    "x114_bitmap_distinct",
-    "x115_triangle_clustering",
-    "x116_rolling_distinct",
-    "x117_bfs_levels",
-    "e12_time_to_convert",
     "e13_last_touch_attribution",
-    "x118_peak_active_orders",
-    "x119_price_histogram",
-    "x120_weighted_percentiles",
     "x121_gini_concentration",
-    "e14_dau_wau_stickiness",
-    "x95_image_neardup",
-    "x96_cohort_ltv",
-    "x97_inventory_aging",
-    "x98_abc_pareto",
-    "e10_weekly_retention",
-    "x99_media_resize",
-    "x100_frame_stats",
-    "x101_incremental_image_neardup",
-    "x102_new_vs_returning",
-    "x103_interpurchase_gaps",
-    "x104_image_dup_clusters",
-    "x105_ship_sla_monthly",
-    "x106_bm25_search",
-    "x107_bigram_pmi",
-    "x108_revenue_trend",
-    "e11_windowed_conversion",
-    # -- last green r6 (x14/x17-x20 displaced to r11 — equal tier)
-    "x48_quality_gate_agreement",
-    "x15_media_decode",
-    "x16_binary_meta",
-    "x25_decontaminate",
-    "x45_split_token_budget",
-    "x47_curated_corpus",
-    "x49_multimodal_curated",
-    "x50_segment_dedup",
-    "x51_temperature_mix_sample",
-    "x52_training_order",
-    "x54_lm_quality_score",
-    "x55_split_leakage",
-    "a07_rollup",
-    "a08_count_distinct",
-    "j08_range_join",
-    "f10_explode_unnest",
-    # (a09/a10/a11 displaced to r11 with the rest — equal r6 tier)
-    "w05_ntile_quartiles",
-    "w06_trailing_window",
-    # (q08/q13/q15/q16/q17/q20/p02/j07/set02/q03/j10/j11 displaced to
-    #  r11 by the r10-late registrations above — equal r6 tier, policy
-    #  rule 1)
+    # -- REVERIFY: oracle restructured this round (exact-gate find)
+    "q14_promo_effect",
+    # -- last green r6
+    "x14_bow_clusters",
+    "x17_quality_filter",
+    "x18_tfidf_top_terms",
+    "x19_corpus_stats",
+    "x20_bpe_token_count",
+    "a09_pivot",
+    "a10_unpivot",
+    "a11_grouping_sets",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q20_promo_shippers",
+    "p02_like_contains",
+    "j07_anti",
+    "set02_except",
+    "q03_shipping_priority",
+    "j10_salted_skew_join",
+    "j11_salted_hotkeys_join",
     # -- last green r7
-    # -- re-registered this round (fixed-size delta batch): the r7
-    #    driver row verified the OLD half-corpus shape, so x72 takes
-    #    a REVERIFY slot (the r5 de-vacuification precedent)
-    "x72_incremental_knn_join",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
+    "x05_simhash",
+    "x23_jaccard_capped_pairs",
+    "x37_incremental_neardup",
+    "x38_minhash_error",
+    "x69_cluster_size_histogram",
+    "x57_semdedup",
+    "x60_modal_agreement",
+    "x71_kmeans_ivf_knn_join",
+    "x73_pq_adc_topk",
+    "x74_ivfpq_knn_join",
+    "x31_quality_percentile_gate",
+    "x32_length_histogram",
+    "x33_word_freq_zipf",
+    "x34_bigram_counts",
+    "x35_type_token_ratio",
+    "x26_repetition_stats",
+    "x27_hash_sample",
+    "x28_sequence_pack",
+    "x30_chunk_docs",
+    "x70_source_league",
+    "x56_training_manifest",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
@@ -183,7 +208,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # de-vacuification precedent). tests/test_window_rotation.py exempts
 # these from the oldest-first dominance check; clear it when the
 # re-verification lands.
-REVERIFY_THIS_ROUND: frozenset[str] = frozenset({"x72_incremental_knn_join"})
+REVERIFY_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "x109_hll_distinct",
+        "x111_cusum_changepoint",
+        "e13_last_touch_attribution",
+        "x121_gini_concentration",
+        "q14_promo_effect",
+    }
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import shutil
 from collections.abc import Callable
 from typing import Any
 
@@ -45,12 +46,34 @@ from etl_spark.streaming.neardup import batch_committed
 _SCHEMA = "day date, chunk bigint, bits bigint"
 
 
+def _base_dir(path: str) -> str | None:
+    """The committed ``base`` dir, HEALING an interrupted compact
+    (ADVICE r10): the compact protocol is tmp-write -> rename(base,
+    bak) -> rename(tmp, base) -> rm bak -> rm deltas, and a crash
+    between the two renames leaves no ``base`` at all. The folded
+    state then still exists — in ``base.tmp`` (the freshly committed
+    merge) and ``base.bak`` (the pre-merge fold) — so promote the
+    newest committed snapshot back to ``base``. Deltas are never
+    dropped until a committed base exists (see ``_compact_state``),
+    and bit_or/max idempotence makes re-merging them harmless, so no
+    crash point loses state."""
+    base = os.path.join(path, "base")
+    if batch_committed(base):
+        return base
+    for cand in ("base.tmp", "base.bak"):
+        c = os.path.join(path, cand)
+        if batch_committed(c):
+            os.rename(c, base)
+            return base
+    return None
+
+
 def _state_dirs(path: str) -> list[str]:
     """Committed state dirs: optional ``base`` plus ``batch-<id>``
     deltas in batch order."""
     out = []
-    base = os.path.join(path, "base")
-    if batch_committed(base):
+    base = _base_dir(path)
+    if base is not None:
         out.append(base)
     deltas = []
     for d in glob.glob(os.path.join(path, "batch-*")):
@@ -112,31 +135,44 @@ def run_distinct_ingest(
     return writer.start()
 
 
-def compact_bitmap_state(spark: SparkSession, path: str) -> None:
-    """Fold base + deltas into a fresh ``base`` and drop the deltas
-    (the compact_cc_index convention): the merged state materializes
-    and commits FIRST (to a tmp dir, then an atomic rename over
-    base), so a crash at any point leaves a readable committed
-    state."""
-    import shutil
-
+def _compact_state(
+    spark: SparkSession,
+    path: str,
+    state_fn: Callable[[SparkSession, str], DataFrame],
+) -> None:
+    """Shared compact protocol (ADVICE r10 factored it out of the
+    bitmap/HLL twins): materialize the full merged state to
+    ``base.tmp`` FIRST, then rename base->bak, tmp->base, and drop
+    bak + deltas — deltas only AFTER a committed base is verified, so
+    no crash point leaves less state than before the compact.
+    ``_base_dir`` heals the one window (between the two renames)
+    where ``base`` itself is briefly absent."""
     dirs = _state_dirs(path)
     if not dirs:
         return
-    merged = bitmap_state(spark, path).persist()
+    merged = state_fn(spark, path).persist()
     merged.count()
     tmp = os.path.join(path, "base.tmp")
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
     base = os.path.join(path, "base")
     bak = os.path.join(path, "base.bak")
+    shutil.rmtree(bak, ignore_errors=True)  # stale bak from a crashed run
     if os.path.isdir(base):
         os.rename(base, bak)
     os.rename(tmp, base)
     shutil.rmtree(bak, ignore_errors=True)
-    for d in dirs:
-        if os.path.basename(d) != "base":
-            shutil.rmtree(d, ignore_errors=True)
+    if batch_committed(base):
+        for d in dirs:
+            if os.path.basename(d) != "base":
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def compact_bitmap_state(spark: SparkSession, path: str) -> None:
+    """Fold base + deltas into a fresh ``base`` and drop the deltas
+    (the compact_cc_index convention) via the crash-safe
+    ``_compact_state`` protocol."""
+    _compact_state(spark, path, bitmap_state)
 
 
 # --- HLL twin: bounded state even when the id domain is unbounded ---------
@@ -202,27 +238,9 @@ def run_hll_ingest(
 
 
 def compact_hll_state(spark: SparkSession, path: str) -> None:
-    """Fold base + register deltas into a fresh ``base`` (same atomic
-    tmp -> rename -> drop-deltas protocol as compact_bitmap_state)."""
-    import shutil
-
-    dirs = _state_dirs(path)
-    if not dirs:
-        return
-    merged = hll_state(spark, path).persist()
-    merged.count()
-    tmp = os.path.join(path, "base.tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    merged.unpersist()
-    base = os.path.join(path, "base")
-    bak = os.path.join(path, "base.bak")
-    if os.path.isdir(base):
-        os.rename(base, bak)
-    os.rename(tmp, base)
-    shutil.rmtree(bak, ignore_errors=True)
-    for d in dirs:
-        if os.path.basename(d) != "base":
-            shutil.rmtree(d, ignore_errors=True)
+    """Fold base + register deltas into a fresh ``base`` via the same
+    crash-safe ``_compact_state`` protocol as the bitmap twin."""
+    _compact_state(spark, path, hll_state)
 
 
 def distinct_alerts(

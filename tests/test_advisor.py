@@ -65,6 +65,26 @@ def test_unpushed_filter_flagged(spark, sf_dir):
     assert "filter-not-pushed" not in _rules(lint_plan(good))
 
 
+def test_unpushed_filter_found_past_first_pushed_scan(spark, sf_dir):
+    """ADVICE r10: the tree walk must examine EVERY Filter line, not
+    stop at the first Filter-adjacent-to-scan pair. Build a two-scan
+    plan whose first scan pushes its predicate and whose second scan
+    (UDF predicate) cannot — the finding must still surface."""
+    from pyspark.sql.functions import udf
+
+    pred = udf(lambda s: bool(s and s.startswith("g")), "boolean")
+    good = load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("g")
+    ).select(F.col("p_name").alias("name"))
+    bad = load(spark, sf_dir, "supplier").filter(pred("s_name")).select(
+        F.col("s_name").alias("name")
+    )
+    # union (not join): a join would push IsNotNull into the second
+    # scan and the rule would rightly stay quiet
+    both = good.unionAll(bad)
+    assert "filter-not-pushed" in _rules(lint_plan(both))
+
+
 def test_wide_scan_flagged(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     wide = li.join(

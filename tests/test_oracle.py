@@ -7,6 +7,7 @@ CORRECTNESS gate so failures surface locally first.
 from __future__ import annotations
 
 import math
+import re
 
 import duckdb
 import pytest
@@ -27,16 +28,17 @@ def _duck(sf_dir: str):
 
 
 def _normalize(rows, colnames):
-    """Sort columns by name, then rows; stringify floats to 9 sig
-    figures so ±1ulp noise can't flip equality (queries are designed
-    to be exact; this is belt-and-braces for the assert message)."""
+    """Sort columns by name, then rows; floats compare at FULL
+    precision (shortest round-trip repr — bit-exact up to NaN
+    canonicalization). The r10 gate normalized floats to 9 sig figs,
+    which let four ROUND(double)/session-TZ edges pass locally and
+    fail the driver's exact hash (VERDICT r10 "What's missing" #1);
+    this gate is now at least as strict as the driver's."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm_val(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.9g}"
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
         return repr(v)
 
     out = [tuple(norm_val(r[i]) for i in order) for r in rows]
@@ -44,8 +46,7 @@ def _normalize(rows, colnames):
     return [colnames[i] for i in order], out
 
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
-def test_oracle_parity(spark, sf_dir, name):
+def _assert_parity(spark, sf_dir, name):
     spec = SPECS[name]
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
@@ -68,6 +69,50 @@ def test_oracle_parity(spark, sf_dir, name):
         f"{name}: {len(mismatches)} mismatched rows; first: "
         f"spark={sn[mismatches[0]]} duckdb={dn[mismatches[0]]} cols={sc}"
     )
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_parity(spark, sf_dir, name):
+    _assert_parity(spark, sf_dir, name)
+
+
+# Session-config sensitivity sweep (VERDICT r10 "What's missing" #1):
+# the driver runs every query inside ITS OWN SparkSession, so a query
+# whose semantics read the session timezone (to_date / unix_timestamp /
+# CAST(ts AS DATE) over the naive `ts` column) is only correct if the
+# registry's _pin_session wrapper re-pins UTC on each call. Re-run the
+# parity gate for every timestamp-touching oracle with the session TZ
+# deliberately skewed to Asia/Shanghai just before the call — the
+# wrapper must win, or this catches locally what r10's driver caught.
+_TZ_RE = re.compile(
+    r"\bts\b|\bepoch\b|to_date|date_trunc|date_diff|AS DATE|::DATE"
+    r"|to_timestamp|unix_timestamp|strftime|INTERVAL",
+    re.IGNORECASE,
+)
+TZ_SENSITIVE_SPECS = [
+    n for n in ORACLE_SPECS if _TZ_RE.search(SPECS[n].oracle or "")
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE_SPECS)
+def test_oracle_parity_under_skewed_session_tz(spark, sf_dir, name):
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("TZ sweep runs at the smallest SF only (config test)")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        _assert_parity(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_registry_pins_session_confs(spark, sf_dir):
+    """The wrapper itself: any registered fn must reset the pins."""
+    from etl_spark.registry import _SESSION_PINS
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    SPECS[ORACLE_SPECS[0]].fn(spark, sf_dir)
+    for k, v in _SESSION_PINS.items():
+        assert spark.conf.get(k) == v
 
 
 # Queries allowed to be empty at the tiny local SF only. At sf0.01

@@ -71,7 +71,14 @@ def _md5_60(v) -> int:
 
 
 def test_hll_registers_match_reference(spark, sf_dir):
-    from etl_spark.extensions.sketches import HLL_ALPHA, HLL_M, HLL_W_BITS
+    from etl_spark.extensions.sketches import (
+        HLL_ALPHA,
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_W_BITS,
+        hll_estimate,
+        hll_registers,
+    )
 
     rows = load(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey"
@@ -87,6 +94,15 @@ def test_hll_registers_match_reference(spark, sf_dir):
         r["o_orderpriority"]: r
         for r in SPECS["x109_hll_distinct"].fn(spark, sf_dir).collect()
     }
+    fl = {
+        r["o_orderpriority"]: r
+        for r in hll_estimate(
+            hll_registers(
+                load(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+            ),
+            ["o_orderpriority"],
+        ).collect()
+    }
     assert set(got) == set(regs)
     for prio, g in regs.items():
         s = sum(1 << (HLL_W_BITS - rho) for rho in g.values()) + (
@@ -95,6 +111,15 @@ def test_hll_registers_match_reference(spark, sf_dir):
         row = got[prio]
         assert row["used_buckets"] == len(g)
         assert row["s_scaled"] == s
+        # registered surface: exact integer estimator + branch flag
+        assert row["raw_est"] == (
+            HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_W_BITS)
+        ) // (1_000_000 * s)
+        assert row["linear_branch"] == (
+            2 * HLL_ALPHA_PPM * HLL_M * (1 << HLL_W_BITS) <= 5_000_000 * s
+            and len(g) < HLL_M
+        )
+        # float API (hll_estimate): published estimator incl. ln branch
         raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_W_BITS) / s
         zeros = HLL_M - len(g)
         est = (
@@ -102,11 +127,11 @@ def test_hll_registers_match_reference(spark, sf_dir):
             if raw <= 2.5 * HLL_M and zeros > 0
             else raw
         )
-        assert row["est_distinct"] == pytest.approx(est, abs=1e-4)
+        assert fl[prio]["est_distinct"] == pytest.approx(est, abs=1e-4)
         # the estimator should actually estimate: within 25% of truth
         # (m=128 -> ~9% rel std err; 25% is a 2.7-sigma property bound)
         truth = len({r["o_custkey"] for r in rows if r["o_orderpriority"] == prio})
-        assert abs(row["est_distinct"] - truth) <= 0.25 * truth
+        assert abs(fl[prio]["est_distinct"] - truth) <= 0.25 * truth
 
 
 # --- x111: window identity equals the sequential CUSUM recurrence --------
@@ -528,11 +553,14 @@ def test_gini_matches_reference_and_bounds(spark, sf_dir):
         n = len(xs)
         total = sum(x for x, _ in xs)
         s = sum((i + 1) * x for i, (x, _) in enumerate(xs))
-        gini = 2 * s / (n * total) - (n + 1) / n
+        ppm = (2 * s - (n + 1) * total) * 1_000_000 // (n * total)
         assert got[seg]["n_customers"] == n
         assert got[seg]["total_cents"] == total
-        assert got[seg]["gini"] == pytest.approx(gini, abs=1e-6)
-        assert 0 <= got[seg]["gini"] < 1
+        assert got[seg]["gini_ppm"] == ppm
+        assert 0 <= got[seg]["gini_ppm"] < 1_000_000
+        # the exact ppm form floors the float identity, never drifts >1ppm
+        gini = 2 * s / (n * total) - (n + 1) / n
+        assert got[seg]["gini_ppm"] == pytest.approx(gini * 1e6, abs=1.0)
 
 
 def test_stickiness_equals_component_ratio(spark, sf_dir):

@@ -242,3 +242,57 @@ def test_distinct_alerts_fire_on_condition(spark, tmp_path):
     high = distinct_alerts(spark, state, "rows_gt", 2)
     assert [(str(a["day"]), a["n_users"]) for a in high] == [("1995-03-01", 3)]
     assert len(distinct_alerts(spark, state, "not_empty")) == 2
+
+
+def test_compact_crash_window_recovers(spark, tmp_path):
+    """ADVICE r10: a crash BETWEEN rename(base, bak) and rename(tmp,
+    base) used to lose everything folded by earlier compactions —
+    reads saw delta-only state. Simulate each crash point of the
+    protocol and prove reads heal and a re-compact converges."""
+    import datetime as dt
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    d1 = dt.datetime(1995, 3, 1, 10, 0)
+    _drop(src, "f0.parquet", [(d1, 1), (d1, 2)], mtime=1_000_000)
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    compact_bitmap_state(spark, state)  # users {1,2} now live ONLY in base
+
+    # new delta on top of the compacted base
+    _drop(src, "f1.parquet", [(d1, 63)], mtime=1_000_100)
+    q = run_distinct_ingest(
+        _stream(spark, src), state, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert _counts(spark, state) == {"1995-03-01": 3}
+
+    # crash point A: between the two renames — base is GONE, the
+    # pre-merge fold sits in base.bak, the delta dir still exists
+    os.rename(os.path.join(state, "base"), os.path.join(state, "base.bak"))
+    assert _counts(spark, state) == {"1995-03-01": 3}, (
+        "read must heal base.bak — delta-only state loses users 1,2"
+    )
+    assert os.path.isdir(os.path.join(state, "base")), "heal promotes to base"
+
+    # crash point B: tmp committed (full merge), base renamed away
+    compact_bitmap_state(spark, state)
+    bitmap_state(spark, state).write.mode("overwrite").parquet(
+        os.path.join(state, "base.tmp")
+    )
+    shutil.rmtree(os.path.join(state, "base.bak"), ignore_errors=True)
+    os.rename(os.path.join(state, "base"), os.path.join(state, "base.bak"))
+    assert _counts(spark, state) == {"1995-03-01": 3}, (
+        "read must prefer the newer committed base.tmp"
+    )
+
+    # and a subsequent compact converges to a clean layout
+    compact_bitmap_state(spark, state)
+    assert os.path.isdir(os.path.join(state, "base"))
+    assert not os.path.isdir(os.path.join(state, "base.tmp"))
+    assert not os.path.isdir(os.path.join(state, "base.bak"))
+    assert _counts(spark, state) == {"1995-03-01": 3}
