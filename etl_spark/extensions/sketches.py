@@ -986,6 +986,73 @@ def hll_estimate_exact(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+HLL_ALPHA_INF = 0.7213475204444817  # 1 / (2 ln 2)
+
+
+def hll_estimate_corrected(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Bias-corrected per-group estimates from the SAME register
+    state as ``hll_estimate`` — the production refinement the x109
+    docstring names (VERDICT r10 #7), done TABLE-FREE: instead of
+    HLL++'s empirically fitted bias tables (Heule et al. 2013), this
+    is the sigma/tau-corrected estimator of Ertl 2017
+    (arXiv:1702.01284), which removes the small/large-range bias
+    analytically from the register-value histogram alone:
+
+        est = alpha_inf * m^2 / ( m*sigma(C0/m)
+                                  + sum_{k=1..q} C_k * 2^-k
+                                  + m*tau(1 - C_{q+1}/m) * 2^-q )
+
+    with q = 53 in this geometry (rho = 54 means the 53-bit suffix
+    was all zeros - the 'saturated' C_{q+1} class), C0 the
+    never-updated register count, sigma(x) = x + SUM x^(2^k) 2^(k-1),
+    tau(x) = (1 - x - SUM (1 - x^(2^-k))^2 2^-k)/3. One estimator
+    across the whole range - no linear-counting/raw branch point, so
+    none of the transition-zone bias bump the published estimator
+    has. Both series are evaluated JVM-side (F.aggregate over a
+    bounded sequence; terms underflow to 0 well before k=60).
+
+    Note the 'sparse encoding below m/4' the HLL++ paper pairs with
+    its bias tables is ALREADY this family's storage model: the
+    register table is row-sparse (only used buckets exist, state =
+    min(distinct, m) rows per group), and merges cost the used-bucket
+    count, not m. Error bounds + superiority over the branch
+    estimator are asserted in tests/test_round10_stats.py."""
+    q = HLL_W_BITS - 1  # 53: the largest rho a non-zero suffix can produce
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(
+            F.expr(f"CASE WHEN rho <= {q} THEN pow(0.5D, rho) ELSE 0D END")
+        ).alias("z_mid"),
+        F.sum(
+            F.expr(f"CASE WHEN rho = {HLL_W_BITS} THEN 1 ELSE 0 END")
+        ).alias("c_sat"),
+    )
+    m = HLL_M
+    sigma = (
+        "(x0 + aggregate(sequence(1, 60), 0D,"
+        " (acc, k) -> acc + pow(x0, pow(2D, k)) * pow(2D, k - 1)))"
+    )
+    tau = (
+        "((1D - xs - aggregate(sequence(1, 60), 0D,"
+        " (acc, k) -> acc + pow(1D - pow(xs, pow(0.5D, k)), 2D)"
+        " * pow(0.5D, k))) / 3D)"
+    )
+    return (
+        agg.withColumn(
+            "x0", (F.lit(m) - F.col("used_buckets")) / F.lit(float(m))
+        )
+        .withColumn("xs", F.lit(1.0) - F.col("c_sat") / F.lit(float(m)))
+        .select(
+            *group_cols,
+            "used_buckets",
+            F.expr(
+                f"{HLL_ALPHA_INF} * {m * m} / "
+                f"({m} * {sigma} + z_mid + {m} * {tau} * pow(0.5D, {q}))"
+            ).alias("est_distinct"),
+        )
+    )
+
+
 @register(
     "x109_hll_distinct",
     oracle=f"""

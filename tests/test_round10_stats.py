@@ -581,3 +581,97 @@ def test_stickiness_equals_component_ratio(spark, sf_dir):
             dau[r["day"]] / wau[r["day"]], abs=1e-6
         )
         assert 0 < r["stickiness"] <= 1
+
+
+# --- hll_estimate_corrected: the Ertl sigma/tau estimator ---------------
+
+
+def _ertl_reference(registers: dict[int, int], m: int, w_bits: int) -> float:
+    """Pure-Python twin of hll_estimate_corrected's formula."""
+    q = w_bits - 1
+    c0 = m - len(registers)
+    z_mid = sum(0.5 ** rho for rho in registers.values() if rho <= q)
+    c_sat = sum(1 for rho in registers.values() if rho == w_bits)
+
+    def sigma(x):
+        z, y, px = x, 1.0, x
+        for _ in range(60):
+            px = px * px
+            nz = z + px * y
+            y *= 2.0
+            if nz == z:
+                break
+            z = nz
+        return z
+
+    def tau(x):
+        if x in (0.0, 1.0):
+            return 0.0
+        z, y, px = 1.0 - x, 1.0, x
+        for _ in range(60):
+            px = math.sqrt(px)
+            y /= 2.0
+            nz = z - (1.0 - px) ** 2 * y
+            if nz == z:
+                break
+            z = nz
+        return z / 3.0
+
+    alpha_inf = 0.7213475204444817
+    denom = m * sigma(c0 / m) + z_mid + m * tau(1.0 - c_sat / m) * 0.5 ** q
+    return alpha_inf * m * m / denom
+
+
+def test_hll_corrected_matches_reference_and_beats_branch_estimator(spark):
+    """The corrected estimator (a) equals its pure-Python twin, (b)
+    stays within the m=128 error envelope at EVERY cardinality in a
+    sweep crossing the linear-counting/raw transition (~2.5m = 320,
+    the published estimator's bias bump), and (c) its mean absolute
+    relative error over the sweep is no worse than the published
+    branch estimator's."""
+    from etl_spark.extensions.sketches import (
+        HLL_M,
+        HLL_W_BITS,
+        hll_estimate,
+        hll_estimate_corrected,
+    )
+
+    sweep = [1, 5, 20, 80, 150, 250, 320, 400, 700, 2000, 10000, 60000]
+    rows = []
+    py_regs = {}
+    for n in sweep:
+        g = {}
+        for v in range(n):
+            h = _md5_60(f"k{n}:{v}")
+            b, w = h % HLL_M, h // HLL_M
+            rho = HLL_W_BITS if w == 0 else HLL_W_BITS - w.bit_length()
+            g[b] = max(g.get(b, 0), rho)
+        py_regs[n] = g
+        rows.extend((n, b, rho) for b, rho in g.items())
+    regs = spark.createDataFrame(rows, "n bigint, bucket bigint, rho int")
+
+    got = {
+        r["n"]: r["est_distinct"]
+        for r in hll_estimate_corrected(regs, ["n"]).collect()
+    }
+    branch = {
+        r["n"]: r["est_distinct"]
+        for r in hll_estimate(regs, ["n"]).collect()
+    }
+    errs_c, errs_b = [], []
+    for n in sweep:
+        ref = _ertl_reference(py_regs[n], HLL_M, HLL_W_BITS)
+        assert got[n] == pytest.approx(ref, rel=1e-9), f"n={n}"
+        rel_c = abs(got[n] - n) / n
+        rel_b = abs(branch[n] - n) / n
+        errs_c.append(rel_c)
+        errs_b.append(rel_b)
+        # 1.04/sqrt(128) ~ 9.2% is 1 sigma; 30% ~ 3 sigma, plus
+        # integer slack for tiny n
+        assert abs(got[n] - n) <= max(0.30 * n, 2.0), (
+            f"n={n}: est {got[n]}"
+        )
+    assert sum(errs_c) / len(errs_c) <= sum(errs_b) / len(errs_b) + 0.02, (
+        f"corrected mean err {sum(errs_c)/len(errs_c):.4f} vs "
+        f"branch {sum(errs_b)/len(errs_b):.4f}"
+    )
