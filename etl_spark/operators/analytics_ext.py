@@ -1591,3 +1591,286 @@ def x118_peak_active_orders(spark: SparkSession, sf: str) -> DataFrame:
             "peak_date"
         ),
     )
+
+
+# --- r11 warehouse analytics (VERDICT r10 #8): order-to-cash cycle, ------
+# --- supplier scorecard, OTIF fill rate — integer-exact end-to-end -------
+
+
+@register(
+    "x122_order_to_cash_cycle",
+    oracle="""
+        WITH cyc AS (
+            SELECT o.o_orderkey,
+                   CAST(year(o.o_orderdate) AS INT) AS yr,
+                   CAST(month(o.o_orderdate) AS INT) AS mo,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  MAX(CAST(l.l_shipdate AS DATE)))
+                        AS BIGINT) AS cycle_days,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, yr, mo,
+                     CAST(o.o_orderdate AS DATE), o.o_totalprice
+        )
+        SELECT yr, mo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(cents) AS total_cents,
+               CAST(100 * SUM(cycle_days) // COUNT(*) AS BIGINT)
+                 AS avg_cycle_days_x100,
+               CAST(100 * SUM(cycle_days * cents) // SUM(cents) AS BIGINT)
+                 AS cash_cycle_days_x100,
+               CAST(MAX(cycle_days) AS BIGINT) AS max_cycle_days
+        FROM cyc GROUP BY yr, mo
+    """,
+    tags=("extension", "warehouse", "interval", "agg"),
+    doc="Order-to-cash cycle time per order month: plain and cash-weighted average days from order to final shipment.",
+)
+def x122_order_to_cash_cycle(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER-TO-CASH CYCLE TIME — per order month, how many days from
+    order placement to the LAST line shipping (the order is not cash
+    until it ships complete), both as a plain average and weighted by
+    order value: the cash-weighted form answers the CFO question
+    'where is the money stuck', which a line-grain lag report (x105)
+    cannot — one late cheap line and one late expensive line look
+    identical there. Everything is integer-exact (the x111/x121
+    fixed-point rule): cycle days are date arithmetic, money is
+    cents, both averages are emitted x100 through one non-negative
+    integer division (Spark DIV == DuckDB // on these operands), so
+    no ROUND(double) edge exists for engines to disagree on.
+    Σ(cycle·cents) stays ~1e13 at sf0.1; at 100 TB widen the summand
+    to DECIMAL(38,0) (the x121 note).
+
+    Scale: ONE fact-keyed shuffle collapses lineitem to a span per
+    order (map-side MAX partials); the month rollup is months-sized.
+    The o⋈li join is HINTED to sort-merge: both sides are facts, and
+    the SMJ's orderkey Exchange is REUSED by the per-order groupBy —
+    whereas letting the 64 MB auto-broadcast threshold grab a
+    mid-size orders side costs a million-row hash build AND a second
+    full fact shuffle for the aggregate (measured at a 10x-replica
+    sf0.1 corpus: 9.2 s broadcast vs 3.0 s SMJ; sf0.001/sf0.1
+    unchanged-or-better). The same hazard is why the quiet 20x point
+    initially beat 10x: the bigger corpus crossed the threshold into
+    the better plan by accident. Pin the good plan; don't rely on
+    the flip."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cyc = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.to_date("o_orderdate").alias("d0"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .select(
+            "yr",
+            "mo",
+            "cents",
+            F.datediff("d1", "d0").cast("bigint").alias("cycle_days"),
+        )
+    )
+    return cyc.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.expr("100 * SUM(cycle_days) DIV COUNT(*)").alias(
+            "avg_cycle_days_x100"
+        ),
+        F.expr("100 * SUM(cycle_days * cents) DIV SUM(cents)").alias(
+            "cash_cycle_days_x100"
+        ),
+        F.max("cycle_days").alias("max_cycle_days"),
+    )
+
+
+X123_SLA_DAYS = 75  # scorecard on-time threshold: ship within 75 days
+
+
+@register(
+    "x123_supplier_scorecard",
+    oracle=f"""
+        WITH sline AS (
+            SELECT l.l_suppkey,
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT) AS rev_cents,
+                   CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                             <= {X123_SLA_DAYS}
+                        THEN 1 ELSE 0 END AS on_time,
+                   o.o_custkey
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        agg AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   SUM(rev_cents) AS revenue_cents,
+                   CAST(1000000 * SUM(on_time) // COUNT(*) AS BIGINT)
+                     AS on_time_ppm,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM sline GROUP BY l_suppkey
+        )
+        SELECT n.n_name AS nation, s.s_name, a.n_lines, a.revenue_cents,
+               a.on_time_ppm, a.n_customers,
+               CAST(row_number() OVER (
+                    PARTITION BY n.n_name
+                    ORDER BY a.revenue_cents DESC, s.s_suppkey)
+                    AS BIGINT) AS nation_rank
+        FROM agg a
+        JOIN supplier s ON s.s_suppkey = a.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("extension", "warehouse", "window", "agg"),
+    doc="Supplier scorecard: revenue, on-time ship rate, customer reach, revenue rank within nation.",
+)
+def x123_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    """SUPPLIER SCORECARD — the procurement league table joining
+    x97's aging discipline to x105's SLA lens, one row per supplier:
+    line volume, exact revenue cents, on-time-ship rate (shipped
+    within {X123_SLA_DAYS} days of the order date — the fixture's
+    commitdate stand-in, see the module docstring), distinct
+    customers reached, and the supplier's revenue rank WITHIN its
+    nation (row_number, ties to the lower suppkey, so both engines
+    enumerate one permutation). Rates ride the integer-ppm idiom
+    (x121): non-negative operands, Spark DIV == DuckDB //.
+
+    Scale: one fact-keyed shuffle to the per-supplier aggregate
+    (COUNT DISTINCT custkey expands to the standard two-phase
+    partial); supplier/nation dims broadcast AFTER the aggregate so
+    the join input is suppliers-sized; the rank window partitions by
+    nation over suppliers — dim-sized state. No fact re-scan. The
+    o⋈li join is hinted to sort-merge (the x122 rationale: both
+    sides are facts — measured 8.9 s broadcast vs 4.1 s SMJ at the
+    10x-replica corpus, and SMJ wins at sf0.1 too; shuffle-hash was
+    marginally faster still but SMJ is the spill-safe choice for a
+    build side that cannot be assumed to fit)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    sline = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "o_custkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("rev_cents"),
+        F.when(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            <= X123_SLA_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("on_time"),
+    )
+    agg = sline.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.expr("1000000 * SUM(on_time) DIV COUNT(*)").alias("on_time_ppm"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    ranked = (
+        agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn(
+            "nation_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("nation").orderBy(
+                    F.col("revenue_cents").desc(), "s_suppkey"
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    return ranked.select(
+        "nation", "s_name", "n_lines", "revenue_cents", "on_time_ppm",
+        "n_customers", "nation_rank",
+    )
+
+
+X124_SLA_DAYS = 90  # OTIF: every line of the order ships within 90 days
+
+
+@register(
+    "x124_otif_fill_rate",
+    oracle=f"""
+        WITH per_order AS (
+            SELECT o.o_orderkey,
+                   CAST(year(o.o_orderdate) AS INT) AS yr,
+                   CAST(month(o.o_orderdate) AS INT) AS mo,
+                   bool_and(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE))
+                            <= {X124_SLA_DAYS}) AS otif
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, yr, mo
+        )
+        SELECT yr, mo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN otif THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_otif,
+               CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS otif_ppm
+        FROM per_order GROUP BY yr, mo
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="OTIF fill rate per order month: share of orders whose EVERY line shipped within the SLA.",
+)
+def x124_otif_fill_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """OTIF (on-time-in-full) FILL RATE — the supply-chain KPI that
+    punishes partial lateness: an order counts ONLY if every line
+    shipped within {X124_SLA_DAYS} days of the order date, so one
+    straggler line fails the whole order (contrast x123's per-line
+    on-time rate, which a big order can carry). The ALL-lines gate is
+    A7's bool_and dependency-gate aggregate re-aimed at fulfillment;
+    the monthly rate is the x121 integer-ppm idiom — integers
+    end-to-end, nothing to round.
+
+    Scale: ONE fact-keyed shuffle to the per-order bool_and
+    (map-side partial AND); the month rollup is months-sized. The
+    same two-level shape as x122 — a shared span/gate CTE on a real
+    deployment serves x118/x122/x124 from one pass. The o⋈li join is
+    hinted to sort-merge so the join Exchange is reused by the
+    per-order aggregate (the x122 measurement)."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.bool_and(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                <= X124_SLA_DAYS
+            ).alias("otif")
+        )
+    )
+    return per_order.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("otif"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_otif"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("otif_ppm"),
+    )

@@ -133,20 +133,28 @@ def _ensure_loaded() -> None:
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
 # Round-11 window (tools/rotate_window.py output, VERDICT r10 #3):
-#   1. REVERIFY slots lead: the four r10 hash-fails (x109/x111/e13/
+#   1. the never-driver-checked r11 warehouse registrations
+#      (x122-x124) lead per policy rule 1;
+#   2. REVERIFY slots: the four r10 hash-fails (x109/x111/e13/
 #      x121 — fixed this round via the _pin_session UTC wrapper and
 #      the integer-exact x109/x121 surfaces; VERDICT r10 #1) plus
 #      q14_promo_effect, whose oracle was restructured to
 #      double-identical arithmetic when the tightened exact gate
 #      caught its DECIMAL-literal reorder (task 2 fallout);
-#   2. the r6 tier the r10-late registrations displaced (q08/q13/
+#   3. the r6 tier the r10-late registrations displaced (q08/q13/
 #      q15/q16/q17/q20/p02/j07/set02/q03/j10/j11, x14/x17-x20,
 #      a09-a11);
-#   3. the oldest r7 cohort in registration order (dedup x01-x05,
+#   4. the oldest r7 cohort in registration order (dedup x01-x05,
 #      x23/x37/x38/x69, ANN x57/x60/x71/x73/x74 — x74 also carries
-#      the quiet re-measure task — textstats x31-x35, corpus x26-x30,
-#      x70/x56).
+#      the quiet re-measure task — textstats x31-x35, corpus
+#      x26-x28; x30/x70/x56 were displaced to r12 by the x122-x124
+#      registrations).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked: the r11 warehouse registrations lead
+    #    (policy rule 1)
+    "x122_order_to_cash_cycle",
+    "x123_supplier_scorecard",
+    "x124_otif_fill_rate",
     # -- REVERIFY: r10 red rows, fixed this round (policy exemption)
     "x109_hll_distinct",
     "x111_cusum_changepoint",
@@ -198,9 +206,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x26_repetition_stats",
     "x27_hash_sample",
     "x28_sequence_pack",
-    "x30_chunk_docs",
-    "x70_source_league",
-    "x56_training_manifest",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

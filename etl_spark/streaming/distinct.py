@@ -192,12 +192,22 @@ def hll_state(spark: SparkSession, path: str) -> DataFrame:
     return parts[0] if len(parts) == 1 else hll_merge(*parts)
 
 
-def hll_distinct_estimates(spark: SparkSession, path: str) -> DataFrame:
-    """Per-day distinct-user ESTIMATES off the stored registers (the
-    x109 estimator)."""
-    from etl_spark.extensions.sketches import hll_estimate
+def hll_distinct_estimates(
+    spark: SparkSession, path: str, corrected: bool = False
+) -> DataFrame:
+    """Per-day distinct-user ESTIMATES off the stored registers.
+    ``corrected=True`` switches from the published branch estimator
+    (x109's ``hll_estimate``) to the table-free bias-corrected Ertl
+    sigma/tau estimator (``hll_estimate_corrected``) — same stored
+    state, no branch-point bias bump around 2.5m; prefer it for
+    monitors that alert on day-over-day deltas."""
+    from etl_spark.extensions.sketches import (
+        hll_estimate,
+        hll_estimate_corrected,
+    )
 
-    return hll_estimate(hll_state(spark, path), ["day"])
+    fold = hll_estimate_corrected if corrected else hll_estimate
+    return fold(hll_state(spark, path), ["day"])
 
 
 def run_hll_ingest(

@@ -215,6 +215,11 @@ def test_streaming_hll_state_equals_single_build(spark, sf_dir, tmp_path):
     for r in hll_distinct_estimates(spark, state).collect():
         truth = exact[str(r["day"])]
         assert abs(r["est_distinct"] - truth) <= 0.3 * truth
+    # the bias-corrected fold reads the SAME state and stays in the
+    # envelope too
+    for r in hll_distinct_estimates(spark, state, corrected=True).collect():
+        truth = exact[str(r["day"])]
+        assert abs(r["est_distinct"] - truth) <= 0.3 * truth
 
     # compaction preserves the registers bit-for-bit
     before = sorted(map(tuple, hll_state(spark, state).collect()))
