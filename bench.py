@@ -186,10 +186,13 @@ HEADLINE = [
     "x120_weighted_percentiles",
     "x121_gini_concentration",
     "e14_dau_wau_stickiness",
-    # r11: warehouse KPIs — order-to-cash, supplier scorecard, OTIF
+    # r11: warehouse KPIs — order-to-cash, supplier scorecard, OTIF,
+    # priority mix shift; session-quality rollup
     "x122_order_to_cash_cycle",
     "x123_supplier_scorecard",
     "x124_otif_fill_rate",
+    "x125_priority_mix_shift",
+    "e15_session_duration_daily",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

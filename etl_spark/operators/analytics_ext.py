@@ -1874,3 +1874,69 @@ def x124_otif_fill_rate(spark: SparkSession, sf: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("otif_ppm"),
     )
+
+
+@register(
+    "x125_priority_mix_shift",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        shares AS (
+            SELECT yr, mo, o_orderpriority, n_orders,
+                   CAST(1000000 * n_orders
+                        // SUM(n_orders) OVER (PARTITION BY yr, mo)
+                        AS BIGINT) AS share_ppm
+            FROM m
+        )
+        SELECT yr, mo, o_orderpriority, n_orders, share_ppm,
+               share_ppm - LAG(share_ppm) OVER (
+                   PARTITION BY o_orderpriority ORDER BY yr, mo)
+                 AS delta_ppm
+        FROM shares
+    """,
+    tags=("extension", "warehouse", "window"),
+    doc="Month-over-month order-priority mix: share of each priority per month and its ppm shift vs the prior month.",
+)
+def x125_priority_mix_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER-PRIORITY MIX SHIFT — per month, each priority's share of
+    order volume (ppm) and its month-over-month delta: the
+    composition-drift monitor ('are URGENT orders crowding out the
+    rest?') that catches a mix change a plain volume chart hides. Two
+    window passes over the MONTHS x PRIORITIES aggregate (a share
+    window per month, a LAG per priority across months) — windows on
+    aggregates, never on facts; share_ppm is the x121 integer idiom
+    and the delta is plain integer subtraction (may be negative —
+    no division touches it, so no DIV/floor divergence surface
+    exists; NULL for each priority's first month in both engines).
+
+    Scale: the fact reduces to a months x priorities cell table in
+    one map-side-combined aggregate; both windows and the LAG run
+    over that calendar-sized table. One fact Exchange total."""
+    m = (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    shares = m.withColumn(
+        "share_ppm",
+        F.expr(
+            "CAST(1000000 * n_orders DIV SUM(n_orders)"
+            " OVER (PARTITION BY yr, mo) AS BIGINT)"
+        ),
+    )
+    return shares.withColumn(
+        "delta_ppm",
+        F.col("share_ppm")
+        - F.lag("share_ppm").over(
+            Window.partitionBy("o_orderpriority").orderBy("yr", "mo")
+        ),
+    )

@@ -955,3 +955,96 @@ def e14_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "e15_session_duration_daily",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                     - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               SUM(dur_s) AS total_duration_s,
+               CAST(100 * SUM(dur_s) // COUNT(*) AS BIGINT)
+                 AS avg_duration_s_x100,
+               CAST(100 * SUM(n_events) // COUNT(*) AS BIGINT)
+                 AS avg_events_x100,
+               CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS bounce_ppm
+        FROM per_session GROUP BY day
+    """,
+    tags=("events", "window", "session"),
+    doc="Daily session-quality rollup over gap-based sessions: count, duration, depth, bounce rate.",
+)
+def e15_session_duration_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """DAILY SESSION QUALITY — w04's gap-based sessionization (30-min
+    inactivity) composed into the product-health rollup: sessions per
+    day (of session start), total/average duration, average depth,
+    and bounce rate (single-event sessions). The engagement dashboard
+    behind 'is the product getting stickier', and the proof the
+    sessionize stage COMPOSES: same lag -> flag -> prefix-sum
+    construction as the standalone w04, then two aggregates. All
+    emissions are integer-exact (x121 ppm idiom; durations are
+    second-truncated epoch differences — the w04 tie rule — so both
+    engines subtract identical integers).
+
+    Scale: ONE user-keyed Exchange does everything fact-sized — the
+    session window partitions by user_id and the per-session groupBy
+    (user_id, session_id) REUSES that partitioning (same leading
+    key, no second fact shuffle; the x122 lesson applied to windows);
+    the day rollup is days-sized. Bounded session state is the
+    streaming twin's job (session_window + watermark,
+    streaming/stateful.py)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_sec = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', lag(ts) over "
+        "(partition by user_id order by ts asc, event_id asc)), "
+        "date_trunc('second', ts))"
+    )
+    marked = load(spark, sf, "events").withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        (
+            F.expr("CAST(floor(unix_timestamp(MAX(ts))) AS BIGINT)")
+            - F.expr("CAST(floor(unix_timestamp(MIN(ts))) AS BIGINT)")
+        ).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_s").alias("total_duration_s"),
+        F.expr("100 * SUM(dur_s) DIV COUNT(*)").alias("avg_duration_s_x100"),
+        F.expr("100 * SUM(n_events) DIV COUNT(*)").alias("avg_events_x100"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

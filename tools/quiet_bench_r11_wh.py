@@ -1,4 +1,4 @@
-"""Quiet-host scale evidence for the r11 warehouse KPIs (x122
+"""Quiet-host scale evidence for the r11 warehouse KPIs + session rollup (x122
 order-to-cash cycle, x123 supplier scorecard, x124 OTIF fill rate):
 n=3 runs at 10x/20x replica corpora, the r9e/r10_wh protocol (entity
 key spaces shifted per replica, xxhash64 forcing, no concurrent Spark
@@ -31,6 +31,8 @@ SCALE_QUERIES = (
     "x122_order_to_cash_cycle",
     "x123_supplier_scorecard",
     "x124_otif_fill_rate",
+    "e15_session_duration_daily",
+    "x125_priority_mix_shift",
 )
 
 
@@ -60,7 +62,7 @@ def main() -> None:
 
     section: dict = {
         "note": (
-            "r11 warehouse KPIs quiet scale (x122-x124): r9e replica "
+            "r11 warehouse KPIs + session rollup quiet scale (x122-x125, e15): r9e replica "
             "protocol, n=3, xxhash64-forced; supplier/nation/customer "
             "unreplicated dims."
         )
