@@ -193,6 +193,7 @@ HEADLINE = [
     "x124_otif_fill_rate",
     "x125_priority_mix_shift",
     "e15_session_duration_daily",
+    "x126_sla_histogram_percentiles",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

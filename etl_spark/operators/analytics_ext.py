@@ -1635,9 +1635,12 @@ def x122_order_to_cash_cycle(spark: SparkSession, sf: str) -> DataFrame:
     cannot — one late cheap line and one late expensive line look
     identical there. Everything is integer-exact (the x111/x121
     fixed-point rule): cycle days are date arithmetic, money is
-    cents, both averages are emitted x100 through one non-negative
-    integer division (Spark DIV == DuckDB // on these operands), so
-    no ROUND(double) edge exists for engines to disagree on.
+    cents, both averages are emitted x100 through one integer
+    division. The fixture ships some lines BEFORE the order date, so
+    the day sums can be negative — Spark DIV and DuckDB BIGINT //
+    both truncate toward zero (the e09 MEASURED rule, pinned by its
+    refund-stream test), so the engines agree for any sign and no
+    ROUND(double) edge exists to disagree on.
     Σ(cycle·cents) stays ~1e13 at sf0.1; at 100 TB widen the summand
     to DECIMAL(38,0) (the x121 note).
 
@@ -1939,4 +1942,100 @@ def x125_priority_mix_shift(spark: SparkSession, sf: str) -> DataFrame:
         - F.lag("share_ppm").over(
             Window.partitionBy("o_orderpriority").orderBy("yr", "mo")
         ),
+    )
+
+
+@register(
+    "x126_sla_histogram_percentiles",
+    oracle="""
+        WITH lag AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+                   CAST(month(o.o_orderdate) AS INT) AS mo,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                     AS lag_days
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        hist AS (
+            SELECT yr, mo, lag_days,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lag GROUP BY yr, mo, lag_days
+        ),
+        cum AS (
+            SELECT yr, mo, lag_days, n,
+                   SUM(n) OVER (PARTITION BY yr, mo ORDER BY lag_days) AS cw,
+                   SUM(n) OVER (PARTITION BY yr, mo) AS total
+            FROM hist
+        )
+        SELECT yr, mo,
+               CAST(MAX(total) AS BIGINT) AS n_lines,
+               CAST(MIN(CASE WHEN 100 * cw >= 50 * total
+                             THEN lag_days END) AS BIGINT) AS p50_days,
+               CAST(MIN(CASE WHEN 100 * cw >= 90 * total
+                             THEN lag_days END) AS BIGINT) AS p90_days,
+               CAST(MIN(CASE WHEN 100 * cw >= 95 * total
+                             THEN lag_days END) AS BIGINT) AS p95_days,
+               CAST(MAX(lag_days) AS BIGINT) AS max_days
+        FROM cum GROUP BY yr, mo
+    """,
+    tags=("extension", "sla", "window", "scale"),
+    doc="Exact inverted-CDF SLA percentiles per month from the bounded-domain lag-day histogram — the 100 TB percentile path.",
+)
+def x126_sla_histogram_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """x105's SCALE PATH made real — exact p50/p90/p95 ship-lag days
+    per order month computed from the (month, lag_day) HISTOGRAM
+    instead of buffering per-group value lists: lag days are a
+    BOUNDED integer domain (a few hundred distinct values no matter
+    how many trillion lines), so the histogram is calendar x domain
+    sized, the cumulative window runs over THAT, and the percentile
+    is 'smallest day whose cumulative count reaches p% of the total'
+    (the inverted-CDF / type-1 definition, x120's integer predicate
+    100*cw >= p*total — NO interpolation, NO float, NOTHING to
+    round). Where x105's exact interpolated percentile must hold
+    each group's values (its docstring defers to approx_percentile
+    at 100 TB), this form never degrades: same one fact-keyed
+    aggregate, then windows over histogram rows. Inverted-CDF
+    returns the actual smallest OBSERVED day at or past the cut — it
+    can land on either side of x105's interpolated value (the two
+    definitions index the same mass differently); equality with the
+    naive type-1 definition on raw lag days is asserted in
+    tests/test_r11_warehouse.py.
+
+    Scale: ONE fact Exchange to (yr, mo, lag_day) cells with
+    map-side combine; both windows and the final min-where aggregate
+    are histogram-sized. The same pattern serves any bounded-domain
+    metric (latency buckets, retry counts, quantized scores)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    hist = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("lag_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("yr", "mo")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cw", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("yr", "mo"))
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(100 * F.col("cw") >= pct * F.col("total"), F.col("lag_days"))
+        ).cast("bigint")
+
+    return cum.groupBy("yr", "mo").agg(
+        F.max("total").cast("bigint").alias("n_lines"),
+        pick(50).alias("p50_days"),
+        pick(90).alias("p90_days"),
+        pick(95).alias("p95_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
     )

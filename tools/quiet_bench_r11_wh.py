@@ -33,6 +33,7 @@ SCALE_QUERIES = (
     "x124_otif_fill_rate",
     "e15_session_duration_daily",
     "x125_priority_mix_shift",
+    "x126_sla_histogram_percentiles",
 )
 
 
