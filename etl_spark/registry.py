@@ -44,7 +44,14 @@ def _pin_session(fn: QueryFn) -> QueryFn:
     @functools.wraps(fn)
     def run(spark: SparkSession, sf: str) -> DataFrame:
         for k, v in _SESSION_PINS.items():
-            spark.conf.set(k, v)
+            # defensive: both keys are runtime-settable on stock Spark,
+            # but if a host session ever rejects one, degrade to the
+            # un-pinned (r10) behavior for that key rather than failing
+            # every registered query on the set() itself
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # pragma: no cover - host-specific
+                pass
         return fn(spark, sf)
 
     return run
