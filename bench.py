@@ -194,6 +194,7 @@ HEADLINE = [
     "x125_priority_mix_shift",
     "e15_session_duration_daily",
     "x126_sla_histogram_percentiles",
+    "x127_customer_churn_buckets",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -2039,3 +2039,84 @@ def x126_sla_histogram_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         pick(95).alias("p95_days"),
         F.max("lag_days").cast("bigint").alias("max_days"),
     )
+
+
+X127_BUCKETS = ((90, "active"), (180, "cooling"))  # else "churned"
+
+
+@register(
+    "x127_customer_churn_buckets",
+    oracle="""
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        cust AS (
+            SELECT o_custkey,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS lifetime_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        bucketed AS (
+            SELECT c.c_mktsegment,
+                   CASE WHEN date_diff('day', u.last_order, a.maxd) <= 90
+                        THEN 'active'
+                        WHEN date_diff('day', u.last_order, a.maxd) <= 180
+                        THEN 'cooling'
+                        ELSE 'churned' END AS bucket,
+                   u.n_orders, u.lifetime_cents
+            FROM cust u
+            JOIN customer c ON c.c_custkey = u.o_custkey
+            CROSS JOIN anchor a
+        )
+        SELECT c_mktsegment, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               SUM(lifetime_cents) AS lifetime_cents
+        FROM bucketed GROUP BY c_mktsegment, bucket
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="Customer dormancy buckets per market segment: active/cooling/churned by days since last order, with lifetime value at risk.",
+)
+def x127_customer_churn_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOMER CHURN/DORMANCY report — every customer bucketed by
+    days since their LAST order relative to the corpus anchor (the
+    x97 slow-mover pattern aimed at customers instead of parts):
+    active (<=90 d), cooling (<=180 d), churned (beyond), per market
+    segment with order count and lifetime revenue — the 'value at
+    risk' table a retention team budgets against, complementing
+    x96's cohort LTV (acquisition view) and x102's new-vs-returning
+    (flow view) with the stock view. Integer-exact throughout: day
+    arithmetic, cents, counts — nothing to round.
+
+    Scale: ONE fact-keyed shuffle to the per-customer rollup
+    (map-side MAX/SUM partials); the anchor is a 1-row broadcast
+    crossJoin (the x111 totals pattern); the customer dim broadcasts;
+    the final aggregate is segments x 3 rows."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("lifetime_cents"),
+    )
+    age = F.datediff(F.col("maxd"), F.col("last_order"))
+    bucket = F.when(age <= X127_BUCKETS[0][0], X127_BUCKETS[0][1]).when(
+        age <= X127_BUCKETS[1][0], X127_BUCKETS[1][1]
+    ).otherwise("churned")
+    return (
+        cust.crossJoin(F.broadcast(anchor))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("lifetime_cents").alias("lifetime_cents"),
+        )
+    )

@@ -153,8 +153,8 @@ def _ensure_loaded() -> None:
 #      a09-a11);
 #   4. the oldest r7 cohort in registration order (dedup x01-x05,
 #      x23/x37/x38/x69, ANN x57/x60/x71/x73/x74 — x74 also carries
-#      the quiet re-measure task — textstats x31-x35, corpus
-#      x26/x27/x28/x30/x70/x56 displaced to r12 by the six
+#      the quiet re-measure task — textstats x31-x34;
+#      x35/x26/x27/x28/x30/x70/x56 displaced to r12 by the seven
 #      never-checked r11 registrations).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: the r11 warehouse registrations lead
@@ -165,6 +165,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "e15_session_duration_daily",
     "x125_priority_mix_shift",
     "x126_sla_histogram_percentiles",
+    "x127_customer_churn_buckets",
     # -- REVERIFY: r10 red rows, fixed this round (policy exemption)
     "x109_hll_distinct",
     "x111_cusum_changepoint",
@@ -212,7 +213,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x32_length_histogram",
     "x33_word_freq_zipf",
     "x34_bigram_counts",
-    "x35_type_token_ratio",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

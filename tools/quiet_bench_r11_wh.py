@@ -34,6 +34,7 @@ SCALE_QUERIES = (
     "e15_session_duration_daily",
     "x125_priority_mix_shift",
     "x126_sla_histogram_percentiles",
+    "x127_customer_churn_buckets",
 )
 
 
