@@ -1079,7 +1079,7 @@ def hll_estimate_corrected(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         )
         SELECT o_orderpriority, used_buckets,
                CAST({HLL_M} - used_buckets AS BIGINT) AS zero_buckets,
-               s_scaled,
+               CAST(s_scaled AS BIGINT) AS s_scaled,
                CAST(CAST({HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M * HLL_M}
                     * {1 << HLL_W_BITS}
                     // (CAST(1000000 AS HUGEINT) * s_scaled)

@@ -1615,7 +1615,7 @@ def x118_peak_active_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT yr, mo,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               SUM(cents) AS total_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
                CAST(100 * SUM(cycle_days) // COUNT(*) AS BIGINT)
                  AS avg_cycle_days_x100,
                CAST(100 * SUM(cycle_days * cents) // SUM(cents) AS BIGINT)
@@ -1713,7 +1713,7 @@ X123_SLA_DAYS = 75  # scorecard on-time threshold: ship within 75 days
         agg AS (
             SELECT l_suppkey,
                    CAST(COUNT(*) AS BIGINT) AS n_lines,
-                   SUM(rev_cents) AS revenue_cents,
+                   CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
                    CAST(1000000 * SUM(on_time) // COUNT(*) AS BIGINT)
                      AS on_time_ppm,
                    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
@@ -2046,7 +2046,11 @@ X127_BUCKETS = ((90, "active"), (180, "cooling"))  # else "churned"
 
 @register(
     "x127_customer_churn_buckets",
-    oracle="""
+    # f-string so the bucket thresholds/labels interpolate from
+    # X127_BUCKETS — editing the constant cannot desync the oracle
+    # from the Spark side (the x123/x124 SLA-constant pattern;
+    # ADVICE r11)
+    oracle=f"""
         WITH anchor AS (
             SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
         ),
@@ -2060,10 +2064,12 @@ X127_BUCKETS = ((90, "active"), (180, "cooling"))  # else "churned"
         ),
         bucketed AS (
             SELECT c.c_mktsegment,
-                   CASE WHEN date_diff('day', u.last_order, a.maxd) <= 90
-                        THEN 'active'
-                        WHEN date_diff('day', u.last_order, a.maxd) <= 180
-                        THEN 'cooling'
+                   CASE WHEN date_diff('day', u.last_order, a.maxd)
+                             <= {X127_BUCKETS[0][0]}
+                        THEN '{X127_BUCKETS[0][1]}'
+                        WHEN date_diff('day', u.last_order, a.maxd)
+                             <= {X127_BUCKETS[1][0]}
+                        THEN '{X127_BUCKETS[1][1]}'
                         ELSE 'churned' END AS bucket,
                    u.n_orders, u.lifetime_cents
             FROM cust u
@@ -2073,7 +2079,7 @@ X127_BUCKETS = ((90, "active"), (180, "cooling"))  # else "churned"
         SELECT c_mktsegment, bucket,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(SUM(n_orders) AS BIGINT) AS n_orders,
-               SUM(lifetime_cents) AS lifetime_cents
+               CAST(SUM(lifetime_cents) AS BIGINT) AS lifetime_cents
         FROM bucketed GROUP BY c_mktsegment, bucket
     """,
     tags=("extension", "warehouse", "agg"),

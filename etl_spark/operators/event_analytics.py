@@ -794,7 +794,7 @@ E13_LOOKBACK_S = 86400  # attribution lookback: 1 day in seconds
         )
         SELECT COALESCE(substr(lt, 14), 'direct') AS channel,
                CAST(COUNT(*) AS BIGINT) AS n_purchases,
-               SUM(cents) AS revenue_cents
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
         FROM touched
         WHERE event_type = 'purchase'
         GROUP BY COALESCE(substr(lt, 14), 'direct')
@@ -985,7 +985,7 @@ def e14_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT day,
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
-               SUM(dur_s) AS total_duration_s,
+               CAST(SUM(dur_s) AS BIGINT) AS total_duration_s,
                CAST(100 * SUM(dur_s) // COUNT(*) AS BIGINT)
                  AS avg_duration_s_x100,
                CAST(100 * SUM(n_events) // COUNT(*) AS BIGINT)

@@ -384,7 +384,7 @@ def x110_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
                        OVER (ORDER BY d.day) AS p
             FROM daily d CROSS JOIN tot t
         )
-        SELECT day, cents,
+        SELECT day, CAST(cents AS BIGINT) AS cents,
                CAST((p - LEAST(CAST(0 AS BIGINT),
                                MIN(p) OVER (ORDER BY day))) // n_days
                     AS BIGINT) AS cusum_up_cents,
@@ -412,8 +412,9 @@ def x111_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     fixed-point rule): deviations are scaled by n_days (n·x_i −
     total) so the mean needs NO division, every window value is a
     BIGINT, and the one integer division at the edge is over
-    non-negative operands (Spark DIV truncates, DuckDB // floors —
-    equal on non-negatives, the e09 advisory applied). A day flags
+    non-negative operands (Spark DIV and DuckDB BIGINT // both
+    truncate toward zero — the fuzz-pinned e09 rule — so they agree
+    for any sign; non-negativity stays as defense). A day flags
     when its accumulated deviation exceeds 2x the mean daily revenue.
 
     Scale: the fact scan reduces to a days-sized daily aggregate
@@ -697,7 +698,7 @@ def x120_weighted_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               SUM(cents) AS total_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
                CAST((CAST(2 AS HUGEINT) * SUM(i * cents)
                      - (COUNT(*) + 1) * SUM(cents)) * 1000000
                     // (COUNT(*) * CAST(SUM(cents) AS HUGEINT))
@@ -717,8 +718,10 @@ def x121_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     so both engines enumerate the identical permutation, and G is
     emitted as GINI_PPM = (2·Σ(i·x) − (n+1)·Σx)·10^6 DIV (n·Σx) —
     integer arithmetic end-to-end (DECIMAL(38,0) here, HUGEINT in the
-    oracle; the numerator is ≥ 0 by the rearrangement inequality, so
-    Spark's truncating DIV equals DuckDB's flooring //). The r10 form
+    oracle; both engines' integer division TRUNCATES toward zero —
+    the rule tests/test_cross_engine_arithmetic.py fuzz-pinned on
+    DuckDB 1.0 — and the numerator is ≥ 0 by the rearrangement
+    inequality anyway, a good invariant to keep). The r10 form
     ended in ROUND(double, 6), the classic cross-engine rounding
     boundary the driver's exact hash gate flagged (VERDICT r10 #1);
     no double exists anywhere in this plan now.

@@ -75,7 +75,18 @@ def register(
     tags: tuple[str, ...] = (),
     doc: str = "",
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query under ``name``."""
+    """Decorator: register a query under ``name``.
+
+    SIDE EFFECT (ADVICE r11): the registered callable is wrapped by
+    ``_pin_session``, so EVERY invocation sets ``_SESSION_PINS``
+    (session timeZone=UTC, ansi.enabled=true) on the caller-supplied
+    SparkSession and deliberately does NOT restore the previous
+    values — the pin must stick through the driver's later
+    ``collect()`` on the returned (lazy) DataFrame, and a restore
+    before that collect would re-break the r10 TZ class. Hosts that
+    need different session semantics for unrelated work should
+    re-set those confs after consuming the result.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -139,80 +150,71 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-11 window (tools/rotate_window.py output, VERDICT r10 #3):
-#   1. the never-driver-checked r11 warehouse registrations
-#      (x122-x124) lead per policy rule 1;
-#   2. REVERIFY slots: the four r10 hash-fails (x109/x111/e13/
-#      x121 — fixed this round via the _pin_session UTC wrapper and
-#      the integer-exact x109/x121 surfaces; VERDICT r10 #1) plus
-#      q14_promo_effect, whose oracle was restructured to
-#      double-identical arithmetic when the tightened exact gate
-#      caught its DECIMAL-literal reorder (task 2 fallout);
-#   3. the r6 tier the r10-late registrations displaced (q08/q13/
-#      q15/q16/q17/q20/p02/j07/set02/q03/j10/j11, x14/x17-x20,
-#      a09-a11);
-#   4. the oldest r7 cohort in registration order (dedup x01-x05,
-#      x23/x37/x38/x69, ANN x57/x60/x71/x73/x74 — x74 also carries
-#      the quiet re-measure task — textstats x31-x34;
-#      x35/x26/x27/x28/x30/x70/x56 displaced to r12 by the seven
-#      never-checked r11 registrations).
+# Round-12 window (tools/rotate_window.py output + VERDICT r11 #2):
+#   1. REVERIFY slots: the eight r11 hash-fails (x122/x123/e15/x127/
+#      x109/x111/e13/x121) — all were value-exact but emitted one
+#      HUGEINT oracle column each (DuckDB types SUM(BIGINT) as
+#      int128, which the driver's hasher serializes differently from
+#      Spark's int64); fixed this round with CAST(... AS BIGINT) at
+#      the oracle output, guarded forever by the type-parity gate in
+#      tests/test_oracle.py (VERDICT r11 #1);
+#   2. the 30-query r7 cohort, oldest-first in registration order —
+#      x35/x26/x27/x28/x30/x70/x56 lead (already displaced once, r11);
+#   3. the head of the r8 tier fills the remaining 12 slots.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: the r11 warehouse registrations lead
-    #    (policy rule 1)
+    # -- REVERIFY: r11 HUGEINT-red rows, oracle CAST fixed this round
     "x122_order_to_cash_cycle",
     "x123_supplier_scorecard",
-    "x124_otif_fill_rate",
     "e15_session_duration_daily",
-    "x125_priority_mix_shift",
-    "x126_sla_histogram_percentiles",
     "x127_customer_churn_buckets",
-    # -- REVERIFY: r10 red rows, fixed this round (policy exemption)
     "x109_hll_distinct",
     "x111_cusum_changepoint",
     "e13_last_touch_attribution",
     "x121_gini_concentration",
-    # -- REVERIFY: oracle restructured this round (exact-gate find)
-    "q14_promo_effect",
-    # -- last green r6
-    "x14_bow_clusters",
-    "x17_quality_filter",
-    "x18_tfidf_top_terms",
-    "x19_corpus_stats",
-    "x20_bpe_token_count",
-    "a09_pivot",
-    "a10_unpivot",
-    "a11_grouping_sets",
-    "q08_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q20_promo_shippers",
-    "p02_like_contains",
-    "j07_anti",
-    "set02_except",
-    "q03_shipping_priority",
-    "j10_salted_skew_join",
-    "j11_salted_hotkeys_join",
-    # -- last green r7
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_signatures",
-    "x04_minhash_lsh_pairs",
-    "x05_simhash",
-    "x23_jaccard_capped_pairs",
-    "x37_incremental_neardup",
-    "x38_minhash_error",
-    "x69_cluster_size_histogram",
-    "x57_semdedup",
-    "x60_modal_agreement",
-    "x71_kmeans_ivf_knn_join",
-    "x73_pq_adc_topk",
-    "x74_ivfpq_knn_join",
-    "x31_quality_percentile_gate",
-    "x32_length_histogram",
-    "x33_word_freq_zipf",
-    "x34_bigram_counts",
+    # -- last green r7 (x35..x56 were displaced once already — lead)
+    "x35_type_token_ratio",
+    "x26_repetition_stats",
+    "x27_hash_sample",
+    "x28_sequence_pack",
+    "x30_chunk_docs",
+    "x70_source_league",
+    "x56_training_manifest",
+    "x58_curation_funnel",
+    "x59_incremental_segment_dedup",
+    "x61_length_bucket_packing",
+    "x68_shard_stats",
+    "x62_dsir_importance",
+    "x64_incremental_dsir",
+    "x63_source_cap",
+    "x66_epoch_upsample",
+    "x67_quality_lr_step",
+    "w03_lag_lead_delta",
+    "w04_sessionize",
+    "j09_asof_join",
+    "f09_json_extract",
+    "w07_percent_rank",
+    "a14_filtered_agg",
+    "a15_median_mode",
+    "f12_string_agg",
+    "f13_price_histogram",
+    "q21_sole_returned_supplier",
+    "q22_dormant_customers",
+    "q23_gapfill_daily",
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    # -- last green r8 (tier head fills the window)
+    "x29_dup_clusters",
+    "x24_blocked_neardup",
+    "x39_kmeans_assign",
+    "x42_neardup_bucket_audit",
+    "x43_embedding_norm_stats",
+    "x36_pii_scrub",
+    "x40_stratified_split",
+    "x41_cross_source_overlap",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "e01_funnel_steps",
+    "e02_retention_cohorts",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
@@ -222,16 +224,22 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # re-verification lands.
 REVERIFY_THIS_ROUND: frozenset[str] = frozenset(
     {
+        "x122_order_to_cash_cycle",
+        "x123_supplier_scorecard",
+        "e15_session_duration_daily",
+        "x127_customer_churn_buckets",
         "x109_hll_distinct",
         "x111_cusum_changepoint",
         "e13_last_touch_attribution",
         "x121_gini_concentration",
-        "q14_promo_effect",
     }
 )
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs, driver-window order. Note each spec's
+    ``fn`` pins ``_SESSION_PINS`` on the session it is called with and
+    does not restore prior values (see ``register``)."""
     _ensure_loaded()
     # A typo'd or renamed entry would silently fall out of the window
     # instead of pinning it — fail loudly instead (ADVICE r3).

@@ -76,6 +76,138 @@ def test_oracle_parity(spark, sf_dir, name):
     _assert_parity(spark, sf_dir, name)
 
 
+# --- Oracle result-TYPE parity (VERDICT r11 "Next round" #1) -------------
+#
+# The driver hashes RESULT TYPES, not just values: CORRECTNESS_r10+r11
+# showed a perfect 12/12-vs-88/88 separation — a query fails the driver's
+# hash IFF its DuckDB oracle emits a HUGEINT (int128) column, because
+# DuckDB types SUM(BIGINT) as HUGEINT and the driver's Arrow/pandas
+# serialization of int128 differs from Spark's int64 even when every
+# value is identical. The value-level gate above cannot see this (DuckDB
+# fetches HUGEINT as a plain Python int), so this gate checks the
+# DECLARED relation types: no HUGEINT ever, and each oracle column's
+# type must map to the same hash family as the Spark column it is
+# compared against (int->int64, float->float64, DECIMAL scale equal).
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _duck_hash_family(t: str) -> str:
+    u = str(t).upper()
+    if u in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if u in _DUCK_INT:
+        return "int64"
+    if u in ("FLOAT", "DOUBLE"):
+        return "float64"
+    if u.startswith("DECIMAL"):
+        # hash family keys on SCALE: DuckDB and Spark may widen precision
+        # differently through arithmetic, but a scale mismatch changes the
+        # serialized digits (q14's DECIMAL-literal reorder, r11)
+        return "decimal.s=" + u.rstrip(")").rsplit(",", 1)[-1].strip()
+    if u in ("VARCHAR", "TEXT", "STRING", "JSON"):
+        return "string"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "BLOB":
+        return "binary"
+    if u.endswith("[]"):
+        return "array"
+    return u.lower()
+
+
+def _spark_hash_family(dt: str) -> str:
+    if dt in _SPARK_INT:
+        return "int64"
+    if dt in ("float", "double"):
+        return "float64"
+    if dt.startswith("decimal"):
+        return "decimal.s=" + dt.rstrip(")").rsplit(",", 1)[-1].strip()
+    if dt == "string":
+        return "string"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt == "binary":
+        return "binary"
+    if dt.startswith("array"):
+        return "array"
+    return dt
+
+
+def _assert_type_parity(
+    name: str, duck_types: dict[str, str], spark_types: dict[str, str]
+) -> None:
+    """Pure gate over (column -> declared type) maps from both engines."""
+    huge = [c for c, t in duck_types.items()
+            if _duck_hash_family(t) == "int128"]
+    assert not huge, (
+        f"{name}: oracle columns {huge} type as HUGEINT (DuckDB types "
+        f"SUM(BIGINT) as int128; the driver hashes int128 != int64 even "
+        f"for identical values — CORRECTNESS_r11's 8 reds). Wrap the "
+        f"aggregate in CAST(... AS BIGINT)."
+    )
+    assert set(duck_types) == set(spark_types), (
+        f"{name}: column sets differ: oracle-only "
+        f"{sorted(set(duck_types) - set(spark_types))}, spark-only "
+        f"{sorted(set(spark_types) - set(duck_types))}"
+    )
+    mismatch = {
+        c: (duck_types[c], spark_types[c])
+        for c in duck_types
+        if _duck_hash_family(duck_types[c]) != _spark_hash_family(spark_types[c])
+    }
+    assert not mismatch, (
+        f"{name}: hash-family mismatch (oracle type, spark type): {mismatch}"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_type_parity(spark, sf_dir, name):
+    spec = SPECS[name]
+    con = _duck(sf_dir)
+    rel = con.sql(spec.oracle)
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    con.close()
+    spark_types = dict(spec.fn(spark, sf_dir).dtypes)
+    _assert_type_parity(name, duck_types, spark_types)
+
+
+def test_type_parity_gate_catches_planted_hugeint(sf_dir):
+    """Mutation test for the gate itself (VERDICT r11 #7): a bare
+    integer SUM — exactly the defect that made 8 driver rows red —
+    must be caught from the DECLARED types alone."""
+    con = _duck(sf_dir)
+    rel = con.sql("SELECT SUM(o_orderkey) AS s FROM orders")
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    con.close()
+    assert str(rel.types[0]).upper() == "HUGEINT"  # the plant is real
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        _assert_type_parity("planted", duck_types, {"s": "bigint"})
+
+
+def test_type_parity_gate_catches_family_mismatch():
+    with pytest.raises(AssertionError, match="hash-family mismatch"):
+        _assert_type_parity(
+            "planted", {"v": "DOUBLE"}, {"v": "decimal(38,6)"}
+        )
+    with pytest.raises(AssertionError, match="hash-family mismatch"):
+        _assert_type_parity(
+            "planted", {"v": "DECIMAL(38,2)"}, {"v": "decimal(38,6)"}
+        )
+
+
 # Session-config sensitivity sweep (VERDICT r10 "What's missing" #1):
 # the driver runs every query inside ITS OWN SparkSession, so a query
 # whose semantics read the session timezone (to_date / unix_timestamp /
