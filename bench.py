@@ -22,8 +22,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from etl_spark.extensions.similarity import (  # noqa: E402
+    x71_kmeans_ivf_knn_join,
+    x74_ivfpq_knn_join,
+    x75_ivfpq_residual_knn_join,
+)
 from etl_spark.registry import all_specs  # noqa: E402
 from etl_spark.session import get_spark  # noqa: E402
+
+# r12: the in-plan ANN self-joins were demoted from the registry (the
+# x65 precedent, VERDICT r11 #6 — their query side grows with the
+# corpus, the documented n^1.5 term; x72/x128 are the registered
+# delta-shaped production forms). Their bench rows STAY: they anchor
+# FROZEN_SET_R9 round-over-round comparability, and their measured
+# cost is the baseline the delta probes are judged against.
+DEMOTED_BASELINES = {
+    "x71_kmeans_ivf_knn_join": x71_kmeans_ivf_knn_join,
+    "x74_ivfpq_knn_join": x74_ivfpq_knn_join,
+    "x75_ivfpq_residual_knn_join": x75_ivfpq_residual_knn_join,
+}
+
+
+def _bench_fn(specs, name):
+    return specs[name].fn if name in specs else DEMOTED_BASELINES[name]
 
 # Headline set: the reference-pipeline shapes (scans, multi-joins,
 # aggregations, windows, threshold monitor) + the training-data ops
@@ -107,13 +128,18 @@ HEADLINE = [
     "x69_cluster_size_histogram",
     "x70_source_league",
     # r7 ANN family: k-means-cell kNN join, incremental stored-index
-    # probe, PQ code ranking, composed two-stage IVF-PQ
+    # probe, PQ code ranking, composed two-stage IVF-PQ. x71/x74/x75
+    # were demoted from the registry r12 (n^1.5 self-joins — see
+    # DEMOTED_BASELINES) but keep their bench rows as baselines.
     "x71_kmeans_ivf_knn_join",
     "x72_incremental_knn_join",
     "x73_pq_adc_topk",
     "x74_ivfpq_knn_join",
     # r9: residual IVFADC — x74's deployment encoding, oracle-backed
     "x75_ivfpq_residual_knn_join",
+    # r12: the PQ tier's registered production shape — fixed-size
+    # residual-IVFPQ delta probe (the x72 pattern for the codes tier)
+    "x128_ivfpq_delta_probe",
     # r9: KMV/theta sketch family — bounded-state distinct counts,
     # merged set overlap, bottom-k sample quantiles
     "x76_kmv_distinct_customers",
@@ -195,6 +221,9 @@ HEADLINE = [
     "e15_session_duration_daily",
     "x126_sla_histogram_percentiles",
     "x127_customer_churn_buckets",
+    # r12: churn transition matrix; per-supplier OTIF trend
+    "x129_churn_transition_matrix",
+    "x130_supplier_otif_trend",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -460,14 +489,17 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
         # nprobe x cell_size, and the replica corpus keeps nlist
         # FIXED at the 10 fixture labels, so cell_size grows with the
         # corpus and the join is honestly O(n^2/stride) in this setup
-        # (measured: 32 s @10x, 68 s @20x at sf0.001 base). x71 is the
-        # scale path that replaces it here: nlist = ceil(sqrt(n))
-        # k-means cells, so cell size and probed fraction shrink as
-        # the corpus grows; its slope row is the scale contract the
-        # x65 docstring promises. x67: the sparse feature-matrix GD
-        # step — two keyed aggregates + broadcast weight joins, linear
+        # (measured: 32 s @10x, 68 s @20x at sf0.001 base). x71 keeps
+        # a slope row as the DEMOTED self-join baseline (nlist =
+        # ceil(sqrt(n)) cells, documented n^1.5 — the measured reason
+        # it left the registry r12); x128 is the registered
+        # delta-shaped production form whose slope should track the
+        # linear index terms (the x72 story for the codes tier).
+        # x67: the sparse feature-matrix GD step — two keyed
+        # aggregates + broadcast weight joins, linear
         "x67_quality_lr_step",
         "x71_kmeans_ivf_knn_join",
+        "x128_ivfpq_delta_probe",
     ):
         # best-of-2: the scale rows were single-shot through r6, and a
         # single GC stall or page-cache miss landed entirely on one
@@ -479,7 +511,7 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = specs[name].fn(spark, tmp).count()
+                n = _bench_fn(specs, name)(spark, tmp).count()
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 — same isolation as HEADLINE
@@ -526,7 +558,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = specs[name].fn
+        fn = _bench_fn(specs, name)
         runs = []
         try:
             for _ in range(3):

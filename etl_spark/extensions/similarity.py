@@ -1533,23 +1533,30 @@ def _duck_kmeans_knn_join() -> str:
     """
 
 
-@register(
-    "x71_kmeans_ivf_knn_join",
-    oracle=_duck_kmeans_knn_join(),
-    tags=("similarity",),
-)
 def x71_kmeans_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """x65's kNN join with the k-means-cell quantizer — the scale
-    path (see the block comment above ``kmeans_ivf_knn_join``): nlist
-    = ceil(sqrt(n)) Voronoi cells from deterministic seed centroids,
+    """**Test/bench baseline ONLY — demoted r12 (the x65 precedent,
+    VERDICT r11 #6): x72_incremental_knn_join is the registered
+    production shape for the float IVF tier.** The full self-join —
+    every stride-th corpus vector querying the whole corpus in one
+    plan — carries the documented n^1.5 flop term (quiet slope 2.42
+    per 2x, BENCH_QUIET_r08.json): the query side grows WITH the
+    corpus while per-query candidate work grows ~sqrt(n), so no
+    parameter choice makes it linear. Production retrieval is
+    delta-shaped (a bounded batch against a stored index — x72, or
+    `build_ivf_index` + `ivf_index_probe` with partition-pruned
+    cells), which is why this form no longer occupies a registry
+    slot anyone could mistake for the scale path. Oracle parity is
+    preserved via ``_duck_kmeans_knn_join`` in
+    test_x71_baseline_keeps_oracle_parity; the bench keeps its
+    HEADLINE/scale rows as the measured baseline the delta probes
+    are judged against.
+
+    x65's kNN join with the k-means-cell quantizer: nlist =
+    ceil(sqrt(n)) Voronoi cells from deterministic seed centroids,
     assignment and probe both by x39's ROUND(d2,9)+cid rule, so the
     whole index is oracle-exact; exact-cosine rescoring and the
-    per-query top-K are x65's scorer unchanged. Unlike x65 (fixed 10
-    label cells — honestly quadratic, excluded from the scale bench),
-    this query IS in bench.py's 10x/20x sections: probed fraction
-    ~nprobe/sqrt(n) shrinks as the corpus grows, every shuffle is
-    linear, and the measured slope is the deliverable. At deployment,
-    feed ``kmeans_ivf_knn_join`` the x39->x53-trained centroid table
+    per-query top-K are x65's scorer unchanged. At deployment, feed
+    ``kmeans_ivf_knn_join`` the x39->x53-trained centroid table
     instead of the seeds (tested in
     test_kmeans_ivf_knn_accepts_trained_centroids)."""
     return kmeans_ivf_knn_join(load(spark, sf, "embeddings"))
@@ -2396,9 +2403,10 @@ def _residual_frame(emb_d_frame: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "x74_ivfpq_knn_join",
-    oracle=f"""
+def _duck_ivfpq_knn_join() -> str:
+    """x74's DuckDB oracle, preserved for the demoted-baseline parity
+    test (the x65 convention)."""
+    return f"""
         WITH nn AS (
             SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
             FROM embeddings
@@ -2527,11 +2535,20 @@ def _residual_frame(emb_d_frame: DataFrame, centroids: DataFrame) -> DataFrame:
         )
         SELECT qid, vec_id, d2, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= {KNN_K}
-    """,
-    tags=("similarity",),
-)
+    """
+
+
 def x74_ivfpq_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ — the production ANN layout, composed from this
+    """**Test/bench baseline ONLY — demoted r12 (the x65 precedent,
+    VERDICT r11 #6): x128_ivfpq_delta_probe is the registered
+    production shape for the PQ tier.** Same n^1.5 reasoning as
+    x71's demotion (quiet slope 2.24 per 2x, BENCH_QUIET_r08.json):
+    the self-join's query side grows with the corpus. Oracle parity
+    is preserved via ``_duck_ivfpq_knn_join`` in
+    test_x74_baseline_keeps_oracle_parity; the bench keeps its
+    HEADLINE row as the measured baseline.
+
+    IVF-PQ — the production ANN layout, composed from this
     module's two halves exactly the way Faiss/SCaNN-class systems do:
     x71's sqrt(n) k-means cells bound the CANDIDATE SET (probe the
     nprobe best cells per query) and x73's product-quantized codes
@@ -2569,25 +2586,46 @@ def ivfpq_knn_join(
     (``pq_adc_residual_udf``). Codebooks skip the nlist seed rows
     (their residuals are identically zero — see ``_pq_codebooks``).
     Measured on the clustered prototype: recall@5 0.79 residual vs
-    0.70 raw at the same byte budget (asserted in tests). Raw stays
-    the registered default: its oracle SQL is tractable and it is
-    the honest floor."""
+    0.70 raw at the same byte budget (asserted in tests)."""
+    q = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    return _ivfpq_plan(
+        emb, q, k=k, nprobe=nprobe, residual=residual, exclude_self=True
+    )
+
+
+def _ivfpq_plan(
+    corpus_emb: DataFrame,
+    q: DataFrame,
+    k: int,
+    nprobe: int,
+    residual: bool,
+    exclude_self: bool,
+) -> DataFrame:
+    """The shared two-stage IVF-PQ search plan: index (seed cells +
+    PQ codes) derived from ``corpus_emb`` (vec_id, embedding), queries
+    from ``q`` (qid, qe). ``ivfpq_knn_join`` passes the corpus as both
+    sides (the self-join baselines); ``x128_ivfpq_delta_probe`` passes
+    a fixed-size batch — same kernels, same tie rules, so the two
+    surfaces can never drift."""
     import math
 
-    spark = emb.sparkSession
-    n = emb.count()
+    spark = corpus_emb.sparkSession
+    n = corpus_emb.count()
     nlist = int(math.ceil(math.sqrt(n)))
-    first = emb.orderBy("vec_id").select("embedding").first()
+    first = corpus_emb.orderBy("vec_id").select("embedding").first()
     dim = len(first[0])
     if dim % PQ_M != 0:
         raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
-    centroids = _seed_centroids(emb, nlist)
+    centroids = _seed_centroids(corpus_emb, nlist)
     assign_cell, probe_cells, _ = _ivf_udfs(
         spark,
         [(r[0], r[1]) for r in centroids.select("cid", "ce").collect()],
         nprobe,
     )
-    base = emb.select(
+    base = corpus_emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb_d"),
         assign_cell("embedding").alias("cid"),
@@ -2602,17 +2640,13 @@ def ivfpq_knn_join(
         codes = pq_encode(res, cb, keep=("cid",))
         adc_res = pq_adc_residual_udf(spark, cb)
     else:
-        cb = _pq_codebooks(emb, dim)
-        codes = pq_encode(emb, cb)
+        cb = _pq_codebooks(corpus_emb, dim)
+        codes = pq_encode(corpus_emb, cb)
         adc_pd = pq_adc_udf(spark, cb)
-    q = emb.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-    )
     probe = q.select("qid", F.explode(probe_cells("qe")).alias("cid"))
-    cand = probe.join(assign, "cid").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    cand = probe.join(assign, "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
     if residual:
         scored = (
             cand.select("qid", "vec_id")
@@ -2654,7 +2688,7 @@ def ivfpq_knn_join(
         .select("qid", "vec_id")
     )
     dot_pd = _dot_udf()
-    corpus = emb.select(
+    corpus = corpus_emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
     )
     refined = (
@@ -2677,9 +2711,10 @@ def ivfpq_knn_join(
     ).filter(F.col("rk") <= k)
 
 
-@register(
-    "x75_ivfpq_residual_knn_join",
-    oracle=f"""
+def _duck_ivfpq_residual_knn_join() -> str:
+    """x75's DuckDB oracle, preserved for the demoted-baseline parity
+    test (the x65 convention)."""
+    return f"""
         WITH nn AS (
             SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
             FROM embeddings
@@ -2828,12 +2863,20 @@ def ivfpq_knn_join(
         )
         SELECT qid, vec_id, d2, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= {KNN_K}
-    """,
-    tags=("similarity",),
-)
+    """
+
+
 def x75_ivfpq_residual_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """x74 with RESIDUAL encoding (IVFADC, Jegou et al. '11 §IV) —
-    the deployment upgrade x74's docstring names, now oracle-checked:
+    """**Test/bench baseline ONLY — demoted r12 with x71/x74 (the
+    x65 precedent, VERDICT r11 #6): x128_ivfpq_delta_probe carries
+    the residual encoding in the registry, in the production delta
+    shape.** Structurally the same n^1.5 self-join as x74 — residual
+    changes what the bytes encode, not the candidate volume — so it
+    could not stay registered once its siblings were retired. Oracle
+    parity preserved via ``_duck_ivfpq_residual_knn_join`` in
+    test_x75_baseline_keeps_oracle_parity.
+
+    x74 with RESIDUAL encoding (IVFADC, Jegou et al. '11 §IV):
     PQ quantizes v − centroid(cell(v)) so the 4 bits per subvector
     resolve WITHIN-cell structure (the part the candidate set hasn't
     already paid for), and ADC residualizes each query against every
@@ -2851,3 +2894,220 @@ def x75_ivfpq_residual_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     by vec_id past the seeds, ADC sum rounded to 6 before the rank,
     vec_id tie-break — the x71/x73 rules throughout."""
     return ivfpq_knn_join(load(spark, sf, "embeddings"), residual=True)
+
+
+# --- x128: the PQ tier's production-shaped registered query ------------
+#
+# x72 made the FLOAT IVF tier's registered entry delta-shaped (fixed
+# batch vs stored index); x128 does the same for the codes tier, with
+# the RESIDUAL encoding (IVFADC) that is the deployment choice — so
+# the registry's ANN story is production-shaped end-to-end and the
+# n^1.5 self-joins (x71/x74/x75) are bench/test baselines only
+# (VERDICT r11 #6). Per batch: one centroid broadcast into the Arrow
+# probe kernel, ADC over 8-byte codes for the probed cells' members,
+# a constant X74_REFINE float re-rank per query — batch-sized work on
+# top of the linear index-derivation terms the oracle replays in-plan
+# (at deployment the index is stored: build_ivf_index(pq=True,
+# pq_residual=True) + ivfpq_index_probe, row-identical, both tiers
+# partition-pruned — asserted in tests).
+
+
+def _duck_ivfpq_residual_delta(batch_max_id: int) -> str:
+    return f"""
+        WITH seen AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        nn AS (
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM seen
+        ),
+        seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM seen, nn
+            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= nn.nlist
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve FROM seen
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND(list_dot_product(ve, ve)
+                                          - 2 * list_dot_product(ve, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS rn
+                FROM v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        dims AS (SELECT len(embedding) AS dim FROM seen LIMIT 1),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        rv AS (
+            SELECT v.vec_id, a.cid,
+                   list_transform(generate_series(1, dims.dim),
+                                  i -> ve[i] - s.ce[i]) AS rve
+            FROM v
+            JOIN assign a USING (vec_id)
+            JOIN seeds s ON s.cid = a.cid, dims
+        ),
+        rvr AS (
+            SELECT rv.*, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+            FROM rv
+        ),
+        cb AS (
+            SELECT ms.m,
+                   CAST(rvr.rnk - nn.nlist - 1 AS BIGINT) AS k,
+                   (rvr.rve[1 + ms.m * (dims.dim // {PQ_M})
+                            : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS cvec
+            FROM rvr, ms, dims, nn
+            WHERE rvr.rnk > nn.nlist AND rvr.rnk <= nn.nlist + {PQ_K}
+        ),
+        sub AS (
+            SELECT rv.vec_id, rv.cid, ms.m,
+                   (rv.rve[1 + ms.m * (dims.dim // {PQ_M})
+                           : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS sv
+            FROM rv, ms, dims
+        ),
+        codes AS (
+            SELECT vec_id, cid, m, k FROM (
+                SELECT s.vec_id, s.cid, s.m, cb.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY ROUND(list_dot_product(sv, sv)
+                                          - 2 * list_dot_product(sv, cvec)
+                                          + list_dot_product(cvec, cvec), 9),
+                                    cb.k
+                       ) AS rn
+                FROM sub s JOIN cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings
+            WHERE vec_id % 2 = 1 AND vec_id < {batch_max_id}
+        ),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, s.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY ROUND(list_dot_product(qe, qe)
+                                          - 2 * list_dot_product(qe, ce)
+                                          + list_dot_product(ce, ce), 9),
+                                    s.cid
+                       ) AS crk
+                FROM q CROSS JOIN seeds s
+            ) WHERE crk <= {X71_NPROBE}
+        ),
+        qres AS (
+            SELECT p.qid, p.cid,
+                   list_transform(generate_series(1, dims.dim),
+                                  i -> q.qe[i] - s.ce[i]) AS qrv
+            FROM probe p
+            JOIN q USING (qid)
+            JOIN seeds s ON s.cid = p.cid, dims
+        ),
+        qsub AS (
+            SELECT qr.qid, qr.cid, ms.m,
+                   (qr.qrv[1 + ms.m * (dims.dim // {PQ_M})
+                           : (ms.m + 1) * (dims.dim // {PQ_M})]
+                   )::DOUBLE[] AS qv
+            FROM qres qr, ms, dims
+        ),
+        adc AS (
+            SELECT qs.qid, qs.cid, cb.m, cb.k,
+                   list_dot_product(qv, qv)
+                   - 2 * list_dot_product(qv, cvec)
+                   + list_dot_product(cvec, cvec) AS d
+            FROM cb JOIN qsub qs ON qs.m = cb.m
+        ),
+        cand AS (
+            SELECT p.qid, a.vec_id, a.cid
+            FROM probe p JOIN assign a USING (cid)
+        ),
+        scored AS (
+            SELECT c.qid, c.vec_id, ROUND(SUM(adc.d), 6) AS adc_d2
+            FROM cand c
+            JOIN codes co ON co.vec_id = c.vec_id
+            JOIN adc ON adc.qid = c.qid AND adc.cid = c.cid
+                    AND adc.m = co.m AND adc.k = co.k
+            GROUP BY c.qid, c.vec_id
+        ),
+        shortlist AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY adc_d2 ASC, vec_id
+                       ) AS ark
+                FROM scored
+            ) WHERE ark <= {X74_REFINE}
+        ),
+        refined AS (
+            SELECT sl.qid, sl.vec_id,
+                   ROUND(list_dot_product(q.qe, q.qe)
+                         - 2 * list_dot_product(e.embedding::DOUBLE[], q.qe)
+                         + list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS d2
+            FROM shortlist sl
+            JOIN embeddings e ON e.vec_id = sl.vec_id
+            JOIN q ON q.qid = sl.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY d2 ASC, vec_id
+                   ) AS rk
+            FROM refined
+        )
+        SELECT qid, vec_id, d2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+@register(
+    "x128_ivfpq_delta_probe",
+    oracle=_duck_ivfpq_residual_delta(X72_BATCH_MAX_ID),
+    tags=("similarity", "incremental"),
+)
+def x128_ivfpq_delta_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time IVF-PQ retrieval — the codes tier's registered
+    PRODUCTION shape (VERDICT r11 #6), completing what x72 did for
+    the float tier: the residual-PQ index (sqrt(n) seed cells +
+    IVFADC codes — the deployment encoding, recall@5 0.79 vs 0.70
+    raw at the same byte budget) is derived ONCE from the SEEN corpus
+    (even vec_id); a FIXED-SIZE new batch (odd vec_id <
+    X72_BATCH_MAX_ID — <=128 queries at any corpus size) probes its
+    nprobe best cells, ADC-ranks the probed cells' members over
+    8-byte codes, and exact-re-ranks only the constant X74_REFINE
+    shortlist per query. Unlike the demoted x74/x75 self-joins
+    (query side grows with the corpus — the n^1.5 term), the batch
+    here is a constant-size delta, so per-round probe cost is
+    batch * nprobe * cell_size ~ sqrt(n) and the linear index terms
+    dominate — the same shape BENCH_QUIET_r08 measured at slope 1.18
+    for x72.
+
+    This registered form derives the index in-plan so DuckDB can
+    replay it exactly; the production pair is
+    ``build_ivf_index(pq=True, pq_residual=True)`` (codes + cells
+    parquet-partitioned by cid) + ``ivfpq_index_probe`` (probed cid
+    set collected for STATIC partition pruning on BOTH tiers), which
+    produces identical rows (asserted in
+    test_ivfpq_residual_beats_raw_and_stored_parity). Cross-engine: the
+    x71/x73 tie rules throughout — ROUND(d2,9)+cid assignment and
+    probe, residual-rank codebooks past the seeds, ADC sum rounded
+    to 6, vec_id tie-break."""
+    emb = load(spark, sf, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    q = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    return _ivfpq_plan(
+        seen, q, k=KNN_K, nprobe=X71_NPROBE,
+        residual=True, exclude_self=False,
+    )

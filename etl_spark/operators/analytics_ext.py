@@ -2126,3 +2126,237 @@ def x127_customer_churn_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("lifetime_cents").alias("lifetime_cents"),
         )
     )
+
+
+# --- r12 warehouse analytics (VERDICT r11 #8): churn transitions, -------
+# --- supplier OTIF trend — integer-exact, no bare integer SUM in --------
+# --- any oracle output (the r12 type-parity rule) -----------------------
+
+
+X129_LOOKBACK_DAYS = 180  # transition window: compare vs 180 days earlier
+
+
+@register(
+    "x129_churn_transition_matrix",
+    # f-string: thresholds/labels interpolate from X127_BUCKETS and
+    # X129_LOOKBACK_DAYS so the oracle can never desync (ADVICE r11)
+    oracle=f"""
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd,
+                   MAX(CAST(o_orderdate AS DATE))
+                     - {X129_LOOKBACK_DAYS} AS prevd
+            FROM orders
+        ),
+        cust AS (
+            SELECT o.o_custkey,
+                   MAX(CAST(o.o_orderdate AS DATE)) AS last_all,
+                   MAX(CASE WHEN CAST(o.o_orderdate AS DATE) <= a.prevd
+                            THEN CAST(o.o_orderdate AS DATE) END)
+                     AS last_prev,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS cents
+            FROM orders o CROSS JOIN anchor a
+            GROUP BY o.o_custkey
+        ),
+        bucketed AS (
+            SELECT CASE WHEN u.last_prev IS NULL THEN 'new'
+                        WHEN date_diff('day', u.last_prev, a.prevd)
+                             <= {X127_BUCKETS[0][0]}
+                        THEN '{X127_BUCKETS[0][1]}'
+                        WHEN date_diff('day', u.last_prev, a.prevd)
+                             <= {X127_BUCKETS[1][0]}
+                        THEN '{X127_BUCKETS[1][1]}'
+                        ELSE 'churned' END AS bucket_prev,
+                   CASE WHEN date_diff('day', u.last_all, a.maxd)
+                             <= {X127_BUCKETS[0][0]}
+                        THEN '{X127_BUCKETS[0][1]}'
+                        WHEN date_diff('day', u.last_all, a.maxd)
+                             <= {X127_BUCKETS[1][0]}
+                        THEN '{X127_BUCKETS[1][1]}'
+                        ELSE 'churned' END AS bucket_now,
+                   u.n_orders, u.cents
+            FROM cust u CROSS JOIN anchor a
+        )
+        SELECT bucket_prev, bucket_now,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS lifetime_cents
+        FROM bucketed GROUP BY bucket_prev, bucket_now
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="Churn-bucket transition matrix: customers cross-tabbed by dormancy bucket 180 days ago vs now, with value at stake.",
+)
+def x129_churn_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """CHURN TRANSITION MATRIX — x127's dormancy buckets made a FLOW:
+    every customer is bucketed TWICE, once against an anchor
+    {X129_LOOKBACK_DAYS} days before the corpus max date (customers
+    with no orders by then are 'new') and once against the max date
+    itself, and the matrix counts each (was, is) cell with the order
+    volume and lifetime cents sitting in it. This is the retention
+    team's actual steering table — x127 says how many customers are
+    cooling, THIS says whether they arrived from active (a leak) or
+    were always dormant (old news), i.e. the x96 cohort view crossed
+    with the x127 stock view. Integer-exact end-to-end: day
+    arithmetic, cents, counts; every oracle output aggregate is CAST
+    to BIGINT (the r12 type-parity rule — DuckDB would otherwise
+    type the sums HUGEINT).
+
+    Scale: ONE fact-keyed shuffle builds the per-customer rollup —
+    the two bucket dates ride the SAME aggregate as a plain MAX and a
+    conditional MAX (no second scan, no self-join); the anchors are a
+    1-row broadcast crossJoin (the x111/x127 pattern) attached before
+    the aggregate so the conditional sees prevd; the matrix aggregate
+    is at most 4x3 rows. The bucket CASEs evaluate on the
+    customers-sized rollup, never on facts."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(
+        F.max(F.to_date("o_orderdate")).alias("maxd"),
+        F.date_sub(
+            F.max(F.to_date("o_orderdate")), X129_LOOKBACK_DAYS
+        ).alias("prevd"),
+    )
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_all"),
+            F.max(
+                F.when(
+                    F.to_date("o_orderdate") <= F.col("prevd"),
+                    F.to_date("o_orderdate"),
+                )
+            ).alias("last_prev"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+            F.first("maxd").alias("maxd"),
+            F.first("prevd").alias("prevd"),
+        )
+    )
+
+    def _bucket(age):
+        return (
+            F.when(age <= X127_BUCKETS[0][0], X127_BUCKETS[0][1])
+            .when(age <= X127_BUCKETS[1][0], X127_BUCKETS[1][1])
+            .otherwise("churned")
+        )
+
+    bucket_prev = F.when(F.col("last_prev").isNull(), "new").otherwise(
+        _bucket(F.datediff(F.col("prevd"), F.col("last_prev")))
+    )
+    bucket_now = _bucket(F.datediff(F.col("maxd"), F.col("last_all")))
+    return cust.groupBy(
+        bucket_prev.alias("bucket_prev"), bucket_now.alias("bucket_now")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("lifetime_cents"),
+    )
+
+
+@register(
+    "x130_supplier_otif_trend",
+    oracle=f"""
+        WITH per AS (
+            SELECT l.l_suppkey, o.o_orderkey,
+                   CAST(year(o.o_orderdate) AS INT) AS yr,
+                   CAST(month(o.o_orderdate) AS INT) AS mo,
+                   bool_and(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE))
+                            <= {X124_SLA_DAYS}) AS otif
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_suppkey, o.o_orderkey, yr, mo
+        ),
+        monthly AS (
+            SELECT l_suppkey, yr, mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN otif THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_otif,
+                   CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS otif_ppm
+            FROM per GROUP BY l_suppkey, yr, mo
+        )
+        SELECT s.s_name, m.yr, m.mo, m.n_orders, m.n_otif, m.otif_ppm,
+               m.otif_ppm - LAG(m.otif_ppm) OVER (
+                   PARTITION BY m.l_suppkey ORDER BY m.yr, m.mo)
+                 AS delta_ppm
+        FROM monthly m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    """,
+    tags=("extension", "warehouse", "window", "agg"),
+    doc="Per-supplier monthly OTIF rate with its month-over-month ppm shift.",
+)
+def x130_supplier_otif_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """SUPPLIER OTIF TREND — x124's all-lines-on-time gate applied at
+    the (supplier, order) grain (did THIS supplier ship every one of
+    its lines for that order within {X124_SLA_DAYS} days), rolled to
+    supplier-months, with the month-over-month ppm delta (x125's LAG
+    idiom, partitioned by supplier): the scorecard x123 ranks
+    suppliers at a point in time, THIS answers 'is supplier X
+    getting better or worse' — the procurement review chart. Rates
+    are the x121 integer-ppm idiom; the delta is plain integer
+    subtraction (may be negative, no division touches it; NULL for
+    each supplier's first month in both engines). Every oracle
+    output aggregate is CAST to BIGINT (the r12 type-parity rule).
+
+    Scale: the l⋈o join is fact-fact — HINTED to sort-merge on
+    orderkey (the x122/x124 measurement: auto-broadcast grabbed a
+    mid-scale fact side) — and its Exchange feeds the
+    (suppkey, orderkey) bool_and directly; the monthly rollup and
+    the LAG window run over supplier-months (suppliers x months
+    rows, never facts); the supplier dim broadcasts AFTER the
+    aggregate for the display name."""
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    per = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_suppkey",
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.bool_and(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                <= X124_SLA_DAYS
+            ).alias("otif")
+        )
+    )
+    # repartition on the supplier key BEFORE the monthly rollup: hash
+    # partitioning on l_suppkey satisfies both the (suppkey, yr, mo)
+    # group-by's clustering AND the LAG window's partition-by, so the
+    # rollup and the window share ONE Exchange instead of shuffling
+    # twice (measured: 4 -> 3 exchanges at sf0.01)
+    monthly = (
+        per.repartition("l_suppkey")
+        .groupBy("l_suppkey", "yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("otif"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_otif"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("otif_ppm"),
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("yr", "mo")
+    return (
+        monthly.withColumn(
+            "delta_ppm", F.col("otif_ppm") - F.lag("otif_ppm").over(w)
+        )
+        .join(F.broadcast(s), monthly.l_suppkey == s.s_suppkey)
+        .select(
+            "s_name", "yr", "mo", "n_orders", "n_otif", "otif_ppm",
+            "delta_ppm",
+        )
+    )

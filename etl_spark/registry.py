@@ -160,8 +160,15 @@ def _ensure_loaded() -> None:
 #      tests/test_oracle.py (VERDICT r11 #1);
 #   2. the 30-query r7 cohort, oldest-first in registration order —
 #      x35/x26/x27/x28/x30/x70/x56 lead (already displaced once, r11);
-#   3. the head of the r8 tier fills the remaining 12 slots.
+#   3. the head of the r8 tier fills the remaining slots.
+# x128_ivfpq_delta_probe (new this round: the PQ tier's production-
+# shaped delta probe, replacing the demoted x71/x74/x75 self-joins)
+# is never-driver-checked and leads per policy rule 1.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked: the r12 registrations (policy rule 1)
+    "x128_ivfpq_delta_probe",
+    "x129_churn_transition_matrix",
+    "x130_supplier_otif_trend",
     # -- REVERIFY: r11 HUGEINT-red rows, oracle CAST fixed this round
     "x122_order_to_cash_cycle",
     "x123_supplier_scorecard",
@@ -212,9 +219,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x40_stratified_split",
     "x41_cross_source_overlap",
     "q11_important_stock",
-    "q12_late_shipment_priority",
-    "e01_funnel_steps",
-    "e02_retention_cohorts",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

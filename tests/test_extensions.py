@@ -2045,6 +2045,97 @@ def test_x65_baseline_keeps_oracle_parity(spark, sf_dir):
     assert sn == dn
 
 
+def _assert_baseline_oracle_parity(spark, sf_dir, fn, oracle_sql):
+    """Shared demoted-baseline parity check (the x65 convention): the
+    function left the registry, so its DuckDB oracle is pinned here
+    instead of by the registry sweep."""
+    from tests.test_oracle import _duck, _normalize
+
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _duck(sf_dir)
+    drel = con.sql(oracle_sql)
+    drows, dcols = drel.fetchall(), list(drel.columns)
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    _, sn = _normalize(srows, sdf.columns)
+    _, dn = _normalize(drows, dcols)
+    assert sn == dn
+
+
+def test_x71_baseline_keeps_oracle_parity(spark, sf_dir):
+    """x71 was demoted r12 (n^1.5 self-join — x72 is the float tier's
+    registered delta-shaped form; VERDICT r11 #6)."""
+    from etl_spark.extensions.similarity import (
+        _duck_kmeans_knn_join,
+        x71_kmeans_ivf_knn_join,
+    )
+
+    _assert_baseline_oracle_parity(
+        spark, sf_dir, x71_kmeans_ivf_knn_join, _duck_kmeans_knn_join()
+    )
+
+
+def test_x74_baseline_keeps_oracle_parity(spark, sf_dir):
+    """x74 was demoted r12 (n^1.5 self-join — x128 is the PQ tier's
+    registered delta-shaped form; VERDICT r11 #6)."""
+    from etl_spark.extensions.similarity import (
+        _duck_ivfpq_knn_join,
+        x74_ivfpq_knn_join,
+    )
+
+    _assert_baseline_oracle_parity(
+        spark, sf_dir, x74_ivfpq_knn_join, _duck_ivfpq_knn_join()
+    )
+
+
+def test_x75_baseline_keeps_oracle_parity(spark, sf_dir):
+    """x75 was demoted r12 with its siblings; x128 carries the
+    residual encoding in the registry."""
+    from etl_spark.extensions.similarity import (
+        _duck_ivfpq_residual_knn_join,
+        x75_ivfpq_residual_knn_join,
+    )
+
+    _assert_baseline_oracle_parity(
+        spark, sf_dir, x75_ivfpq_residual_knn_join,
+        _duck_ivfpq_residual_knn_join(),
+    )
+
+
+def test_x128_matches_stored_residual_index_probe(spark, sf_dir, tmp_path):
+    """The registered delta probe and the stored-index production pair
+    must stay row-identical: x128's in-plan form (index derived from
+    the even corpus inside the plan, for oracle replay) vs
+    build_ivf_index(pq=True, pq_residual=True) + ivfpq_index_probe
+    over the same even/odd split."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        X72_BATCH_MAX_ID,
+        build_ivf_index,
+        ivfpq_index_probe,
+        x128_ivfpq_delta_probe,
+    )
+
+    want = sorted(
+        tuple(r) for r in x128_ivfpq_delta_probe(spark, sf_dir).collect()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq_res")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, pq=True, pq_residual=True
+    )
+    batch = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
+    )
+    got = sorted(
+        tuple(r) for r in ivfpq_index_probe(batch, idx).collect()
+    )
+    assert want and got == want
+
+
 def test_ivf_index_commits_under_dynamic_overwrite_session(spark, sf_dir, tmp_path):
     """The index tiers pin partitionOverwriteMode=static PER-WRITE, so
     a session someone left in dynamic mode (the r9 full-suite flake:

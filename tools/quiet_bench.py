@@ -31,9 +31,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 SCALE_QUERIES = (
-    "x71_kmeans_ivf_knn_join",
+    "x71_kmeans_ivf_knn_join",  # demoted r12 baseline (bench.DEMOTED_BASELINES)
     "x72_incremental_knn_join",
-    "x74_ivfpq_knn_join",
+    "x74_ivfpq_knn_join",  # demoted r12 baseline
+    "x128_ivfpq_delta_probe",
     "x54_lm_quality_score",
     "x64_incremental_dsir",
 )
@@ -129,10 +130,12 @@ def main() -> None:
             "n_docs": spark.read.parquet(f"{tmp}/documents.parquet").count(),
             "n_vecs": spark.read.parquet(f"{tmp}/embeddings.parquet").count(),
         }
+        from bench import _bench_fn
+
         for name in SCALE_QUERIES:
             runs = []
             for _ in range(N_SCALE):
-                runs.append(round(_force(specs[name].fn(spark, tmp)), 3))
+                runs.append(round(_force(_bench_fn(specs, name)(spark, tmp)), 3))
                 spark.catalog.clearCache()
             sec[name] = {"best": min(runs), "all": runs}
             print(f"{replicas}x {name}: {runs}", flush=True)
