@@ -221,9 +221,10 @@ HEADLINE = [
     "e15_session_duration_daily",
     "x126_sla_histogram_percentiles",
     "x127_customer_churn_buckets",
-    # r12: churn transition matrix; per-supplier OTIF trend
+    # r12: churn transition matrix; per-supplier OTIF trend; revenue bridge
     "x129_churn_transition_matrix",
     "x130_supplier_otif_trend",
+    "x131_revenue_bridge",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

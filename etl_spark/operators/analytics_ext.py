@@ -2360,3 +2360,171 @@ def x130_supplier_otif_trend(spark: SparkSession, sf: str) -> DataFrame:
             "delta_ppm",
         )
     )
+
+
+@register(
+    "x131_revenue_bridge",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                        AS BIGINT) AS mi,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        anchor AS (SELECT MAX(mi) AS max_mi FROM per),
+        ev AS (
+            SELECT o_custkey, mi, cents AS a_cents,
+                   CAST(0 AS BIGINT) AS b_cents, 1 AS an, 0 AS bn
+            FROM per
+            UNION ALL
+            SELECT o_custkey, mi + 1, CAST(0 AS BIGINT), cents, 0, 1
+            FROM per
+        ),
+        cell AS (
+            SELECT o_custkey, mi,
+                   SUM(a_cents) AS a, SUM(b_cents) AS b,
+                   SUM(an) AS an, SUM(bn) AS bn
+            FROM ev GROUP BY o_custkey, mi
+        )
+        SELECT CAST(mi // 12 AS INT) AS yr,
+               CAST(mi % 12 + 1 AS INT) AS mo,
+               CAST(SUM(CASE WHEN an > 0 AND bn = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN an > 0 AND bn = 0 THEN a ELSE 0 END)
+                    AS BIGINT) AS new_cents,
+               CAST(SUM(CASE WHEN an = 0 AND bn > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_churned,
+               CAST(SUM(CASE WHEN an = 0 AND bn > 0 THEN b ELSE 0 END)
+                    AS BIGINT) AS churned_cents,
+               CAST(SUM(CASE WHEN an > 0 AND bn > 0 AND a > b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_expanded,
+               CAST(SUM(CASE WHEN an > 0 AND bn > 0 AND a > b
+                             THEN a - b ELSE 0 END) AS BIGINT)
+                 AS expansion_cents,
+               CAST(SUM(CASE WHEN an > 0 AND bn > 0 AND b > a
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contracted,
+               CAST(SUM(CASE WHEN an > 0 AND bn > 0 AND b > a
+                             THEN b - a ELSE 0 END) AS BIGINT)
+                 AS contraction_cents,
+               CAST(SUM(a) - SUM(b) AS BIGINT) AS net_delta_cents
+        FROM cell CROSS JOIN anchor
+        WHERE mi <= max_mi
+        GROUP BY 1, 2
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="Month-over-month revenue bridge: delta decomposed into new/churned/expansion/contraction customer cents, exactly additive.",
+)
+def x131_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """REVENUE BRIDGE (waterfall) — every month's revenue delta
+    decomposed EXACTLY into the four stories a finance review wants:
+    customers present now but not last month (new cents), present
+    last month but not now (churned cents), present both and up
+    (expansion) or down (contraction), with the identity
+    new − churned + expansion − contraction = revenue(m) −
+    revenue(m−1) holding to the cent (asserted per month in
+    tests/test_r12_warehouse.py). 'New'/'churned' are ADJACENT-MONTH
+    presence (the MoM bridge convention) — lifetime first-order
+    acquisition is x102's view. Integer-exact: cents, counts, plain
+    subtraction; every oracle output aggregate is CAST to BIGINT
+    (the r12 type-parity rule).
+
+    Scale: the alignment of month m with m−1 is NOT a self-join of
+    the aggregate (which would scan or shuffle the rollup twice) —
+    each order EXPLODES into two events, (mi, cents, side=now) and
+    (mi+1, cents, side=prev), and ONE (custkey, mi) aggregate builds
+    the comparison cell; generation is scan-local (explode of a
+    2-element struct array, no Python), so the whole bridge is one
+    fact-keyed Exchange + a months-sized final rollup. The month
+    cap (bridge rows past the corpus max are meaningless) is a 1-row
+    broadcast anchor, the x111/x129 pattern."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mi"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    ev = o.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("mi").alias("mi"),
+                    F.col("cents").alias("a_cents"),
+                    zero.alias("b_cents"),
+                    one.alias("an"),
+                    zero.alias("bn"),
+                ),
+                F.struct(
+                    (F.col("mi") + 1).alias("mi"),
+                    zero.alias("a_cents"),
+                    F.col("cents").alias("b_cents"),
+                    zero.alias("an"),
+                    one.alias("bn"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "e.*")
+    cell = ev.groupBy("o_custkey", "mi").agg(
+        F.sum("a_cents").alias("a"),
+        F.sum("b_cents").alias("b"),
+        F.sum("an").alias("an"),
+        F.sum("bn").alias("bn"),
+    )
+    anchor = o.agg(F.max("mi").alias("max_mi"))
+    now, prev = F.col("an") > 0, F.col("bn") > 0
+    return (
+        cell.crossJoin(F.broadcast(anchor))
+        .filter(F.col("mi") <= F.col("max_mi"))
+        .groupBy(
+            F.expr("CAST(mi DIV 12 AS INT)").alias("yr"),
+            F.expr("CAST(mi % 12 + 1 AS INT)").alias("mo"),
+        )
+        .agg(
+            F.sum(F.when(now & ~prev, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(now & ~prev, F.col("a")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(~now & prev, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.sum(F.when(~now & prev, F.col("b")).otherwise(0))
+            .cast("bigint")
+            .alias("churned_cents"),
+            F.sum(
+                F.when(now & prev & (F.col("a") > F.col("b")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_expanded"),
+            F.sum(
+                F.when(
+                    now & prev & (F.col("a") > F.col("b")),
+                    F.col("a") - F.col("b"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(now & prev & (F.col("b") > F.col("a")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_contracted"),
+            F.sum(
+                F.when(
+                    now & prev & (F.col("b") > F.col("a")),
+                    F.col("b") - F.col("a"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contraction_cents"),
+            (F.sum("a") - F.sum("b")).cast("bigint").alias("net_delta_cents"),
+        )
+    )

@@ -169,6 +169,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x128_ivfpq_delta_probe",
     "x129_churn_transition_matrix",
     "x130_supplier_otif_trend",
+    "x131_revenue_bridge",
     # -- REVERIFY: r11 HUGEINT-red rows, oracle CAST fixed this round
     "x122_order_to_cash_cycle",
     "x123_supplier_scorecard",
@@ -218,7 +219,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x36_pii_scrub",
     "x40_stratified_split",
     "x41_cross_source_overlap",
-    "q11_important_stock",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a

@@ -119,3 +119,37 @@ def test_x130_invariants_and_spotcheck(spark, sf_dir):
         for r in by_supp[target]
     }
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_x131_bridge_is_exactly_additive(spark, sf_dir):
+    """The waterfall must reconcile: per month, the four buckets sum
+    to net_delta, and net_delta equals revenue(m) - revenue(m-1)
+    computed independently from the raw orders."""
+    rows = SPECS["x131_revenue_bridge"].fn(spark, sf_dir).collect()
+    assert rows
+    rev: dict = {}
+    for r in load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    ).collect():
+        mi = r["d"].year * 12 + r["d"].month - 1
+        rev[mi] = rev.get(mi, 0) + int(
+            math.floor(r["o_totalprice"] * 100 + 0.5)
+        )
+    months = {(r["yr"], r["mo"]) for r in rows}
+    # every corpus month appears; a zero-revenue month can appear too
+    # (as pure churn) but only directly after an active month
+    active = {(mi // 12, mi % 12 + 1) for mi in rev}
+    after = {((mi + 1) // 12, (mi + 1) % 12 + 1) for mi in rev}
+    assert active <= months <= active | after
+    for r in rows:
+        mi = r["yr"] * 12 + r["mo"] - 1
+        assert (
+            r["new_cents"] - r["churned_cents"]
+            + r["expansion_cents"] - r["contraction_cents"]
+            == r["net_delta_cents"]
+        )
+        assert r["net_delta_cents"] == rev.get(mi, 0) - rev.get(mi - 1, 0)
+        for c in ("n_new", "new_cents", "n_churned", "churned_cents",
+                  "n_expanded", "expansion_cents", "n_contracted",
+                  "contraction_cents"):
+            assert r[c] >= 0

@@ -29,6 +29,7 @@ N_SCALE = 3
 SCALE_QUERIES = (
     "x129_churn_transition_matrix",
     "x130_supplier_otif_trend",
+    "x131_revenue_bridge",
 )
 
 
