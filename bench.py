@@ -120,8 +120,9 @@ HEADLINE = [
     "x63_source_cap",
     "x64_incremental_dsir",
     # x65_knn_join was demoted r8 to a test-oracle baseline (fixed
-    # 10-cell quantizer, quadratic on the replica corpus); x71 is the
-    # registered kNN join and carries the bench row
+    # 10-cell quantizer, quadratic on the replica corpus); x71
+    # followed it r12 (n^1.5 self-join) but keeps its bench row via
+    # DEMOTED_BASELINES
     "x66_epoch_upsample",
     "x67_quality_lr_step",
     "x68_shard_stats",

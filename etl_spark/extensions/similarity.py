@@ -1381,7 +1381,7 @@ def _resolve_centroids(
     emb: DataFrame, nlist: int, centroids: DataFrame | str | None
 ) -> DataFrame:
     """Shared centroid-path dispatch: None/"seed" = deterministic
-    seeds (oracle-expressible — what the registered x71/x72 use),
+    seeds (oracle-expressible — what x72/x128 and the x71 baseline use),
     "train" = the x39->x53 Lloyd loop, a DataFrame = caller-supplied
     (cid, ce)."""
     if centroids is None or centroids == "seed":
@@ -1407,7 +1407,7 @@ def kmeans_ivf_knn_join(
     top ``k`` per query on the rounded score (vec_id tie-break).
 
     ``centroids`` is (cid, ce), ``"seed"``/None = the ceil(sqrt(n))
-    lowest vec_ids as seeds (oracle-expressible — the registered x71
+    lowest vec_ids as seeds (oracle-expressible — the x71 baseline
     keeps this so DuckDB can replay the quantizer), or ``"train"`` =
     the x39->x53 Lloyd loop (``train_ivf_centroids``) — the
     deployment default, strictly better recall on clustered corpora

@@ -2026,7 +2026,8 @@ def test_round9_half_away_matches_sql_round():
 
 def test_x65_baseline_keeps_oracle_parity(spark, sf_dir):
     """x65 was demoted r8 from the registry (quadratic fixture
-    quantizer — x71 is the registered kNN join) but stays the recall
+    quantizer; x71 followed it r12 — x72/x128 are the registered
+    delta-shaped forms) but stays the recall
     tests' known-good IVF-probe baseline, so its DuckDB oracle parity
     is pinned here instead of by the registry sweep."""
     from etl_spark.extensions.similarity import _duck_knn_join, x65_knn_join
