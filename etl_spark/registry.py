@@ -161,9 +161,10 @@ def _ensure_loaded() -> None:
 #   2. the 30-query r7 cohort, oldest-first in registration order —
 #      x35/x26/x27/x28/x30/x70/x56 lead (already displaced once, r11);
 #   3. the head of the r8 tier fills the remaining slots.
-# x128_ivfpq_delta_probe (new this round: the PQ tier's production-
-# shaped delta probe, replacing the demoted x71/x74/x75 self-joins)
-# is never-driver-checked and leads per policy rule 1.
+# The four r12 registrations (x128 — the PQ tier's production-shaped
+# delta probe replacing the demoted x71/x74/x75 self-joins — and the
+# x129/x130/x131 warehouse KPIs) are never-driver-checked and lead
+# per policy rule 1, each displacing one r8-tier filler.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: the r12 registrations (policy rule 1)
     "x128_ivfpq_delta_probe",
