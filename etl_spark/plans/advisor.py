@@ -28,6 +28,17 @@ patterns:
 - ``many-exchanges``       more than ``max_exchanges`` shuffles in one
                            plan — look for a reusable partitioning or
                            a fused formulation.
+- ``repeated-scan``        the same parquet relation is scanned more
+                           than ``max_same_scans`` times in one plan —
+                           Spark does not dedupe repeated references
+                           to a subtree, so each reference re-reads
+                           the files. Two scans are normal (the 1-row
+                           anchor/totals pattern); 3+ means either the
+                           scans prune to DIFFERENT narrow column sets
+                           (fine), the query is the oracle-replay twin
+                           of a stored-index path (fine — deployment
+                           reads the index), or a shared intermediate
+                           should be materialized/persisted at scale.
 
 Each finding is a dict {rule, severity, detail}; an empty list is a
 clean bill. ``assert_clean(df, allow=...)`` is the test-friendly
@@ -39,6 +50,7 @@ face of that gate).
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 from pyspark.sql import DataFrame
 
@@ -49,6 +61,7 @@ def lint_plan(
     df: DataFrame,
     max_exchanges: int = 6,
     wide_scan_cols: int = 24,
+    max_same_scans: int = 2,
 ) -> list[dict]:
     plan = formatted_plan(df)
     findings: list[dict] = []
@@ -154,6 +167,29 @@ def lint_plan(
                     }
                 )
             break
+
+    # repeated scans of one relation: count Location lines per parquet
+    # basename across the scan detail blocks (each block carries ONE
+    # Location). The driver-side anchor pattern legitimately scans a
+    # table twice; 3+ is worth a look (see module docstring for the
+    # three legitimate shapes).
+    locs = re.findall(
+        r"Location: \w+ \[[^\]]*?([A-Za-z0-9_.-]+)\.parquet\]?", plan
+    )
+    for table, cnt in sorted(Counter(locs).items()):
+        if cnt > max_same_scans:
+            findings.append(
+                {
+                    "rule": "repeated-scan",
+                    "severity": "review",
+                    "detail": f"relation '{table}' is scanned {cnt} "
+                    f"times in one plan (> {max_same_scans}): fine if "
+                    f"each scan prunes to a different narrow column "
+                    f"set or this is a stored-index path's in-plan "
+                    f"oracle twin; otherwise materialize the shared "
+                    f"intermediate",
+                }
+            )
 
     n = node_count(plan, "Exchange")
     if n > max_exchanges:

@@ -121,3 +121,20 @@ def test_no_registered_query_has_high_severity_findings(spark, sf_dir, name):
     findings = lint_plan(SPECS[name].fn(spark, sf_dir))
     high = [f for f in findings if f["severity"] == "high"]
     assert not high, f"{name}: {high}"
+
+
+def test_repeated_scan_flagged(spark, sf_dir):
+    """Three references to the same relation in one plan -> flagged;
+    the legitimate two-scan anchor pattern stays quiet."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    three = o.unionAll(o).unionAll(o)
+    findings = [
+        f for f in lint_plan(three) if f["rule"] == "repeated-scan"
+    ]
+    assert findings and "'orders'" in findings[0]["detail"], findings
+
+    anchor = load(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("mx")
+    )
+    two = load(spark, sf_dir, "orders").crossJoin(F.broadcast(anchor))
+    assert "repeated-scan" not in _rules(lint_plan(two))
