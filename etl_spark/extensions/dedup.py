@@ -556,7 +556,22 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     scale. The result is deterministic, so the
     DuckDB recursive-CTE transitive closure reproduces it exactly."""
     pairs = x04_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    return dup_clusters_from_pairs(pairs)
+
+
+def dup_clusters_from_pairs(
+    pairs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """x29's cluster table from an INJECTED pair list ``(doc_a,
+    doc_b)`` → ``(doc_id, cluster_id, is_canonical)``. The registered
+    x29 derives pairs in-plan so DuckDB can replay it; production
+    callers that consume the verdict several times (x46/x47/x49/x58
+    all embed this subtree) persist the pair table ONCE and pass it
+    here — the CC loop then runs once per pair table, not once per
+    consumer (VERDICT r12 #3; measured delta in COVERAGE.md)."""
+    labels = connected_components(
+        pairs.select("doc_a", "doc_b"), checkpoint_dir=checkpoint_dir
+    )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
@@ -836,8 +851,19 @@ def x46_dedup_verdict(spark: SparkSession, sf: str) -> DataFrame:
     Scale: x29's label table is pairs-sized (≪ corpus); the closing
     join is one LEFT equi-join of the corpus scan against it on
     doc_id, then scan-local CASE logic — no new quadratic surface."""
-    labels = x29_dup_clusters(spark, sf).withColumnRenamed("doc_id", "l_doc")
-    docs = load(spark, sf, "documents").select("doc_id")
+    return dedup_verdict_frame(
+        load(spark, sf, "documents").select("doc_id"),
+        x29_dup_clusters(spark, sf),
+    )
+
+
+def dedup_verdict_frame(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """x46's corpus-wide keep/drop table from an INJECTED cluster
+    table (``dup_clusters_from_pairs`` output). ``docs`` needs a
+    ``doc_id`` column; one LEFT equi-join + scan-local CASE logic.
+    Production callers persist the cluster table once and reuse it
+    across every verdict consumer (VERDICT r12 #3)."""
+    labels = clusters.withColumnRenamed("doc_id", "l_doc")
     return (
         docs.join(labels, docs.doc_id == F.col("l_doc"), "left")
         .select(

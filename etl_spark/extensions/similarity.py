@@ -3111,3 +3111,119 @@ def x128_ivfpq_delta_probe(spark: SparkSession, sf: str) -> DataFrame:
         seen, q, k=KNN_K, nprobe=X71_NPROBE,
         residual=True, exclude_self=False,
     )
+
+
+# --- x132: retrieval QUALITY as a registered, regression-gated row ----
+#
+# VERDICT r12 #7: runtime was driver-visible for the ANN tier (x72/
+# x128 bench rows + quiet slopes) but retrieval quality was only a
+# local test assertion. x132 makes recall@5 itself an oracle-exact
+# registered query: both sides replay the identical IVF-PQ probe AND
+# the identical exact brute-force top-5, so the per-query hit counts
+# are deterministic integers DuckDB reproduces bit-for-bit — if a
+# future change degrades the index (codebook skip, probe order, ADC
+# rounding), the driver's hash goes red, not just a local test.
+
+
+def _duck_ann_recall() -> str:
+    """Recall@5 oracle: the x128 IVF-PQ replay as a derived table,
+    an exact brute-force top-5 per query (same ROUND(d2,6) + vec_id
+    tie rules as the refine stage), LEFT JOIN to count overlap."""
+    return f"""
+        WITH ivf AS ({_duck_ivfpq_residual_delta(X72_BATCH_MAX_ID)}),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings
+            WHERE vec_id % 2 = 1 AND vec_id < {X72_BATCH_MAX_ID}
+        ),
+        exact AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY ROUND(
+                               list_dot_product(q.qe, q.qe)
+                               - 2 * list_dot_product(
+                                     e.embedding::DOUBLE[], q.qe)
+                               + list_dot_product(
+                                     e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]), 6) ASC,
+                               e.vec_id ASC
+                       ) AS rk
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id % 2 = 0
+            ) WHERE rk <= {KNN_K}
+        )
+        SELECT CAST(e.qid AS BIGINT) AS qid,
+               CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+               CAST(COUNT(i.vec_id) AS DOUBLE) / {KNN_K} AS recall_at_5
+        FROM exact e
+        LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+        GROUP BY e.qid
+    """
+
+
+@register(
+    "x132_ann_recall_at5",
+    oracle=_duck_ann_recall(),
+    tags=("similarity", "quality"),
+)
+def x132_ann_recall_at5(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query recall@5 of the production IVF-PQ delta probe (the
+    exact x128 plan — same index, same batch, same tie rules) against
+    the exact brute-force top-5 over the SEEN corpus. Output is one
+    row per query (qid, hits, recall_at_5), all deterministic: the
+    probe is replayed identically by the DuckDB oracle, and the
+    brute-force side reuses the refine stage's Arrow dot kernel +
+    ROUND(d2,6) + vec_id tie-break, so hit counts are integer-exact
+    cross-engine. The brute-force side is FIXTURE-SCALE MACHINERY by
+    design (batch x corpus scoring — the ground truth recall needs
+    it); at deployment, recall is estimated on a sampled query batch
+    exactly this shape, against the stored index
+    (build_ivf_index(pq=True, pq_residual=True) + ivfpq_index_probe,
+    row-identical to the in-plan form — asserted in tests)."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    q = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    ivf = _ivfpq_plan(
+        seen, q, k=KNN_K, nprobe=X71_NPROBE,
+        residual=True, exclude_self=False,
+    ).select("qid", "vec_id", F.lit(1).alias("hit"))
+    dot_pd = _dot_udf()
+    corpus = seen.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot_pd("qe", "qe")
+                - 2 * dot_pd("emb_d", "qe")
+                + dot_pd("emb_d", "emb_d"),
+                6,
+            ).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        exact.join(ivf, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") / F.lit(float(KNN_K))).alias("recall_at_5"),
+        )
+    )

@@ -279,27 +279,77 @@ def f10_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# x22 accuracy bounds, asserted IN-PLAN (columns the oracle checks as
+# literal TRUE). Both sketches are deterministic given the data, so
+# these are not flaky thresholds — they are verified to hold at all
+# three fixture SFs and regression-gate the sketch implementations:
+# HLL++ at rsd=0.02 has 3-sigma relative error 6% (0.10 leaves
+# hash-luck headroom); approx_percentile at its default accuracy
+# (1e4) has rank error ~n/1e4 rows — far inside 5% of the median
+# value on the fixture price distribution.
+X22_CD_BOUND = 0.10
+X22_MEDIAN_BOUND = 0.05
+
+
 @register(
     "x22_approx_aggs",
-    oracle=None,  # HLL++/KLL sketches are engine-specific — tolerance
-    # vs the exact values is asserted in tests/test_extensions.py
-    tags=("agg",),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               TRUE AS cd_within_bound,
+               TRUE AS median_within_bound
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "sketch"),
 )
 def x22_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB substitutes for exact
     distinct/percentile when the key cardinality no longer fits a
-    hash table: HLL++ (approx_count_distinct, rsd 2%) and a
-    quantile sketch (approx_percentile). Both are single-pass,
-    mergeable partial aggregates — constant memory per partition, one
-    shuffle of sketch bytes instead of raw keys."""
-    return (
+    hash table: HLL++ (approx_count_distinct, rsd 2%) and a quantile
+    sketch (approx_percentile). Both are single-pass, mergeable
+    partial aggregates — constant memory per partition, one shuffle
+    of sketch bytes instead of raw keys.
+
+    Registered surface (VERDICT r12 #4 — this was the suite's last
+    ``oracle=None`` row): the sketch BYTES are engine-specific, so
+    the row emits the exact aggregates (integer-exact cross-engine)
+    plus ``*_within_bound`` booleans computed ON THE SPARK SIDE from
+    sketch-vs-exact in the same plan; the DuckDB oracle asserts the
+    booleans as literal TRUE. A sketch regression (accuracy, hashing,
+    merge) flips a boolean and goes driver-red — a hard signal, where
+    the old rows-only row was a permanent weak one. One aggregation
+    computes both sketch and exact per group: at fixture scale the
+    exact side is the oracle anchor; at 100 TB you would drop the
+    exact columns and keep the sketches — same plan shape."""
+    g = (
         load(spark, sf, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_median_price"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customers"
+            ),
+            F.expr("percentile(o_totalprice, 0.5D)").alias("exact_median"),
+            F.expr("approx_percentile(o_totalprice, 0.5D)").alias(
+                "approx_median"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+    return g.select(
+        "o_orderstatus",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= F.lit(X22_CD_BOUND) * F.col("exact_customers")
+        ).alias("cd_within_bound"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= F.lit(X22_MEDIAN_BOUND) * F.abs(F.col("exact_median"))
+        ).alias("median_within_bound"),
     )
 
 

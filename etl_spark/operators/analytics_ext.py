@@ -2528,3 +2528,260 @@ def x131_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum("a") - F.sum("b")).cast("bigint").alias("net_delta_cents"),
         )
     )
+
+
+@register(
+    "x133_abc_migration",
+    oracle="""
+        WITH pr AS (
+            SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey AS part,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1, 2
+        ),
+        classed AS (
+            SELECT yr, part, cents,
+                   CASE WHEN SUM(cents) OVER (
+                                 PARTITION BY yr
+                                 ORDER BY cents DESC, part) * 100
+                             <= SUM(cents) OVER (PARTITION BY yr) * 80
+                          THEN 'A'
+                        WHEN SUM(cents) OVER (
+                                 PARTITION BY yr
+                                 ORDER BY cents DESC, part) * 100
+                             <= SUM(cents) OVER (PARTITION BY yr) * 95
+                          THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM pr
+        )
+        SELECT b.yr, COALESCE(a.cls, 'new') AS class_from, b.cls AS class_to,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(b.cents) AS BIGINT) AS cents_now
+        FROM classed b
+        LEFT JOIN classed a ON a.part = b.part AND a.yr = b.yr - 1
+        GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "warehouse", "window"),
+    doc="Year-over-year ABC class migration matrix for parts: where last year's A/B/C revenue classes moved, with the revenue now sitting in each cell.",
+)
+def x133_abc_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC MIGRATION — x98's Pareto classification made a FLOW (the
+    x129 transition-matrix pattern applied to the part dimension):
+    every part is classed A/B/C per YEAR by cumulative revenue share
+    (A while <= 80%, B to 95%), then consecutive-year classes are
+    cross-tabbed — (class_from, class_to) with part counts and the
+    revenue now at stake. 'new' = no revenue the prior year. This is
+    the assortment review's steering table: A->C rows are collapsing
+    stars, new->A rows are breakouts.
+
+    Integer-exact end-to-end: revenue is floor-cents, the class
+    boundary compares cum*100 <= tot*80 in INTEGER space (no share
+    division at all — the divide-free form of x98's cut), counts and
+    cents CAST to BIGINT (the r12 type-parity rule).
+
+    Scale: one fact pass to a (yr, part)-keyed aggregate; the
+    cumulative window runs per year over the PART dimension (the x98
+    note — dimension-sized, one ordered partition per year); the
+    migration join is dimension×2 self-join on (part, yr), never
+    fact-sized."""
+    li = load(spark, sf, "lineitem")
+    pr = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.col("l_partkey").alias("part"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100"
+                " + 0.5) AS BIGINT)"
+            )
+        ).alias("cents")
+    )
+    cw = Window.partitionBy("yr").orderBy(
+        F.desc("cents"), F.asc("part")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy("yr")
+    cum = F.sum("cents").over(cw)
+    tot = F.sum("cents").over(tw)
+    classed = pr.select(
+        "yr",
+        "part",
+        "cents",
+        F.when(cum * 100 <= tot * 80, "A")
+        .when(cum * 100 <= tot * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    b = classed.alias("b")
+    a = classed.alias("a")
+    return (
+        b.join(
+            a,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.yr") == F.col("b.yr") - 1),
+            "left",
+        )
+        .groupBy(
+            F.col("b.yr").alias("yr"),
+            F.coalesce(F.col("a.cls"), F.lit("new")).alias("class_from"),
+            F.col("b.cls").alias("class_to"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("b.cents")).cast("bigint").alias("cents_now"),
+        )
+    )
+
+
+@register(
+    "x134_discount_leakage",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(month(l_shipdate) AS INT) AS mo,
+               p.p_brand,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gross_cents,
+               CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS discount_cents,
+               CAST(1000000
+                    * SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                               AS BIGINT))
+                    // SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS leak_ppm
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="Monthly discount leakage per brand: gross vs discount cents and the leaked share in ppm — the pricing team's margin-erosion report.",
+)
+def x134_discount_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """DISCOUNT LEAKAGE — per (month, brand), how many cents of gross
+    price walked out the door as discount, and the leaked share in
+    ppm (the x124/x125 integer-ppm idiom). This is the pricing
+    governance report: a brand-month whose leak_ppm trends up is a
+    discounting-discipline problem no average-discount column shows
+    (it weights by price, not by line count).
+
+    Integer-exact: gross and discount are floor-cents of the SAME
+    double expressions both engines evaluate left-associatively
+    (F.expr carries the identical text), the ppm is integer division.
+    Group sums stay far inside int64 at brand-month granularity; at
+    corpus scale switch the ppm multiply to DECIMAL(38,0) (same DIV).
+
+    Scale: one fact scan joined to the part DIM (broadcast at any
+    realistic part-table size; bucketed join beyond), one
+    (yr, mo, brand)-keyed shuffle with map-side partials. Scan prunes
+    to 4 lineitem + 2 part columns."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("gross_cents"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * l_discount * 100 + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("discount_cents"),
+            F.expr(
+                "CAST(1000000"
+                " * SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)"
+                " AS BIGINT))"
+                " DIV SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+    )
+
+
+@register(
+    "x135_seasonality_shift",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS mo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        ),
+        shares AS (
+            SELECT yr, mo, n_orders,
+                   CAST(mo_cents AS BIGINT) AS month_cents,
+                   CAST(SUM(mo_cents) OVER (PARTITION BY yr) AS BIGINT)
+                     AS year_cents,
+                   CAST(1000000 * mo_cents
+                        // SUM(mo_cents) OVER (PARTITION BY yr)
+                        AS BIGINT) AS share_ppm
+            FROM m
+        )
+        SELECT yr, mo, n_orders, month_cents, year_cents, share_ppm,
+               share_ppm - LAG(share_ppm) OVER (
+                   PARTITION BY mo ORDER BY yr) AS yoy_delta_ppm
+        FROM shares
+    """,
+    tags=("extension", "warehouse", "window"),
+    doc="Seasonality shift: each month's share of its year's revenue (ppm) and the year-over-year drift of that share per calendar month.",
+)
+def x135_seasonality_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """SEASONALITY SHIFT — each calendar month's share of its year's
+    revenue (ppm), plus the year-over-year drift of that share (is
+    the Q4 peak growing?). x125's mix-shift pattern re-aimed from the
+    priority dimension at the TIME dimension: demand planners read
+    yoy_delta_ppm to separate real seasonality drift from absolute
+    growth (which cancels out of a share).
+
+    Integer-exact: floor-cents, integer-ppm shares (both engines'
+    floor division agrees on the all-positive inputs), BIGINT lag
+    deltas; first year per month is NULL (no prior year). The ppm
+    multiply stays inside int64 up to ~9e12 cents per month — switch
+    to DECIMAL(38,0) beyond (the x134 note).
+
+    Scale: one fact pass to a months-sized aggregate; both windows
+    (year share, month lag) run over that ~#months-row table —
+    driver-trivial no matter the fact volume."""
+    o = load(spark, sf, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("mo_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wyr = Window.partitionBy("yr")
+    shares = m.select(
+        "yr",
+        "mo",
+        "n_orders",
+        F.col("mo_cents").cast("bigint").alias("month_cents"),
+        F.sum("mo_cents").over(wyr).cast("bigint").alias("year_cents"),
+        F.expr("1000000 * mo_cents").alias("scaled"),
+        F.sum("mo_cents").over(wyr).alias("yr_sum"),
+    ).select(
+        "yr",
+        "mo",
+        "n_orders",
+        "month_cents",
+        "year_cents",
+        F.expr("CAST(scaled DIV yr_sum AS BIGINT)").alias("share_ppm"),
+    )
+    lagw = Window.partitionBy("mo").orderBy("yr")
+    return shares.withColumn(
+        "yoy_delta_ppm",
+        F.col("share_ppm") - F.lag("share_ppm").over(lagw),
+    )

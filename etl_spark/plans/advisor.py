@@ -168,28 +168,54 @@ def lint_plan(
                 )
             break
 
-    # repeated scans of one relation: count Location lines per parquet
-    # basename across the scan detail blocks (each block carries ONE
-    # Location). The driver-side anchor pattern legitimately scans a
-    # table twice; 3+ is worth a look (see module docstring for the
-    # three legitimate shapes).
-    locs = re.findall(
-        r"Location: \w+ \[[^\]]*?([A-Za-z0-9_.-]+)\.parquet\]?", plan
-    )
-    for table, cnt in sorted(Counter(locs).items()):
+    # repeated scans of one relation: count Location lines per FULL
+    # bracketed path across the scan detail blocks (each block carries
+    # ONE Location). Keying on the full path — not the basename —
+    # keeps two distinct relations that share a basename (e.g.
+    # orders.parquet under the base sf dir and under a replica tmp
+    # dir) from merging into one count (ADVICE r12). The driver-side
+    # anchor pattern legitimately scans a table twice; 3+ is worth a
+    # look (see module docstring for the three legitimate shapes).
+    loc_lines = re.findall(r"Location: [^\n]*", plan)
+    locs: list[str] = []
+    unparsed = 0
+    for line in loc_lines:
+        m = re.search(r"\[([^\]]+)\]", line)
+        if m:
+            locs.append(m.group(1))
+        else:
+            # a Location truncated by Spark's formatted-explain field
+            # elision: count explicitly rather than silently skipping,
+            # so a plan full of unparseable scans can't pass the rule
+            # by accident (ADVICE r12)
+            unparsed += 1
+    for path, cnt in sorted(Counter(locs).items()):
         if cnt > max_same_scans:
+            base = path.rsplit("/", 1)[-1].removesuffix(".parquet")
             findings.append(
                 {
                     "rule": "repeated-scan",
                     "severity": "review",
-                    "detail": f"relation '{table}' is scanned {cnt} "
-                    f"times in one plan (> {max_same_scans}): fine if "
-                    f"each scan prunes to a different narrow column "
-                    f"set or this is a stored-index path's in-plan "
-                    f"oracle twin; otherwise materialize the shared "
-                    f"intermediate",
+                    "detail": f"relation '{base}' ({path}) is scanned "
+                    f"{cnt} times in one plan (> {max_same_scans}): "
+                    f"fine if each scan prunes to a different narrow "
+                    f"column set or this is a stored-index path's "
+                    f"in-plan oracle twin; otherwise materialize the "
+                    f"shared intermediate",
                 }
             )
+    if unparsed:
+        findings.append(
+            {
+                "rule": "unparsed-scan-location",
+                "severity": "review",
+                "detail": f"{unparsed} scan Location line(s) had no "
+                f"parseable [path] (truncated by formatted-explain "
+                f"elision) and were excluded from repeated-scan "
+                f"counting — re-explain with a higher maxFields to "
+                f"audit them",
+            }
+        )
 
     n = node_count(plan, "Exchange")
     if n > max_exchanges:

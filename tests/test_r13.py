@@ -1,0 +1,131 @@
+"""Round-13 additions: the shared LSH-pair/CC intermediate (VERDICT
+r12 #3 — injected forms must be row-identical to the registered
+recompute forms, and the production writer must agree with the x47
+report), the oracle-backed x22 surface (VERDICT r12 #4), and the
+ANN recall@5 registered query (VERDICT r12 #7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.registry import all_specs
+from etl_spark.tables import load
+
+SPECS = all_specs()
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_injected_cc_forms_match_registered(spark, sf_dir):
+    """dup_clusters_from_pairs / dedup_verdict_frame /
+    curated_corpus_frame / multimodal_curated_frame with ONE persisted
+    pair table reproduce x29/x46/x47/x49 row-for-row — the property
+    that lets production pay the pair generation + CC fixpoint once
+    per pipeline instead of once per consumer."""
+    from etl_spark.extensions.dedup import (
+        dedup_verdict_frame,
+        dup_clusters_from_pairs,
+        x04_minhash_lsh_pairs,
+    )
+    from etl_spark.extensions.pipeline import (
+        curated_corpus_frame,
+        multimodal_curated_frame,
+    )
+
+    pairs = (
+        x04_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    try:
+        pairs.count()
+        clusters = dup_clusters_from_pairs(pairs)
+        assert _rowset(clusters) == _rowset(
+            SPECS["x29_dup_clusters"].fn(spark, sf_dir)
+        )
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        verdict = dedup_verdict_frame(docs, clusters)
+        assert _rowset(verdict) == _rowset(
+            SPECS["x46_dedup_verdict"].fn(spark, sf_dir)
+        )
+        kept = verdict.filter("keep").select("doc_id")
+        assert _rowset(curated_corpus_frame(spark, sf_dir, kept=kept)) == (
+            _rowset(SPECS["x47_curated_corpus"].fn(spark, sf_dir))
+        )
+        assert _rowset(multimodal_curated_frame(spark, sf_dir, kept=kept)) == (
+            _rowset(SPECS["x49_multimodal_curated"].fn(spark, sf_dir))
+        )
+    finally:
+        pairs.unpersist()
+
+
+def test_write_curated_corpus_matches_report(spark, sf_dir, tmp_path):
+    """The production writer's parquet output and its returned (lang,
+    split) report describe the same corpus: written doc count equals
+    the report's n_docs total, the report is exactly x47's output,
+    and every written doc passes the quality gate."""
+    from etl_spark.extensions.pipeline import write_curated_corpus
+    from etl_spark.extensions.textstats import quality_keep_col
+
+    out = str(tmp_path / "curated")
+    report = write_curated_corpus(spark, sf_dir, out)
+    rep_rows = report.collect()
+    assert _rowset(report) == _rowset(
+        SPECS["x47_curated_corpus"].fn(spark, sf_dir)
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == sum(r.n_docs for r in rep_rows)
+    assert written.filter(~quality_keep_col()).count() == 0
+    # written doc_ids are unique (dedup verdict applied)
+    assert written.select("doc_id").distinct().count() == written.count()
+
+
+def test_x22_bounds_and_exactness(spark, sf_dir):
+    """The r13 oracle-backed x22: boolean columns are non-null TRUE
+    at every fixture scale (deterministic sketches — this is what the
+    literal-TRUE oracle hashes against) and the exact columns agree
+    with a direct aggregation."""
+    rows = SPECS["x22_approx_aggs"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cd_within_bound is True
+        assert r.median_within_bound is True
+    direct = {
+        r.o_orderstatus: (r.cd, r.n)
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("cd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert {
+        r.o_orderstatus: (r.exact_customers, r.n_orders) for r in rows
+    } == direct
+
+
+def test_x132_recall_semantics(spark, sf_dir):
+    """x132: one row per query in the fixed batch, hits in [0, 5],
+    recall = hits/5, and recall is 1.0 wherever the IVF-PQ top-5
+    equals the exact top-5 (sanity: at least one query must achieve a
+    hit on the fixture — an all-zero recall would mean the probe and
+    the brute force disagree on everything, i.e. a broken index)."""
+    from etl_spark.extensions.similarity import KNN_K, X72_BATCH_MAX_ID
+
+    rows = SPECS["x132_ann_recall_at5"].fn(spark, sf_dir).collect()
+    n_q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
+        )
+        .count()
+    )
+    assert len(rows) == n_q
+    for r in rows:
+        assert 0 <= r.hits <= KNN_K
+        assert abs(r.recall_at_5 - r.hits / KNN_K) < 1e-12
+    assert sum(r.hits for r in rows) > 0

@@ -1,12 +1,13 @@
 """Quiet-host scale evidence for the r12 warehouse KPIs (x129 churn
-transition matrix, x130 supplier OTIF trend): n=3 runs at 10x/20x
-replica corpora, the r9e/r11_wh protocol (entity key spaces shifted
-per replica, xxhash64 forcing, no concurrent Spark work).
-supplier/customer stay UNREPLICATED dims.
+transition matrix, x130 supplier OTIF trend, x131 revenue bridge):
+n=3 runs at 10x/20x replica corpora, the r9e/r11_wh protocol (entity
+key spaces shifted per replica, xxhash64 forcing, no concurrent Spark
+work). supplier/customer stay UNREPLICATED dims.
 
 Design claim: x129 is one fact-keyed Exchange + a <=12-row matrix;
 x130 is one orderkey SMJ Exchange + one suppkey Exchange shared by
-rollup and window — slope <= ~2.0 per 2x for both.
+rollup and window; x131 is one month-keyed agg + an 80-row lag window
+— slope <= ~2.0 per 2x for all three.
 
 Merges results into BENCH_QUIET_r12.json.
 Usage: python tools/quiet_bench_r12_wh.py
@@ -59,9 +60,9 @@ def main() -> None:
 
     section: dict = {
         "note": (
-            "r12 warehouse KPIs quiet scale (x129/x130): r9e replica "
-            "protocol, n=3, xxhash64-forced; supplier/customer "
-            "unreplicated dims."
+            "r12 warehouse KPIs quiet scale (x129/x130/x131): r9e "
+            "replica protocol, n=3, xxhash64-forced; supplier/"
+            "customer unreplicated dims."
         )
     }
     for replicas in (10, 20):
