@@ -773,6 +773,19 @@ def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     the pairs-sized dedup-verdict join), then explode(1..lvl) turns
     cumulative counting into ONE keyed aggregate — 5 output rows, no
     per-stage rescans of the corpus."""
+    return curation_funnel_frame(spark, sf)
+
+
+def curation_funnel_frame(
+    spark: SparkSession, sf: str, verdict: DataFrame | None = None
+) -> DataFrame:
+    """x58's funnel with an optionally INJECTED x46 dedup verdict
+    (``(doc_id, keep)`` at minimum) — the same sharing contract as
+    ``curated_corpus_frame``: the registered x58 derives the verdict
+    (pairs + CC fixpoint) in-plan for oracle replay; a pipeline run
+    that also writes the corpus reuses ONE cluster table across the
+    write, the budget report, and this run report (VERDICT r12 #3;
+    injected==registered row-identity in tests/test_r13.py)."""
     from etl_spark.extensions.dedup import x46_dedup_verdict
     from etl_spark.extensions.pipeline import _split_col
     from etl_spark.extensions.textstats import x17_quality_filter
@@ -782,9 +795,9 @@ def x58_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     q = x17_quality_filter(spark, sf).select(
         "doc_id", F.col("keep").alias("q_keep")
     )
-    k = x46_dedup_verdict(spark, sf).select(
-        "doc_id", F.col("keep").alias("d_keep")
-    )
+    if verdict is None:
+        verdict = x46_dedup_verdict(spark, sf)
+    k = verdict.select("doc_id", F.col("keep").alias("d_keep"))
     permille = _permille_col()
     # LEFT joins + coalesce(keep, false): x17 emits no row for a
     # null/empty-text doc, so an inner join would silently drop such

@@ -58,6 +58,11 @@ def test_injected_cc_forms_match_registered(spark, sf_dir):
         assert _rowset(multimodal_curated_frame(spark, sf_dir, kept=kept)) == (
             _rowset(SPECS["x49_multimodal_curated"].fn(spark, sf_dir))
         )
+        from etl_spark.extensions.corpus import curation_funnel_frame
+
+        assert _rowset(curation_funnel_frame(spark, sf_dir, verdict=verdict)) == (
+            _rowset(SPECS["x58_curation_funnel"].fn(spark, sf_dir))
+        )
     finally:
         pairs.unpersist()
 
