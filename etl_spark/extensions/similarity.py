@@ -3181,7 +3181,15 @@ def x132_ann_recall_at5(spark: SparkSession, sf: str) -> DataFrame:
     it); at deployment, recall is estimated on a sampled query batch
     exactly this shape, against the stored index
     (build_ivf_index(pq=True, pq_residual=True) + ivfpq_index_probe,
-    row-identical to the in-plan form — asserted in tests)."""
+    row-identical to the in-plan form — asserted in tests).
+
+    Expected VALUE on the fixtures: mean recall@5 ~= 0.34 / 0.31 at
+    sf0.001 / sf0.01. The fixture embeddings are near-random, where
+    IVF probe recall ~= the probed cell fraction (the x65 lesson);
+    the 0.79 figure in the x75/x128 docstrings is the CLUSTERED
+    prototype measurement, where cells carry real structure. The
+    driver row gates exact per-query hit counts, so drift in either
+    direction goes hash-red — which is the point."""
     from pyspark.sql import Window
 
     emb = load(spark, sf, "embeddings")
