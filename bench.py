@@ -238,6 +238,8 @@ HEADLINE = [
     "x133_abc_migration",
     "x134_discount_leakage",
     "x135_seasonality_shift",
+    # r13 late: semantic decontamination (embedding-space eval-leak)
+    "x136_semantic_decontaminate",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

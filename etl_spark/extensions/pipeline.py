@@ -836,3 +836,144 @@ def write_curated_corpus(
         return curated_corpus_frame(spark, sf, kept=kept)
     finally:
         pairs.unpersist()
+
+
+# cosine floor for "this training doc is semantically an eval doc".
+# 0.3 is FIXTURE tuning: the synthetic embeddings are near-random, so
+# true cross-source cosines are rare and modest (banded hits verified
+# non-vacuous at sf0.001/0.01/0.1: 5/10/106 pairs); with a real text
+# encoder, paraphrase leaks sit >= ~0.8 and this floor is config. The
+# recall contract is x24's: pairs missed by every band are absent —
+# raise bands/width (similarity._N_BANDS) to buy recall at the floor.
+SEMDECON_COS = 0.3
+
+
+def _x136_oracle() -> str:
+    from etl_spark.extensions.similarity import (
+        X24_BUCKET_CAP,
+        _duck_band_sigs,
+    )
+
+    cos = (
+        "list_dot_product(te.embedding::DOUBLE[], ee.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(te.embedding::DOUBLE[],"
+        " te.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(ee.embedding::DOUBLE[],"
+        " ee.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH sigs AS ({_duck_band_sigs()}),
+        src AS (SELECT doc_id, source FROM documents),
+        es AS (
+            SELECT s.vec_id, s.band, s.sig
+            FROM sigs s JOIN src ON src.doc_id = s.vec_id
+            WHERE src.source = '{EVAL_SOURCE}'
+        ),
+        ts AS (
+            SELECT s.vec_id, s.band, s.sig
+            FROM sigs s JOIN src ON src.doc_id = s.vec_id
+            WHERE src.source <> '{EVAL_SOURCE}'
+        ),
+        occ AS (SELECT band, sig, COUNT(*) AS n FROM es GROUP BY band, sig),
+        cand AS (
+            SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+            FROM ts t
+            JOIN es e ON e.band = t.band AND e.sig = t.sig
+            JOIN occ o ON o.band = t.band AND o.sig = t.sig
+            WHERE o.n <= {X24_BUCKET_CAP}
+        ),
+        scored AS (
+            SELECT c.train_id, ROUND({cos}, 4) AS cosine
+            FROM cand c
+            JOIN embeddings te ON te.vec_id = c.train_id
+            JOIN embeddings ee ON ee.vec_id = c.eval_id
+            WHERE {cos} >= {SEMDECON_COS}
+        )
+        SELECT train_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+               MAX(cosine) AS max_cosine
+        FROM scored GROUP BY train_id
+    """
+
+
+@register(
+    "x136_semantic_decontaminate",
+    oracle=_x136_oracle(),
+    tags=("pipeline", "similarity", "dedup"),
+)
+def x136_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement to
+    x25's n-gram rule (GPT-4/Llama-3 style eval-leak sweeps run BOTH:
+    n-gram overlap catches verbatim leaks, embedding cosine catches
+    paraphrases the shingle join cannot see). A training document
+    (source != EVAL_SOURCE, 'src0' on the fixture) is flagged iff its embedding is
+    cosine-near (>= SEMDECON_COS) ANY eval-corpus embedding; output is
+    the drop list with evidence — (doc_id, n_eval_hits, max_cosine).
+
+    Plan shape (the x24 kernels, re-aimed CROSS-SET — never
+    train x train): banded hyperplane signatures for both sides from
+    ONE shared signature pass; candidates from an equi-join of train
+    sigs against eval sigs on (band, sig) — the shuffle is keyed on
+    the signature, so cost is bucket-local; eval buckets hotter than
+    X24_BUCKET_CAP are dropped (a boilerplate-hot eval bucket carries
+    no decontamination signal — same argument as x24), which bounds
+    per-train-row fan-out at CAP per band; exact cosine re-score only
+    on candidates. At 100 TB the eval side is benchmark-sized — the
+    sig join effectively broadcasts it — and the train side stays one
+    scan + bucket-local pairs.
+
+    Cross-engine: fixture doc_id and vec_id are 1:1 (the x49
+    convention); filter on the UNROUNDED cosine, emit ROUND(.,4),
+    MAX over rounded values — deterministic both sides."""
+    from etl_spark.extensions.similarity import (
+        X24_BUCKET_CAP,
+        _DOT,
+        _band_signatures,
+    )
+    from etl_spark.tables import load_parallel
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    sigs = _band_signatures(
+        load_parallel(spark, sf, "embeddings")
+    ).join(docs, F.col("vec_id") == F.col("doc_id")).select(
+        "vec_id", "band", "sig", "source"
+    )
+    es = sigs.filter(F.col("source") == EVAL_SOURCE).select(
+        F.col("vec_id").alias("eval_id"), "band", "sig"
+    )
+    ts = sigs.filter(F.col("source") != EVAL_SOURCE).select(
+        F.col("vec_id").alias("train_id"), "band", "sig"
+    )
+    occ = es.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        ts.join(es, ["band", "sig"])
+        .join(occ.filter(F.col("n") <= X24_BUCKET_CAP), ["band", "sig"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    emb = load(spark, sf, "embeddings")
+    te = emb.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("ta"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("tn2"),
+    )
+    ee = emb.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eb"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("en2"),
+    )
+    cos = F.expr(_DOT.format(a="ta", b="eb")) / (
+        F.sqrt(F.col("tn2")) * F.sqrt(F.col("en2"))
+    )
+    scored = (
+        cand.join(te, "train_id")
+        .join(ee, "eval_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEMDECON_COS)
+        .select("train_id", F.round("cosine", 4).alias("cosine"))
+    )
+    return scored.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+

@@ -167,6 +167,7 @@ def _ensure_loaded() -> None:
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: the r13 registrations (policy rule 1)
     "x132_ann_recall_at5",
+    "x136_semantic_decontaminate",
     "x133_abc_migration",
     "x134_discount_leakage",
     "x135_seasonality_shift",
@@ -218,7 +219,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- last green r9 (tier head fills the window)
     "x46_dedup_verdict",
     "x89_substring_dup_coverage",
-    "x06_knn_bruteforce",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
