@@ -57,6 +57,26 @@ from pyspark.sql import DataFrame
 from etl_spark.plans.inspect import formatted_plan, node_count
 
 
+def _scan_locations(plan: str) -> tuple[list[str], int]:
+    """Parse every ``Location:`` line of a formatted plan into its
+    full bracketed path. Returns ``(paths, unparsed)`` where
+    ``unparsed`` counts Location lines with no parseable ``[path]``
+    (Spark's formatted-explain field elision truncates long lines) —
+    counted explicitly rather than silently skipped, so a plan full
+    of unparseable scans can't pass the repeated-scan rule by
+    accident (ADVICE r12). Pure function, unit-tested on synthetic
+    plan text in tests/test_advisor.py."""
+    locs: list[str] = []
+    unparsed = 0
+    for line in re.findall(r"Location: [^\n]*", plan):
+        m = re.search(r"\[([^\]]+)\]", line)
+        if m:
+            locs.append(m.group(1))
+        else:
+            unparsed += 1
+    return locs, unparsed
+
+
 def lint_plan(
     df: DataFrame,
     max_exchanges: int = 6,
@@ -176,19 +196,7 @@ def lint_plan(
     # dir) from merging into one count (ADVICE r12). The driver-side
     # anchor pattern legitimately scans a table twice; 3+ is worth a
     # look (see module docstring for the three legitimate shapes).
-    loc_lines = re.findall(r"Location: [^\n]*", plan)
-    locs: list[str] = []
-    unparsed = 0
-    for line in loc_lines:
-        m = re.search(r"\[([^\]]+)\]", line)
-        if m:
-            locs.append(m.group(1))
-        else:
-            # a Location truncated by Spark's formatted-explain field
-            # elision: count explicitly rather than silently skipping,
-            # so a plan full of unparseable scans can't pass the rule
-            # by accident (ADVICE r12)
-            unparsed += 1
+    locs, unparsed = _scan_locations(plan)
     for path, cnt in sorted(Counter(locs).items()):
         if cnt > max_same_scans:
             base = path.rsplit("/", 1)[-1].removesuffix(".parquet")

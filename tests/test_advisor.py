@@ -138,3 +138,30 @@ def test_repeated_scan_flagged(spark, sf_dir):
     )
     two = load(spark, sf_dir, "orders").crossJoin(F.broadcast(anchor))
     assert "repeated-scan" not in _rules(lint_plan(two))
+
+
+def test_scan_locations_full_path_and_truncation():
+    """ADVICE r12: the repeated-scan Counter keys on the FULL
+    bracketed path (two relations sharing a basename stay distinct),
+    and Location lines truncated by formatted-explain elision are
+    counted explicitly instead of escaping the rule."""
+    from etl_spark.plans.advisor import _scan_locations
+
+    plan = (
+        "(1) Scan parquet\n"
+        "Location: InMemoryFileIndex [file:/base/orders.parquet]\n"
+        "(2) Scan parquet\n"
+        "Location: InMemoryFileIndex [file:/tmp/replica_7/orders.parquet]\n"
+        "(3) Scan parquet\n"
+        "Location: InMemoryFileIndex [file:/base/orders.parquet]\n"
+        "(4) Scan parquet\n"
+        "Location: InMemoryFileIndex [file:/very/long/path/that/got/elid\n"
+    )
+    locs, unparsed = _scan_locations(plan)
+    assert unparsed == 1
+    # same basename, different dirs -> two distinct keys
+    assert locs.count("file:/base/orders.parquet") == 2
+    assert locs.count("file:/tmp/replica_7/orders.parquet") == 1
+    from collections import Counter
+
+    assert max(Counter(locs).values()) == 2  # never merged to 3
