@@ -134,3 +134,44 @@ def test_x132_recall_semantics(spark, sf_dir):
         assert 0 <= r.hits <= KNN_K
         assert abs(r.recall_at_5 - r.hits / KNN_K) < 1e-12
     assert sum(r.hits for r in rows) > 0
+
+
+def test_x136_soundness_and_sides(spark, sf_dir):
+    """x136 semantic decontamination: every flagged doc is (a) NOT an
+    eval-source doc, (b) truly cosine-near (>= SEMDECON_COS) at least
+    one eval embedding under the exact brute force — i.e. the banded
+    path never invents a hit (soundness; completeness is the
+    documented LSH-recall contract, not asserted)."""
+    from etl_spark.extensions.pipeline import EVAL_SOURCE, SEMDECON_COS
+
+    rows = SPECS["x136_semantic_decontaminate"].fn(spark, sf_dir).collect()
+    assert rows  # non-vacuous at every fixture SF (tuned floor)
+    flagged = {r.doc_id for r in rows}
+    docs = {
+        r.doc_id: r.source
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert all(docs[d] != EVAL_SOURCE for d in flagged)
+    for r in rows:
+        assert r.n_eval_hits >= 1
+        assert r.max_cosine >= SEMDECON_COS
+
+    # exact brute-force cross-check (fixture-scale only): the flagged
+    # set must be a SUBSET of the true >= floor cross-source set
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    eval_ids = [d for d, s in docs.items() if s == EVAL_SOURCE and d in emb]
+    E = np.vstack([emb[i] for i in eval_ids])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for d in flagged:
+        v = emb[d]
+        cos = En @ (v / np.linalg.norm(v))
+        assert cos.max() >= SEMDECON_COS - 1e-9, d
