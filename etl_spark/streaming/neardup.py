@@ -196,3 +196,155 @@ def run_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- ingest-time SEMANTIC DECONTAMINATION (x136's streaming twin) ------
+#
+# x136 is the batch sweep: flag training docs whose embedding is
+# cosine-near any eval-corpus embedding. At ingest time the same gate
+# runs per micro-batch against a STORED eval index — the eval corpus
+# is fixed and benchmark-sized, so unlike the near-dup index above it
+# is built ONCE and never appended to (no self-poisoning window, no
+# index writes in the hot path). Candidates come from the identical
+# banded-hyperplane signatures (capped eval buckets, the x136/x24
+# rule); the exact cosine re-score keeps the drop decision identical
+# to the batch sweep's — a band collision alone never drops a row.
+
+
+def build_decon_index(eval_emb: DataFrame, index_path: str) -> None:
+    """Build the stored eval index: banded signatures (hot buckets
+    above X24_BUCKET_CAP dropped at BUILD time — a boilerplate-hot
+    eval bucket carries no decontamination signal) under
+    ``index_path/sigs`` and the eval embeddings (for the exact
+    re-score) under ``index_path/emb``. ``eval_emb`` needs
+    (vec_id, embedding)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.similarity import (
+        X24_BUCKET_CAP,
+        embedding_band_keys_of,
+    )
+
+    sigs = embedding_band_keys_of(eval_emb)
+    occ = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    capped = (
+        sigs.join(occ.filter(F.col("n") <= X24_BUCKET_CAP), ["band", "sig"])
+        .select(F.col("vec_id").alias("eval_id"), "band", "sig")
+    )
+    capped.write.mode("overwrite").parquet(os.path.join(index_path, "sigs"))
+    eval_emb.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_e"),
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "emb"))
+
+
+def decon_filter_batch(
+    batch_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    index_path: str,
+    cos_floor: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the semantic-decontamination gate: returns
+    ``(kept, flagged)`` where ``flagged`` is the x136 evidence shape
+    (id, n_eval_hits, max_cosine) for rows cosine-near (>= floor) any
+    stored eval embedding, and ``kept`` is ``batch_df`` minus them.
+
+    Work per batch: one signature pass over the batch, one equi-join
+    against the (broadcast, benchmark-sized) eval sig index, exact
+    cosine only on bucket-collision candidates — the x136 plan with
+    the corpus side replaced by the batch."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.extensions.pipeline import SEMDECON_COS
+    from etl_spark.extensions.similarity import _DOT, embedding_band_keys_of
+
+    floor = SEMDECON_COS if cos_floor is None else cos_floor
+    spark = batch_df.sparkSession
+    seen_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+    eval_emb = spark.read.parquet(os.path.join(index_path, "emb"))
+    b = batch_df.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    bsigs = embedding_band_keys_of(b)
+    cand = (
+        bsigs.join(F.broadcast(seen_sigs), ["band", "sig"])
+        .select("vec_id", "eval_id")
+        .distinct()
+    )
+    be = b.select(
+        "vec_id",
+        F.col("embedding").alias("ta"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("tn2"),
+    )
+    ee = eval_emb.select(
+        "eval_id",
+        F.col("eval_e").alias("eb"),
+        F.expr(_DOT.format(a="eval_e", b="eval_e")).alias("en2"),
+    )
+    cos = F.expr(_DOT.format(a="ta", b="eb")) / (
+        F.sqrt(F.col("tn2")) * F.sqrt(F.col("en2"))
+    )
+    flagged = (
+        cand.join(be, "vec_id")
+        .join(F.broadcast(ee), "eval_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= floor)
+        .groupBy(F.col("vec_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.max(F.round("cosine", 4)).alias("max_cosine"),
+        )
+    )
+    kept = batch_df.join(flagged.select(id_col), id_col, "left_anti")
+    return kept, flagged
+
+
+def run_decon_ingest(
+    stream_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    index_path: str,
+    out_path: str,
+    flagged_path: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    cos_floor: float | None = None,
+    on_batch: Callable[[int, int, int], Any] | None = None,
+) -> StreamingQuery:
+    """``foreachBatch`` sink for the decontamination gate: clean rows
+    land under ``out_path``, flagged evidence rows (the x136 shape)
+    under ``flagged_path`` — the audit trail a compliance review
+    reads. The eval index is STATIC, so replay idempotence only needs
+    the per-batch ``batch-<id>/_SUCCESS`` commit pattern (no index
+    restore step — contrast run_neardup_ingest). ``on_batch(batch_id,
+    n_in, n_flagged)`` is the observability hook."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        out_dir = os.path.join(out_path, f"batch-{batch_id}")
+        flag_dir = os.path.join(flagged_path, f"batch-{batch_id}")
+        if batch_committed(out_dir) and batch_committed(flag_dir):
+            return
+        for d in (out_dir, flag_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        kept, flagged = decon_filter_batch(
+            batch_df, id_col, emb_col, index_path, cos_floor=cos_floor
+        )
+        flagged = flagged.persist()  # two consumers: count + write
+        n_in = batch_df.count()
+        n_flagged = flagged.count()
+        kept.write.mode("overwrite").parquet(out_dir)
+        flagged.write.mode("overwrite").parquet(flag_dir)
+        flagged.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_in, n_flagged)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

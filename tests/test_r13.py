@@ -175,3 +175,83 @@ def test_x136_soundness_and_sides(spark, sf_dir):
         v = emb[d]
         cos = En @ (v / np.linalg.norm(v))
         assert cos.max() >= SEMDECON_COS - 1e-9, d
+
+
+def test_streaming_decon_matches_batch_x136(spark, sf_dir, tmp_path):
+    """The ingest-time decontamination gate replayed over the train
+    corpus in two micro-batches flags EXACTLY the x136 batch sweep's
+    doc set with identical evidence (the eval index is static, so
+    batching cannot change candidates), and kept + flagged partitions
+    the input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.pipeline import EVAL_SOURCE
+    from etl_spark.streaming.neardup import build_decon_index, run_decon_ingest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    build_decon_index(
+        joined.filter(F.col("source") == EVAL_SOURCE).select(
+            "vec_id", "embedding"
+        ),
+        str(tmp_path / "eval_idx"),
+    )
+
+    train = (
+        joined.filter(F.col("source") != EVAL_SOURCE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # two plain parquet files => two micro-batches (maxFilesPerTrigger=1)
+    src = tmp_path / "train_src"
+    src.mkdir()
+    half = len(train) // 2
+    for i, chunk in enumerate((train[:half], train[half:])):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": [r.vec_id for r in chunk],
+                    "embedding": [list(r.embedding) for r in chunk],
+                }
+            ),
+            str(src / f"part-{i}.parquet"),
+        )
+
+    seen = []
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_decon_ingest(
+        stream,
+        id_col="vec_id",
+        emb_col="embedding",
+        index_path=str(tmp_path / "eval_idx"),
+        out_path=str(tmp_path / "clean"),
+        flagged_path=str(tmp_path / "flagged"),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda b, n_in, n_fl: seen.append((b, n_in, n_fl)),
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 2
+
+    flagged = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "flagged")
+    )
+    clean = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "clean")
+    )
+    batch = {
+        r.doc_id: (r.n_eval_hits, r.max_cosine)
+        for r in SPECS["x136_semantic_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    stream_got = {
+        r.vec_id: (r.n_eval_hits, r.max_cosine) for r in flagged.collect()
+    }
+    assert stream_got == batch
+    clean_ids = {r.vec_id for r in clean.select("vec_id").collect()}
+    assert clean_ids.isdisjoint(stream_got)
+    assert len(clean_ids) + len(stream_got) == len(train)
