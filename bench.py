@@ -52,6 +52,11 @@ DEMOTED_BASELINES = {
 def _bench_fn(specs, name):
     return specs[name].fn if name in specs else DEMOTED_BASELINES[name]
 
+
+# loadavg sampled at main() start; emitted in the payload so every
+# bench record carries its own contention provenance (r12/r13 lesson)
+_LOAD_BEFORE: str | None = None
+
 # Headline set: the reference-pipeline shapes (scans, multi-joins,
 # aggregations, windows, threshold monitor) + the training-data ops
 # (dedup, minhash, simhash, knn, text stats). Chosen to produce small
@@ -596,6 +601,12 @@ def _dedup_scale_bench(spark, sf_dir: str, replicas: int = 10) -> dict:
 
 
 def main() -> None:
+    global _LOAD_BEFORE
+    _LOAD_BEFORE = (
+        " ".join(open("/proc/loadavg").read().split()[:3])
+        if os.path.exists("/proc/loadavg")
+        else None
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -665,6 +676,15 @@ def main() -> None:
     payload = {
         "metric": "headline_query_suite_total_wall",
         "unit": "sec",
+        # self-recorded contention provenance (the r12/r13 lesson:
+        # external judge/driver load produced uniform 15-30% drift
+        # that read as per-query regressions until loadavg was
+        # captured) — "before" is sampled at session start, so a
+        # nonzero value means the window was NOT quiet at launch
+        "loadavg_before": _LOAD_BEFORE,
+        "loadavg_after": " ".join(
+            open("/proc/loadavg").read().split()[:3]
+        ) if os.path.exists("/proc/loadavg") else None,
         # x65 left the HEADLINE set in r8 (demoted quadratic) — the
         # suite geomean/median population changed, so value/
         # value_median are not directly comparable across set
