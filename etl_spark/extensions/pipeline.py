@@ -756,11 +756,24 @@ def x70_source_league(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: x29's CC over docs-in-pairs, one corpus-scan LEFT
     join against the labels (pairs-sized), one (source) aggregate —
     the gate itself is scan-local."""
+    return source_league_frame(spark, sf)
+
+
+def source_league_frame(
+    spark: SparkSession, sf: str, clusters: DataFrame | None = None
+) -> DataFrame:
+    """x70's league table with an optionally INJECTED cluster table
+    (``dup_clusters_from_pairs`` output) — the last member of the
+    shared-CC-intermediate family (x46/x47/x49/x58): one persisted
+    pair table + one CC run serves the write, the budget report, the
+    funnel, AND this acquisition report."""
     from etl_spark.extensions.dedup import x29_dup_clusters
     from etl_spark.extensions.textstats import quality_keep_col
 
     docs = load(spark, sf, "documents")
-    labels = x29_dup_clusters(spark, sf).select("doc_id", "is_canonical")
+    if clusters is None:
+        clusters = x29_dup_clusters(spark, sf)
+    labels = clusters.select("doc_id", "is_canonical")
     toks = F.split("text", " ")
     quality = quality_keep_col()
     return (

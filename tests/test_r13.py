@@ -63,6 +63,11 @@ def test_injected_cc_forms_match_registered(spark, sf_dir):
         assert _rowset(curation_funnel_frame(spark, sf_dir, verdict=verdict)) == (
             _rowset(SPECS["x58_curation_funnel"].fn(spark, sf_dir))
         )
+        from etl_spark.extensions.pipeline import source_league_frame
+
+        assert _rowset(source_league_frame(spark, sf_dir, clusters=clusters)) == (
+            _rowset(SPECS["x70_source_league"].fn(spark, sf_dir))
+        )
     finally:
         pairs.unpersist()
 
