@@ -245,6 +245,9 @@ HEADLINE = [
     "x135_seasonality_shift",
     # r13 late: semantic decontamination (embedding-space eval-leak)
     "x136_semantic_decontaminate",
+    # r13 late 2: SRE error-budget burn; supplier HHI concentration
+    "e16_error_budget_burn",
+    "x138_supplier_hhi",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

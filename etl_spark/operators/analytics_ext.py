@@ -2785,3 +2785,92 @@ def x135_seasonality_shift(spark: SparkSession, sf: str) -> DataFrame:
         "yoy_delta_ppm",
         F.col("share_ppm") - F.lag("share_ppm").over(lagw),
     )
+
+
+@register(
+    "x138_supplier_hhi",
+    oracle="""
+        WITH sup_rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS cents
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        shares AS (
+            SELECT s_nationkey,
+                   CAST(1000000 * cents
+                        // SUM(cents) OVER (PARTITION BY s_nationkey)
+                        AS BIGINT) AS share_ppm
+            FROM sup_rev
+        )
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+               CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+                 AS hhi_ppm
+        FROM shares JOIN nation n ON n.n_nationkey = shares.s_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("extension", "warehouse", "window", "agg"),
+    doc="Supplier revenue concentration per nation: Herfindahl-Hirschman index from integer-ppm shares, with supplier count and top share.",
+)
+def x138_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """SUPPLIER CONCENTRATION (HHI) — the market-structure companion
+    to x121's Gini: per nation, the Herfindahl-Hirschman index of
+    supplier revenue shares (sum of squared shares — monopoly = 1e6
+    on this ppm scale, perfectly split n ways = 1e6/n), plus the
+    supplier count and the single largest share. Sourcing teams read
+    this as supply-chain risk: a nation whose HHI trends up is
+    concentrating into fewer suppliers regardless of total volume.
+    Integer-exact: floor-cents, integer-ppm shares (the x125 window
+    idiom), squared-share sums stay far inside int64 (share <= 1e6,
+    square <= 1e12, thousands of suppliers per nation), final
+    floor-divide back to the ppm scale.
+
+    Scale: one fact pass to a (nation, supplier)-keyed aggregate
+    (the supplier dim broadcasts pre-aggregate so the shuffle key is
+    already the rollup key); the share window and HHI aggregate run
+    over the SUPPLIER DIMENSION (x98's convention — never
+    fact-sized); nation broadcasts onto the final ~25-row result."""
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    sup_rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1 - l_discount) * 100"
+                    " + 0.5) AS BIGINT)"
+                )
+            ).alias("cents")
+        )
+    )
+    nw = Window.partitionBy("s_nationkey")
+    shares = sup_rev.select(
+        "s_nationkey",
+        F.sum("cents").over(nw).alias("nsum"),
+        "cents",
+    ).select(
+        "s_nationkey",
+        F.expr("CAST(1000000 * cents DIV nsum AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+    return (
+        shares.join(
+            F.broadcast(nat), shares.s_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+            F.expr(
+                "CAST(SUM(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )

@@ -1048,3 +1048,105 @@ def e15_session_duration_daily(spark: SparkSession, sf: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+# e16: SRE error-budget burn. Budget sits just above the fixture's
+# median daily error rate (~198k ppm, range 165k-249k), so BOTH
+# branches of the breach boolean occur — a never-true flag would be a
+# weak hash signal. The trailing window is 7 days (the fixture spans
+# 30); the breach compare is multiplicative (1e6*errors > budget*events)
+# so no division rounding can flip a boundary day between engines.
+E16_BUDGET_PPM = 200_000
+E16_WINDOW_DAYS = 7
+
+
+@register(
+    "e16_error_budget_burn",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                     AS dn,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                     AS n_errors
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT day, n_events, n_errors,
+                   CAST(1000000 * n_errors // n_events AS BIGINT)
+                     AS err_ppm,
+                   SUM(n_events) OVER (
+                       ORDER BY dn RANGE BETWEEN {E16_WINDOW_DAYS - 1}
+                       PRECEDING AND CURRENT ROW) AS w_events,
+                   SUM(n_errors) OVER (
+                       ORDER BY dn RANGE BETWEEN {E16_WINDOW_DAYS - 1}
+                       PRECEDING AND CURRENT ROW) AS w_errors
+            FROM d
+        )
+        SELECT day, n_events, n_errors, err_ppm,
+               CAST(1000000 * w_errors // w_events AS BIGINT)
+                 AS window_ppm,
+               1000000 * w_errors > {E16_BUDGET_PPM} * w_events AS breach
+        FROM w
+    """,
+    tags=("events", "window", "agg"),
+    doc="SRE error-budget burn: daily error ppm, trailing-7-day window ppm, and a breach flag against a 200k-ppm budget.",
+)
+def e16_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
+    """ERROR-BUDGET BURN — the SRE steering table e05's z-score spike
+    detector doesn't give you: per day, the error rate (ppm), the
+    TRAILING {E16_WINDOW_DAYS}-day window rate (the 'budget burn'
+    SLO dashboards alert on — a single bad hour can clear a z-score
+    by the next day but still eat the week's budget), and a breach
+    flag against E16_BUDGET_PPM. Integer-exact end-to-end: counts,
+    integer-ppm rates (x121 idiom), and a MULTIPLICATIVE breach
+    compare (1e6*errors > budget*events) so the boundary day can
+    never round differently across engines. The calendar RANGE frame
+    over day numbers is x116's idiom — gap days (none on the fixture)
+    would correctly widen the window rather than silently counting
+    rows.
+
+    Scale: one fact pass to a days-sized aggregate (map-side partial
+    counts); both windows run over ~#days rows. The 1e6 multiplier
+    stays in int64 to ~9e12 window errors — DECIMAL(38,0) beyond
+    (the x134 note)."""
+    d = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1992-01-01").cast("date")
+            ).alias("dn"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint").alias("n_errors"),
+        )
+    )
+    win = Window.orderBy("dn").rangeBetween(-(E16_WINDOW_DAYS - 1), 0)
+    w = d.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.expr("CAST(1000000 * n_errors DIV n_events AS BIGINT)").alias(
+            "err_ppm"
+        ),
+        F.sum("n_events").over(win).alias("w_events"),
+        F.sum("n_errors").over(win).alias("w_errors"),
+    )
+    return w.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "err_ppm",
+        F.expr("CAST(1000000 * w_errors DIV w_events AS BIGINT)").alias(
+            "window_ppm"
+        ),
+        (
+            F.lit(1000000) * F.col("w_errors")
+            > F.lit(E16_BUDGET_PPM) * F.col("w_events")
+        ).alias("breach"),
+    )

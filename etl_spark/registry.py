@@ -168,6 +168,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: the r13 registrations (policy rule 1)
     "x132_ann_recall_at5",
     "x136_semantic_decontaminate",
+    "e16_error_budget_burn",
+    "x138_supplier_hhi",
     "x133_abc_migration",
     "x134_discount_leakage",
     "x135_seasonality_shift",
@@ -217,8 +219,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "s01_tumbling_window",
     "s02_session_window",
     # -- last green r9 (tier head fills the window)
-    "x46_dedup_verdict",
-    "x89_substring_dup_coverage",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
