@@ -151,19 +151,21 @@ def _ensure_loaded() -> None:
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
 # Round-13 window (tools/rotate_window.py output + VERDICT r12 #2):
-#   1. the four r13 registrations (x132 ANN recall@5 — retrieval
-#      QUALITY as a driver-gated row, VERDICT r12 #7 — and the
-#      x133/x134/x135 warehouse KPIs) are never-driver-checked and
-#      lead per policy rule 1;
+#   1. the seven r13 registrations (x132 ANN recall@5 — retrieval
+#      QUALITY as a driver-gated row, VERDICT r12 #7; x136 semantic
+#      decontamination; e16 error-budget burn; x138 supplier HHI;
+#      and the x133/x134/x135 warehouse KPIs) are
+#      never-driver-checked and lead per policy rule 1;
 #   2. x22_approx_aggs — oracle-backed THIS round (VERDICT r12 #4:
 #      exact aggregates + sketch-within-bound booleans the oracle
 #      asserts as literal TRUE), so it is newly slot-eligible and its
 #      last driver row (r6, the suite's only red) is the oldest of
 #      any eligible query;
-#   3. the r8 cohort, oldest-first in registration order (VERDICT
-#      r12 #2 — the 42 queries whose newest driver row is r8: the
-#      relational core p/j/a/w/o/f, e01-e08, a12/a13, s01/s02);
-#   4. the head of the r9 tier fills the remaining slots.
+#   3. the ENTIRE 42-query r8 cohort fills the remaining slots,
+#      oldest-first in registration order (VERDICT r12 #2 — the
+#      relational core p/j/a/w/o/f, e01-e08, a12/a13, s01/s02).
+#      7 + 1 + 42 = 50 exactly; registration stopped here for the
+#      round so no r8 entry is displaced past the driver's cutoff.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: the r13 registrations (policy rule 1)
     "x132_ann_recall_at5",
