@@ -260,3 +260,88 @@ def test_streaming_decon_matches_batch_x136(spark, sf_dir, tmp_path):
     clean_ids = {r.vec_id for r in clean.select("vec_id").collect()}
     assert clean_ids.isdisjoint(stream_got)
     assert len(clean_ids) + len(stream_got) == len(train)
+
+
+def test_streaming_decon_replays_idempotently(spark, sf_dir, tmp_path):
+    """The decon sink's exactly-once contract: a crash window that
+    loses a batch's _SUCCESS marker (flagged tier) must re-run that
+    batch on a fresh checkpoint and land byte-identical outputs —
+    never duplicates, never dropped rows. A fully-committed batch
+    replayed from a fresh checkpoint must be skipped (markers
+    present), leaving outputs unchanged."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.extensions.pipeline import EVAL_SOURCE
+    from etl_spark.streaming.neardup import build_decon_index, run_decon_ingest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    build_decon_index(
+        joined.filter(F.col("source") == EVAL_SOURCE).select(
+            "vec_id", "embedding"
+        ),
+        str(tmp_path / "eval_idx"),
+    )
+    train = (
+        joined.filter(F.col("source") != EVAL_SOURCE)
+        .select("vec_id", "embedding")
+        .limit(200)
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r.vec_id for r in train],
+                "embedding": [list(r.embedding) for r in train],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = run_decon_ingest(
+            stream,
+            id_col="vec_id",
+            emb_col="embedding",
+            index_path=str(tmp_path / "eval_idx"),
+            out_path=str(tmp_path / "clean"),
+            flagged_path=str(tmp_path / "flagged"),
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(120)
+
+    def snapshot():
+        clean = spark.read.option("recursiveFileLookup", "true").parquet(
+            str(tmp_path / "clean")
+        )
+        flagged = spark.read.option("recursiveFileLookup", "true").parquet(
+            str(tmp_path / "flagged")
+        )
+        return (
+            sorted(r.vec_id for r in clean.select("vec_id").collect()),
+            sorted(tuple(r) for r in flagged.collect()),
+        )
+
+    run("first")
+    first = snapshot()
+    assert len(first[0]) + len(first[1]) == len(train)
+
+    # committed batch + fresh checkpoint => markers skip the re-run
+    run("skip")
+    assert snapshot() == first
+
+    # crash window: flagged tier lost its commit marker => full re-run
+    _os.remove(tmp_path / "flagged" / "batch-0" / "_SUCCESS")
+    run("replay")
+    assert snapshot() == first
