@@ -345,3 +345,95 @@ def test_streaming_decon_replays_idempotently(spark, sf_dir, tmp_path):
     _os.remove(tmp_path / "flagged" / "batch-0" / "_SUCCESS")
     run("replay")
     assert snapshot() == first
+
+
+def test_e16_matches_pure_python_reference(spark, sf_dir):
+    """e16 vs an independent sequential replay: daily counts, the
+    trailing 7-day window, truncating-ppm, and the exact-rational
+    breach compare recomputed in pure Python from raw events — the
+    x120/x121 discipline (a DuckDB oracle can share an engine
+    misunderstanding; a from-scratch replay cannot)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from etl_spark.operators.event_analytics import (
+        E16_BUDGET_PPM,
+        E16_WINDOW_DAYS,
+    )
+
+    raw = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "event_type")
+        .collect()
+    )
+    n = defaultdict(int)
+    e = defaultdict(int)
+    for r in raw:
+        n[r.day] += 1
+        if r.event_type == "error":
+            e[r.day] += 1
+    days = sorted(n)
+    want = {}
+    for d in days:
+        lo = d.toordinal() - (E16_WINDOW_DAYS - 1)
+        w_ev = sum(n[x] for x in days if lo <= x.toordinal() <= d.toordinal())
+        w_er = sum(e[x] for x in days if lo <= x.toordinal() <= d.toordinal())
+        want[d] = (
+            n[d],
+            e[d],
+            1_000_000 * e[d] // n[d],
+            1_000_000 * w_er // w_ev,
+            Fraction(w_er, w_ev) > Fraction(E16_BUDGET_PPM, 1_000_000),
+        )
+    got = {
+        r.day: (r.n_events, r.n_errors, r.err_ppm, r.window_ppm, r.breach)
+        for r in SPECS["e16_error_budget_burn"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_x138_matches_pure_python_reference(spark, sf_dir):
+    """x138 vs an independent pure-Python HHI: per-supplier floor-cents
+    from raw lineitem rows, integer-ppm shares, squared-share sum —
+    recomputed from scratch and compared exactly."""
+    import math
+    from collections import defaultdict
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in load(spark, sf_dir, "supplier").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    cents = defaultdict(int)
+    for r in li:
+        nk = sup[r.l_suppkey]
+        cents[(nk, r.l_suppkey)] += int(
+            math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        )
+    nsum = defaultdict(int)
+    for (nk, _), c in cents.items():
+        nsum[nk] += c
+    shares = defaultdict(list)
+    for (nk, sk), c in cents.items():
+        shares[nk].append(1_000_000 * c // nsum[nk])
+    want = {
+        nat[nk]: (
+            len(s),
+            max(s),
+            sum(x * x for x in s) // 1_000_000,
+        )
+        for nk, s in shares.items()
+    }
+    got = {
+        r.n_name: (r.n_suppliers, r.top_share_ppm, r.hhi_ppm)
+        for r in SPECS["x138_supplier_hhi"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
