@@ -248,6 +248,10 @@ HEADLINE = [
     # r13 late 2: SRE error-budget burn; supplier HHI concentration
     "e16_error_budget_burn",
     "x138_supplier_hhi",
+    # r14: clustered-embedding ANN recall (meaningful-quality gate);
+    # monthly margin waterfall
+    "x139_ann_recall_clustered",
+    "x140_margin_waterfall",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

@@ -802,6 +802,7 @@ def write_curated_corpus(
     sf: str,
     path: str,
     checkpoint_dir: str | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """The PRODUCTION curation keep/drop write path (VERDICT r12 #3):
     derive the MinHash-LSH pair table ONCE, persist it, run the CC
@@ -819,7 +820,14 @@ def write_curated_corpus(
     (``quality_keep_col`` == x17's keep including the degenerate-text
     guard; the x46 verdict from the shared cluster table), so files
     and report can never disagree. Pass ``checkpoint_dir`` (HDFS/S3)
-    at cluster scale for durable CC rounds."""
+    at cluster scale for durable CC rounds.
+
+    ``exclude`` (VERDICT r13 #5) is an upstream drop list — one
+    ``doc_id`` column, e.g. the decontamination gate's flagged ids
+    from ``streaming.neardup.run_decon_ingest`` — anti-joined into
+    the keep set BEFORE both the write and the report, so the
+    composed ingest -> decon -> shared-CC -> curated-write pipeline
+    keeps the files==report identity by construction."""
     from etl_spark.extensions.dedup import (
         dedup_verdict_frame,
         dup_clusters_from_pairs,
@@ -842,6 +850,10 @@ def write_curated_corpus(
             .filter("keep")
             .select("doc_id")
         )
+        if exclude is not None:
+            kept = kept.join(
+                exclude.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
         curated = docs.filter(quality_keep_col()).join(kept, "doc_id")
         curated.write.mode("overwrite").parquet(path)
         # the budget report over the SAME injected verdict — one more

@@ -2912,10 +2912,14 @@ def x75_ivfpq_residual_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 # partition-pruned — asserted in tests).
 
 
-def _duck_ivfpq_residual_delta(batch_max_id: int) -> str:
+def _duck_ivfpq_residual_delta(batch_max_id: int, src: str = "embeddings") -> str:
+    """``src`` is any relation expression with (vec_id, embedding) —
+    the bare ``embeddings`` view for x128/x132, or the derived
+    clustered-embedding subquery for x139 (same plan text otherwise,
+    so the two registered rows can never drift apart)."""
     return f"""
         WITH seen AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+            SELECT vec_id, embedding FROM {src} WHERE vec_id % 2 = 0
         ),
         nn AS (
             SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM seen
@@ -2986,7 +2990,7 @@ def _duck_ivfpq_residual_delta(batch_max_id: int) -> str:
         ),
         q AS (
             SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-            FROM embeddings
+            FROM {src}
             WHERE vec_id % 2 = 1 AND vec_id < {batch_max_id}
         ),
         probe AS (
@@ -3052,7 +3056,7 @@ def _duck_ivfpq_residual_delta(batch_max_id: int) -> str:
                          + list_dot_product(e.embedding::DOUBLE[],
                                             e.embedding::DOUBLE[]), 6) AS d2
             FROM shortlist sl
-            JOIN embeddings e ON e.vec_id = sl.vec_id
+            JOIN {src} e ON e.vec_id = sl.vec_id
             JOIN q ON q.qid = sl.qid
         ),
         ranked AS (
@@ -3125,15 +3129,17 @@ def x128_ivfpq_delta_probe(spark: SparkSession, sf: str) -> DataFrame:
 # rounding), the driver's hash goes red, not just a local test.
 
 
-def _duck_ann_recall() -> str:
+def _duck_ann_recall(src: str = "embeddings") -> str:
     """Recall@5 oracle: the x128 IVF-PQ replay as a derived table,
     an exact brute-force top-5 per query (same ROUND(d2,6) + vec_id
-    tie rules as the refine stage), LEFT JOIN to count overlap."""
+    tie rules as the refine stage), LEFT JOIN to count overlap.
+    ``src`` swaps the embedding source (x139 passes the clustered
+    view; the probe and the ground truth always read the SAME one)."""
     return f"""
-        WITH ivf AS ({_duck_ivfpq_residual_delta(X72_BATCH_MAX_ID)}),
+        WITH ivf AS ({_duck_ivfpq_residual_delta(X72_BATCH_MAX_ID, src=src)}),
         q AS (
             SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-            FROM embeddings
+            FROM {src}
             WHERE vec_id % 2 = 1 AND vec_id < {X72_BATCH_MAX_ID}
         ),
         exact AS (
@@ -3150,7 +3156,7 @@ def _duck_ann_recall() -> str:
                                      e.embedding::DOUBLE[]), 6) ASC,
                                e.vec_id ASC
                        ) AS rk
-                FROM embeddings e CROSS JOIN q
+                FROM {src} e CROSS JOIN q
                 WHERE e.vec_id % 2 = 0
             ) WHERE rk <= {KNN_K}
         )
@@ -3187,12 +3193,19 @@ def x132_ann_recall_at5(spark: SparkSession, sf: str) -> DataFrame:
     sf0.001 / sf0.01. The fixture embeddings are near-random, where
     IVF probe recall ~= the probed cell fraction (the x65 lesson);
     the 0.79 figure in the x75/x128 docstrings is the CLUSTERED
-    prototype measurement, where cells carry real structure. The
+    prototype measurement, where cells carry real structure; x139
+    registers that clustered regime as its own driver-gated row. The
     driver row gates exact per-query hit counts, so drift in either
     direction goes hash-red — which is the point."""
+    return _ann_recall_plan(load(spark, sf, "embeddings"))
+
+
+def _ann_recall_plan(emb: DataFrame) -> DataFrame:
+    """Shared recall@5 plan (x132 on raw fixtures, x139 on the
+    clustered view): IVF-PQ delta probe vs exact brute-force top-5
+    over the SAME (vec_id, embedding) frame, counted per query."""
     from pyspark.sql import Window
 
-    emb = load(spark, sf, "embeddings")
     seen = emb.filter(F.col("vec_id") % 2 == 0)
     q = emb.filter(
         (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
@@ -3235,3 +3248,107 @@ def x132_ann_recall_at5(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("hits") / F.lit(float(KNN_K))).alias("recall_at_5"),
         )
     )
+
+
+# --- x139: recall on STRUCTURED embeddings (VERDICT r13 #3) ----------
+#
+# x132 gates determinism of the recall pipeline, but on the fixture's
+# near-random embeddings the gated VALUE is the probed-cell fraction
+# (~0.31), not retrieval quality. x139 derives a deterministic
+# CLUSTERED embedding view from the same fixture columns — the
+# FIXTURES.md md5-seeded-constants convention, same as the x21 LSH
+# hyperplanes — and gates the identical integer-exact recall form on
+# it, so the driver row protects a MEANINGFUL recall (>=0.6; measured
+# ~1.0 at sf0.001/0.01) instead of the random floor.
+_CLUSTER_K = 16  # distinct md5-seeded centers
+_CLUSTER_NOISE = 0.02  # fixture-embedding admixture (intra-cluster spread)
+
+
+def _cl_center(j: int) -> list[float]:
+    """Deterministic cluster-center components from md5("cl{j}_{d}") —
+    rounded to 6 dp so the literal round-trips identically into both
+    engines' SQL texts (the _plane convention)."""
+    import hashlib
+
+    comps = []
+    for d in range(_EMB_DIM):
+        h = int(hashlib.md5(f"cl{j}_{d}".encode()).hexdigest()[:15], 16)
+        comps.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+    return comps
+
+
+_CL_CENTERS = [_cl_center(j) for j in range(_CLUSTER_K)]
+
+
+def clustered_embedding_view(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) where embedding = center[(vec_id DIV 2) %
+    K] + NOISE * fixture_embedding. The cluster key is (vec_id DIV 2)
+    so the even/odd seen-vs-query split lands every cluster on BOTH
+    sides (a bare vec_id % K with even seen ids would put queries in
+    clusters with no corpus). Bit-exact cross-engine: centers are
+    6-dp literals, float->double casts are exact, and both engines
+    evaluate the identical c + NOISE*x per component."""
+    centers_lit = F.array(
+        *[F.array(*[F.lit(c) for c in ce]) for ce in _CL_CENTERS]
+    )
+    cl = F.element_at(
+        centers_lit,
+        F.expr(f"CAST((vec_id DIV 2) % {_CLUSTER_K} AS INT)") + F.lit(1),
+    )
+    return emb.select(
+        "vec_id",
+        F.zip_with(
+            cl,
+            F.col("embedding").cast("array<double>"),
+            lambda c, x: c + F.lit(_CLUSTER_NOISE) * x,
+        ).alias("embedding"),
+    )
+
+
+def _duck_clustered_src() -> str:
+    """The DuckDB twin of clustered_embedding_view, as a relation
+    expression usable wherever the oracles say FROM embeddings."""
+    centers = "[" + ", ".join(repr(ce) for ce in _CL_CENTERS) + "]"
+    return f"""(
+        SELECT vec_id,
+               list_transform(
+                   generate_series(1, {_EMB_DIM}),
+                   i -> ({centers})[CAST((vec_id // 2) % {_CLUSTER_K} AS INT) + 1][i]
+                        + {_CLUSTER_NOISE} * (embedding::DOUBLE[])[i]
+               ) AS embedding
+        FROM embeddings
+    )"""
+
+
+@register(
+    "x139_ann_recall_clustered",
+    oracle=_duck_ann_recall(src=_duck_clustered_src()),
+    tags=("similarity", "quality"),
+)
+def x139_ann_recall_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the production IVF-PQ delta probe on CLUSTERED
+    embeddings — the x132 pipeline verbatim (same index derivation,
+    same probe, same exact ground truth, same tie rules), pointed at
+    a deterministic clustered view of the fixture: 16 md5-seeded
+    centers + a 0.02-scaled admixture of the original embedding for
+    intra-cluster spread. Because the sqrt(n) seed cells now align
+    with real structure (at sf0.01 the first 16 even vec_ids hit all
+    16 clusters exactly once), the probe's nprobe cells cover the
+    query's cluster and the gated value is MEANINGFUL retrieval
+    quality — mean recall ~1.0 here vs the ~0.31 random-embedding
+    floor x132 documents (VERDICT r13 #3: 'green CORRECTNESS row
+    whose gated value is meaningful recall (>=0.6)'). A regression
+    that degrades the index (probe order, codebook skip, ADC
+    rounding, residual sign) now drops REAL recall and goes hash-red
+    on integer hit counts, cross-engine.
+
+    The clustered view is derived IN-PLAN from fixture columns (the
+    FIXTURES.md md5-constants convention — the x21 hyperplane idiom),
+    so both engines compute bit-identical doubles: 6-dp center
+    literals, exact float->double casts, identical c + 0.02*x
+    evaluation order. Scale: identical to x132 — fixed 128-query
+    batch, sqrt(n) index tier, brute-force ground truth is
+    fixture-scale machinery the deployment path replaces with a
+    sampled-batch estimate against the stored index."""
+    emb = clustered_embedding_view(load(spark, sf, "embeddings"))
+    return _ann_recall_plan(emb)

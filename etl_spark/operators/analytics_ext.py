@@ -2664,8 +2664,11 @@ def x134_discount_leakage(spark: SparkSession, sf: str) -> DataFrame:
     Integer-exact: gross and discount are floor-cents of the SAME
     double expressions both engines evaluate left-associatively
     (F.expr carries the identical text), the ppm is integer division.
-    Group sums stay far inside int64 at brand-month granularity; at
-    corpus scale switch the ppm multiply to DECIMAL(38,0) (same DIV).
+    The ppm numerator multiplies in DECIMAL(38,0) (ADVICE r13: the
+    DuckDB oracle's SUM runs in HUGEINT, so a bare int64 multiply
+    would diverge — wrap with ANSI off, error with ANSI on — past
+    ~9.2e12 cents; decimal matches HUGEINT at any real scale and DIV
+    still returns BIGINT so the declared schema is unchanged).
 
     Scale: one fact scan joined to the part DIM (broadcast at any
     realistic part-table size; bucketed join beyond), one
@@ -2697,7 +2700,7 @@ def x134_discount_leakage(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("discount_cents"),
             F.expr(
-                "CAST(1000000"
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
                 " * SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)"
                 " AS BIGINT))"
                 " DIV SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
@@ -2747,8 +2750,9 @@ def x135_seasonality_shift(spark: SparkSession, sf: str) -> DataFrame:
     Integer-exact: floor-cents, integer-ppm shares (both engines'
     floor division agrees on the all-positive inputs), BIGINT lag
     deltas; first year per month is NULL (no prior year). The ppm
-    multiply stays inside int64 up to ~9e12 cents per month — switch
-    to DECIMAL(38,0) beyond (the x134 note).
+    numerator multiplies in DECIMAL(38,0) so Spark tracks the
+    oracle's HUGEINT past ~9e12 cents/month instead of wrapping
+    (ADVICE r13; DIV back to BIGINT keeps the declared schema).
 
     Scale: one fact pass to a months-sized aggregate; both windows
     (year share, month lag) run over that ~#months-row table —
@@ -2770,7 +2774,7 @@ def x135_seasonality_shift(spark: SparkSession, sf: str) -> DataFrame:
         "n_orders",
         F.col("mo_cents").cast("bigint").alias("month_cents"),
         F.sum("mo_cents").over(wyr).cast("bigint").alias("year_cents"),
-        F.expr("1000000 * mo_cents").alias("scaled"),
+        F.expr("CAST(1000000 AS DECIMAL(38,0)) * mo_cents").alias("scaled"),
         F.sum("mo_cents").over(wyr).alias("yr_sum"),
     ).select(
         "yr",
@@ -2824,9 +2828,12 @@ def x138_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
     this as supply-chain risk: a nation whose HHI trends up is
     concentrating into fewer suppliers regardless of total volume.
     Integer-exact: floor-cents, integer-ppm shares (the x125 window
-    idiom), squared-share sums stay far inside int64 (share <= 1e6,
-    square <= 1e12, thousands of suppliers per nation), final
-    floor-divide back to the ppm scale.
+    idiom; the share numerator multiplies in DECIMAL(38,0) so the
+    cents-scaled product tracks the oracle's HUGEINT instead of
+    wrapping past ~9.2e12 nation-cents — ADVICE r13), squared-share
+    sums stay far inside int64 (share <= 1e6, square <= 1e12,
+    thousands of suppliers per nation), final floor-divide back to
+    the ppm scale.
 
     Scale: one fact pass to a (nation, supplier)-keyed aggregate
     (the supplier dim broadcasts pre-aggregate so the shuffle key is
@@ -2857,9 +2864,10 @@ def x138_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
         "cents",
     ).select(
         "s_nationkey",
-        F.expr("CAST(1000000 * cents DIV nsum AS BIGINT)").alias(
-            "share_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * cents DIV nsum"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
     )
     return (
         shares.join(
@@ -2872,5 +2880,109 @@ def x138_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(
                 "CAST(SUM(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
             ).alias("hhi_ppm"),
+        )
+    )
+
+
+@register(
+    "x140_margin_waterfall",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                   CAST(month(l_shipdate) AS INT) AS mo,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS gross_cents,
+                   SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                            AS BIGINT)) AS discount_cents,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax
+                                  * 100 + 0.5) AS BIGINT)) AS tax_cents,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                     AS charge_cents
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT yr, mo,
+               CAST(gross_cents AS BIGINT) AS gross_cents,
+               CAST(discount_cents AS BIGINT) AS discount_cents,
+               CAST(tax_cents AS BIGINT) AS tax_cents,
+               CAST(charge_cents AS BIGINT) AS charge_cents,
+               CAST(1000000 * discount_cents // gross_cents AS BIGINT)
+                 AS discount_ppm,
+               CAST(1000000 * tax_cents // gross_cents AS BIGINT)
+                 AS tax_ppm
+        FROM m
+    """,
+    tags=("extension", "warehouse", "agg"),
+    doc="Monthly margin waterfall: gross, discount, tax and final charge cents per ship month, with discount/tax shares of gross in ppm.",
+)
+def x140_margin_waterfall(spark: SparkSession, sf: str) -> DataFrame:
+    """MARGIN WATERFALL — the finance bridge x134 (discount leakage)
+    feeds into: per ship month, the four tiers every revenue
+    walk-through reads (gross list price, minus discount, plus tax,
+    equals final charge — the TPC-H charge decomposition), plus the
+    discount and tax shares of gross in ppm. A month whose
+    discount_ppm widens while charge grows is buying revenue with
+    margin; the waterfall shows it in one row where separate
+    revenue/discount reports hide it.
+
+    Integer-exact: all four tiers are floor-cents of expressions both
+    engines evaluate in the identical left-associative order (F.expr
+    carries the same text); the ppm shares multiply in DECIMAL(38,0)
+    (the ADVICE-r13 idiom — tracks the oracle's HUGEINT past ~9.2e12
+    month-cents instead of wrapping; DIV returns BIGINT so the
+    declared schema is unchanged). The tiers do NOT telescope exactly
+    (each is independently floor-rounded — deliberately, so each tier
+    is itself a sum of exact per-line cents, the auditor's
+    convention).
+
+    Scale: one lineitem scan pruned to 4 columns, one (yr, mo)-keyed
+    shuffle with map-side partials onto ~#months rows — no join, no
+    window, nothing fact-sized past the scan."""
+    li = load(spark, sf, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            ).alias("gross_cents"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * l_discount * 100 + 0.5)"
+                    " AS BIGINT)"
+                )
+            ).alias("discount_cents"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1 - l_discount) * l_tax"
+                    " * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("tax_cents"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1 - l_discount)"
+                    " * (1 + l_tax) * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("charge_cents"),
+        )
+        .select(
+            "yr",
+            "mo",
+            F.col("gross_cents").cast("bigint").alias("gross_cents"),
+            F.col("discount_cents").cast("bigint").alias("discount_cents"),
+            F.col("tax_cents").cast("bigint").alias("tax_cents"),
+            F.col("charge_cents").cast("bigint").alias("charge_cents"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * discount_cents"
+                " DIV gross_cents AS BIGINT)"
+            ).alias("discount_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * tax_cents"
+                " DIV gross_cents AS BIGINT)"
+            ).alias("tax_ppm"),
         )
     )

@@ -1108,9 +1108,11 @@ def e16_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
     rows.
 
     Scale: one fact pass to a days-sized aggregate (map-side partial
-    counts); both windows run over ~#days rows. The 1e6 multiplier
-    stays in int64 to ~9e12 window errors — DECIMAL(38,0) beyond
-    (the x134 note)."""
+    counts); both windows run over ~#days rows. The 1e6 multiplies
+    (ppm rates AND the breach compare) run in DECIMAL(38,0) so Spark
+    tracks the oracle's HUGEINT past ~9e12 window errors instead of
+    wrapping (ADVICE r13); DIV returns BIGINT and decimal>decimal
+    returns BOOLEAN, so the declared schema is unchanged."""
     d = (
         load(spark, sf, "events")
         .groupBy(
@@ -1131,9 +1133,10 @@ def e16_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
         "day",
         "n_events",
         "n_errors",
-        F.expr("CAST(1000000 * n_errors DIV n_events AS BIGINT)").alias(
-            "err_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_errors DIV n_events"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
         F.sum("n_events").over(win).alias("w_events"),
         F.sum("n_errors").over(win).alias("w_errors"),
     )
@@ -1142,11 +1145,13 @@ def e16_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "n_errors",
         "err_ppm",
-        F.expr("CAST(1000000 * w_errors DIV w_events AS BIGINT)").alias(
-            "window_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * w_errors DIV w_events"
+            " AS BIGINT)"
+        ).alias("window_ppm"),
         (
-            F.lit(1000000) * F.col("w_errors")
-            > F.lit(E16_BUDGET_PPM) * F.col("w_events")
+            F.lit(1000000).cast("decimal(38,0)") * F.col("w_errors")
+            > F.lit(E16_BUDGET_PPM).cast("decimal(38,0)")
+            * F.col("w_events")
         ).alias("breach"),
     )

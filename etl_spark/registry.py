@@ -150,77 +150,73 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-13 window (tools/rotate_window.py output + VERDICT r12 #2):
-#   1. the seven r13 registrations (x132 ANN recall@5 — retrieval
-#      QUALITY as a driver-gated row, VERDICT r12 #7; x136 semantic
-#      decontamination; e16 error-budget burn; x138 supplier HHI;
-#      and the x133/x134/x135 warehouse KPIs) are
-#      never-driver-checked and lead per policy rule 1;
-#   2. x22_approx_aggs — oracle-backed THIS round (VERDICT r12 #4:
-#      exact aggregates + sketch-within-bound booleans the oracle
-#      asserts as literal TRUE), so it is newly slot-eligible and its
-#      last driver row (r6, the suite's only red) is the oldest of
-#      any eligible query;
-#   3. the ENTIRE 42-query r8 cohort fills the remaining slots,
-#      oldest-first in registration order (VERDICT r12 #2 — the
-#      relational core p/j/a/w/o/f, e01-e08, a12/a13, s01/s02).
-#      7 + 1 + 42 = 50 exactly; registration stopped here for the
-#      round so no r8 entry is displaced past the driver's cutoff.
+# Round-14 window (tools/rotate_window.py output + VERDICT r13 #1):
+#   1. the two r14 registrations (x139 clustered-embedding ANN recall
+#      — meaningful >=0.6 retrieval quality as the gated value,
+#      VERDICT r13 #3; x140 margin waterfall — the warehouse-KPI
+#      cadence, VERDICT r13 #7) are never-driver-checked and lead per
+#      policy rule 1;
+#   2. the ENTIRE 48-query r9-stale cohort fills the remaining slots,
+#      oldest-first in registration order (VERDICT r13 #1/nit 2: the
+#      dedup/ANN/sketch x-families, f01-f08, q01/q04-q07/q10/q18/q19,
+#      o02, t01, e09, set01) — after this round nothing registered is
+#      last-green before r10. 2 + 48 = 50 exactly; registration
+#      stopped at x140 for the round so no r9 entry is displaced past
+#      the driver's cutoff (the two r10-stale queries x72/x48 are the
+#      window's first runners-up and lead r15's rotation).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: the r13 registrations (policy rule 1)
-    "x132_ann_recall_at5",
-    "x136_semantic_decontaminate",
-    "e16_error_budget_burn",
-    "x138_supplier_hhi",
-    "x133_abc_migration",
-    "x134_discount_leakage",
-    "x135_seasonality_shift",
-    # -- newly oracle-backed; last driver row r6 (oldest eligible)
-    "x22_approx_aggs",
-    # -- last green r8 (the r13 rotation cohort, registration order)
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "e01_funnel_steps",
-    "e02_retention_cohorts",
-    "e03_event_transitions",
-    "e04_value_heavy_hitters",
-    "e05_error_spike_zscore",
-    "e07_funnel_latency",
-    "e08_dau_stickiness",
-    "a12_cube",
-    "a13_percentiles",
-    "e06_value_k_correlation",
-    "p01_eq_filter",
-    "p03_isin",
-    "p04_range_time",
-    "p05_compound_where",
-    "p06_not_empty_string",
-    "p07_bool_projection",
-    "prj01_alias_unicode",
-    "prj02_star",
-    "j01_inner_2way",
-    "j02_star_3way",
-    "j03_left_outer",
-    "j04_latest_per_key_join",
-    "j05_correlated_max",
-    "j06_semi",
-    "a01_count_total",
-    "a02_count_threshold",
-    "a03_max_per_group",
-    "a04_distinct",
-    "a05_bool_and_gate",
-    "a06_lastn_conditional",
-    "w01_topk_per_group",
-    "w02_running_sum",
-    "o01_top10_orders",
-    "o03_latest_row",
-    "set03_intersect",
-    "f02_regexp_extract",
-    "f05_tz_shift_interval",
-    "f11_array_hof",
-    "s01_tumbling_window",
-    "s02_session_window",
-    # -- last green r9 (tier head fills the window)
+    # -- never driver-checked: the r14 registrations (policy rule 1)
+    "x139_ann_recall_clustered",
+    "x140_margin_waterfall",
+    # -- last green r9 (the r14 rotation cohort, registration order)
+    "x46_dedup_verdict",
+    "x89_substring_dup_coverage",
+    "x06_knn_bruteforce",
+    "x07_embedding_neardup",
+    "x08_ann_ivf_topk",
+    "x21_cosine_lsh_buckets",
+    "x44_incremental_embedding_neardup",
+    "x53_kmeans_update",
+    "x10_token_stats",
+    "x11_quality_score",
+    "x12_langid_heuristic",
+    "x13_fingerprint",
+    "x76_kmv_distinct_customers",
+    "x77_kmv_year_overlap",
+    "x78_bottomk_sample_quantiles",
+    "x79_token_heavy_hitters",
+    "x80_priority_sample_revenue",
+    "x81_countmin_token_freq",
+    "x82_cms_merge_estimates",
+    "x83_boolean_token_search",
+    "x85_pagerank_trade_graph",
+    "x88_incremental_dup_clusters",
+    "x86_fuzzy_name_match",
+    "x90_entity_clusters",
+    "x87_table_profile",
+    "x92_copurchase_lift",
+    "x93_rfm_segments",
+    "x94_mom_revenue_growth",
+    "e09_ewma_spike",
+    "x84_bloom_join_prune",
+    "x91_priority_history",
+    "o02_multikey_page",
+    "set01_union",
+    "f01_split_array_ops",
+    "f03_multiformat_dates",
+    "f04_date_format_parts",
+    "f06_hashes",
+    "f07_coalesce_fallback",
+    "f08_string_ops",
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q06_shop_day_rollup",
+    "t01_dashboard_listing",
+    "q04_priority_exists",
+    "q10_returned_items",
+    "q07_nation_volume",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 )
 
 # Queries whose SEMANTICS changed this round and therefore justify a
@@ -229,13 +225,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # these from the oldest-first dominance check; clear it when the
 # re-verification lands.
 REVERIFY_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # r13: x22 restructured from rows-only to oracle-backed
-        # (exact aggregates + within-bound booleans) — the semantics
-        # of its correctness row changed, so it takes a slot despite
-        # its r6 row already ranking first among eligible queries
-        "x22_approx_aggs",
-    }
+    # empty this round: x22's oracle-backed re-verification landed in
+    # CORRECTNESS_r13 (50/50 green), so no query's semantics justify a
+    # slot ahead of the oldest-first ranking
+    ()
 )
 
 

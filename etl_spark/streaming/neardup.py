@@ -318,7 +318,13 @@ def run_decon_ingest(
     reads. The eval index is STATIC, so replay idempotence only needs
     the per-batch ``batch-<id>/_SUCCESS`` commit pattern (no index
     restore step — contrast run_neardup_ingest). ``on_batch(batch_id,
-    n_in, n_flagged)`` is the observability hook."""
+    n_in, n_flagged)`` is the observability hook; it fires on EVERY
+    delivered batch, including checkpoint-loss replays of an already
+    committed one — on that skip path the counts are read back from
+    the committed outputs (flagged is one row per id and kept is the
+    batch minus those ids, so n_in = kept rows + flagged rows), so a
+    monitor that sums the hook never undercounts what landed
+    (ADVICE r13)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -326,6 +332,11 @@ def run_decon_ingest(
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
         flag_dir = os.path.join(flagged_path, f"batch-{batch_id}")
         if batch_committed(out_dir) and batch_committed(flag_dir):
+            if on_batch is not None:
+                spark = batch_df.sparkSession
+                n_flagged = spark.read.parquet(flag_dir).count()
+                n_in = spark.read.parquet(out_dir).count() + n_flagged
+                on_batch(batch_id, n_in, n_flagged)
             return
         for d in (out_dir, flag_dir):
             if os.path.isdir(d):
