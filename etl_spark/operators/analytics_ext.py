@@ -1784,7 +1784,10 @@ def x123_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     agg = sline.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("rev_cents").alias("revenue_cents"),
-        F.expr("1000000 * SUM(on_time) DIV COUNT(*)").alias("on_time_ppm"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * SUM(on_time)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("on_time_ppm"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
     ranked = (
@@ -1873,7 +1876,8 @@ def x124_otif_fill_rate(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_otif"),
         F.expr(
-            "CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
             " DIV COUNT(*) AS BIGINT)"
         ).alias("otif_ppm"),
     )
@@ -1932,7 +1936,8 @@ def x125_priority_mix_shift(spark: SparkSession, sf: str) -> DataFrame:
     shares = m.withColumn(
         "share_ppm",
         F.expr(
-            "CAST(1000000 * n_orders DIV SUM(n_orders)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_orders"
+            " DIV SUM(n_orders)"
             " OVER (PARTITION BY yr, mo) AS BIGINT)"
         ),
     )
@@ -2344,7 +2349,8 @@ def x130_supplier_otif_trend(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("n_otif"),
             F.expr(
-                "CAST(1000000 * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * SUM(CASE WHEN otif THEN 1 ELSE 0 END)"
                 " DIV COUNT(*) AS BIGINT)"
             ).alias("otif_ppm"),
         )

@@ -1044,7 +1044,8 @@ def e15_session_duration_daily(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("100 * SUM(dur_s) DIV COUNT(*)").alias("avg_duration_s_x100"),
         F.expr("100 * SUM(n_events) DIV COUNT(*)").alias("avg_events_x100"),
         F.expr(
-            "CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
             " DIV COUNT(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )

@@ -171,3 +171,38 @@ def test_decon_replay_hook_reports_committed_counts(spark, sf_dir, tmp_path):
     replay: list[tuple[int, int, int]] = []
     run("replay", replay)
     assert replay == first
+
+
+def test_spark_side_ppm_numerators_use_decimal():
+    """Source lint cementing the ADVICE-r13 fix repo-wide: every
+    Spark-side ppm numerator (a `1000000 *` multiply feeding an
+    integral DIV inside an F.expr / selectExpr string) must multiply
+    in DECIMAL(38,0) — a bare int64 multiply silently wraps (ANSI
+    off) or errors (ANSI on) past ~9.2e12 while the DuckDB oracle's
+    HUGEINT keeps going. Oracle SQL strings are exempt (DuckDB
+    integer division is spelled `//`, never `DIV`, so the pattern
+    below cannot match them)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "etl_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(path, encoding="utf-8"), 1):
+            if "1000000 *" in line and "DECIMAL(38,0)" not in line:
+                # join the next two lines: the multiply and its DIV may
+                # be split across an F.expr string continuation
+                ctx = line + "".join(
+                    l
+                    for _, l in zip(
+                        range(2),
+                        open(path, encoding="utf-8").readlines()[i:],
+                    )
+                )
+                if re.search(r"\bDIV\b", ctx):
+                    offenders.append(f"{os.path.relpath(path, root)}:{i}")
+    assert not offenders, (
+        "bare int64 ppm numerators feeding DIV (use the "
+        f"CAST(1000000 AS DECIMAL(38,0)) idiom): {offenders}"
+    )
