@@ -345,7 +345,13 @@ class TxTable:
 
     # ---------- maintenance ----------
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        cluster_by: list[str] | None = None,
+        bits: int = 6,
+    ) -> int | None:
         """OPTIMIZE: rewrite the current snapshot as ``target_files``
         coalesced files in ONE new version — same rows, fewer files
         (appends and streaming micro-batches fragment the table; scan
@@ -354,9 +360,32 @@ class TxTable:
         writer skips the compaction (returns None) rather than
         clobbering the interloper's rows — compaction is a no-op to
         retry later, never a correctness operation. Old versions stay
-        time-travelable until ``vacuum``."""
+        time-travelable until ``vacuum``.
+
+        ``cluster_by`` upgrades the rewrite to OPTIMIZE ZORDER BY
+        (r14): rows are range-clustered on the Morton interleave of
+        the named numeric columns' quantile buckets
+        (``zonemap.zorder_column``), so a zone map built on the new
+        version prunes on EVERY clustered column instead of just one;
+        one range shuffle instead of coalesce, same transactional
+        contract. Refresh the table's zone map (``zonemap_refresh``)
+        after the commit — the rewrite replaces every live file."""
+        from pyspark.sql import functions as F
+
         base = self.latest_version()
-        df = self.read(spark, version=base).coalesce(target_files)
+        snap = self.read(spark, version=base)
+        if cluster_by:
+            from etl_spark.sources.zonemap import zorder_column
+
+            z = zorder_column(snap, cluster_by, bits=bits)
+            df = (
+                snap.withColumn("__zv", z)
+                .repartitionByRange(target_files, F.col("__zv"))
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
+        else:
+            df = snap.coalesce(target_files)
         return self._commit(df, action="overwrite", expect_version=base + 1)
 
     def vacuum(

@@ -345,3 +345,127 @@ def test_partitioned_table_keeps_partition_columns(spark, tmp_path):
     assert sorted((r.k, int(r.src)) for r in got.collect()) == sorted(
         (r.k, int(r.src)) for r in full.collect()
     )
+
+
+def test_zorder_prunes_on_every_clustered_column(spark, tmp_path):
+    """Z-ORDER (r14): linear clustering on column a makes the zone
+    map maximally selective on a and USELESS on an uncorrelated b
+    (every file's b-range spans the domain); the Morton layout
+    spends the budget evenly — a narrow range on EITHER column
+    prunes to ~sqrt(n_files) of the 16 files. Rows identical to the
+    source under every layout."""
+    from etl_spark.sources.zonemap import (
+        write_clustered,
+        write_zordered,
+        zonemap_scan_multi,
+    )
+
+    n = 32_000
+    # a and b uncorrelated (b is a bit-reversal-ish scramble of id)
+    df = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 7919) % n).alias("b"),
+        (F.col("id") % 13).alias("payload"),
+    )
+    lin = str(tmp_path / "linear")
+    write_clustered(df, lin, "a", 16)
+    zor = str(tmp_path / "zordered")
+    write_zordered(df, zor, ["a", "b"], 16)
+
+    zm_l, zm_z = str(tmp_path / "zm_l"), str(tmp_path / "zm_z")
+    write_zonemap(spark, lin, ["a", "b"], zm_l)
+    write_zonemap(spark, zor, ["a", "b"], zm_z)
+
+    # ~3% range on each column
+    lo, hi = 4000, 4999
+    kept_l_a, total = pruned_files(spark, zm_l, "a", lo, hi)
+    kept_l_b, _ = pruned_files(spark, zm_l, "b", lo, hi)
+    kept_z_a, _ = pruned_files(spark, zm_z, "a", lo, hi)
+    kept_z_b, _ = pruned_files(spark, zm_z, "b", lo, hi)
+    assert total == 16
+    assert len(kept_l_a) <= 2           # linear: perfect on a...
+    assert len(kept_l_b) == 16          # ...and blind on b
+    # z-order: BOTH columns prune to around sqrt(16) files
+    assert len(kept_z_a) <= 8, kept_z_a
+    assert len(kept_z_b) <= 8, kept_z_b
+
+    # pruned scans stay row-identical to a full filtered scan
+    for path, zm in ((lin, zm_l), (zor, zm_z)):
+        for col in ("a", "b"):
+            got = sorted(
+                tuple(r)
+                for r in zonemap_scan_multi(
+                    spark, path, zm, [(col, lo, hi)]
+                ).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in df.filter(
+                    (F.col(col) >= lo) & (F.col(col) <= hi)
+                ).collect()
+            )
+            assert got == want and len(got) == 1000
+
+
+def test_zorder_rows_and_nulls_roundtrip(spark, tmp_path):
+    """Z-ordering is a LAYOUT change only: the written table holds
+    exactly the source rows (dups included), NULL cluster keys land
+    in the lowest cell rather than erroring, and the helper column
+    never leaks into the schema."""
+    from etl_spark.sources.zonemap import write_zordered
+
+    df = spark.range(0, 500).select(
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    ).unionAll(spark.range(0, 10).select(F.col("id").alias("a"), F.lit(0).alias("b")))
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], 4)
+    back = spark.read.parquet(out)
+    assert back.columns == ["a", "b"]
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, df.collect()), key=key
+    )
+
+
+def test_txlog_optimize_zorder(spark, tmp_path):
+    """TxTable.compact(cluster_by=...) — OPTIMIZE ZORDER BY as a CAS
+    commit: same rows in a new version, old version still
+    time-travelable, and a zone map refreshed on the new snapshot
+    prunes on BOTH clustered columns where the fragmented pre-compact
+    layout pruned on neither."""
+    from etl_spark.sources.txlog import TxTable
+
+    n = 16_000
+    full = spark.range(0, n).select(
+        F.col("id").alias("a"), ((F.col("id") * 7919) % n).alias("b")
+    )
+    # fragmented ingest: 8 hash-scattered appends (streaming shape)
+    t = TxTable.create(str(tmp_path / "t"), full.filter(F.col("a") % 8 == 0))
+    for r in range(1, 8):
+        t.append(full.filter(F.col("a") % 8 == r).repartition(2))
+    pre_version = t.latest_version()
+
+    zm = str(tmp_path / "zm")
+
+    v = t.compact(spark, target_files=9, cluster_by=["a", "b"])
+    assert v == pre_version + 1
+
+    # build the map over the LIVE snapshot's files via the read path
+    from etl_spark.sources.zonemap import _footer_stats, pruned_files as pf
+
+    files = t.read(spark).inputFiles()
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    _footer_stats(fdf, ["a", "b"]).write.mode("overwrite").parquet(zm)
+
+    lo, hi = 2000, 2499
+    kept_a, total = pf(spark, zm, "a", lo, hi)
+    kept_b, _ = pf(spark, zm, "b", lo, hi)
+    assert total == 9
+    assert len(kept_a) <= 5 and len(kept_b) <= 5, (len(kept_a), len(kept_b))
+
+    # rows and history intact
+    assert t.read(spark).count() == n
+    assert t.read(spark, version=pre_version).count() == n
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+    assert got == sorted(tuple(r) for r in full.collect())
