@@ -67,6 +67,7 @@ def compact_table(
     table: str,
     target_file_mb: int = DEFAULT_TARGET_FILE_MB,
     min_files: int = 2,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack a table's data into ~``target_file_mb`` files.
 
@@ -76,6 +77,15 @@ def compact_table(
     byte-identical. Unpartitioned: one staged rewrite into
     ceil(bytes/target) files. Returns
     {"partitions_compacted": n, "files_before": n, "files_after": n}.
+
+    ``cluster_by`` (r14, UNPARTITIONED tables only): the rewrite
+    Z-ORDERS on the named numeric columns (``zonemap.zorder_column``)
+    instead of hash-repartitioning, so a zone map over the compacted
+    table prunes on every listed column — managed-table twin of
+    ``TxTable.compact(cluster_by=...)``. Partitioned tables raise:
+    their rewrite is per-partition and the directory column already
+    owns the coarse layout (z-order the REST by listing them here
+    once per-partition support is needed).
     """
     target = target_file_mb * 1024 * 1024
     inv = file_inventory(spark, table)
@@ -83,6 +93,11 @@ def compact_table(
     pcols = _partition_columns(spark, table)
     df = spark.table(table)
 
+    if cluster_by and pcols:
+        raise ValueError(
+            "cluster_by is supported for unpartitioned tables only "
+            f"(table {table} is partitioned by {pcols})"
+        )
     if not pcols:
         total = sum(sz for v in inv.values() for _, sz in v)
         n_out = max(1, math.ceil(total / target))
@@ -92,7 +107,20 @@ def compact_table(
                 "files_before": files_before,
                 "files_after": files_before,
             }
-        _overwrite_self(df.repartition(n_out), table)
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            from etl_spark.sources.zonemap import zorder_column
+
+            packed = (
+                df.withColumn("__zv", zorder_column(df, cluster_by))
+                .repartitionByRange(n_out, F.col("__zv"))
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
+        else:
+            packed = df.repartition(n_out)
+        _overwrite_self(packed, table)
         after = sum(len(v) for v in file_inventory(spark, table).values())
         return {
             "partitions_compacted": 1,

@@ -1,0 +1,204 @@
+"""File-level Bloom index — per-(file, column) Bloom filters enabling
+file skipping for EQUALITY predicates (Bloom '70; the design behind
+Delta's Bloom-filter index and Parquet column bloom filters).
+
+Zone maps (sources/zonemap.py) prune RANGE predicates and are useless
+for point lookups on high-cardinality unsorted columns: every file's
+[min, max] spans the domain, so `WHERE user_id = X` scans everything.
+A per-file Bloom filter answers "might this file contain X?" with no
+false negatives — files whose filter misses ANY of the value's k bit
+positions provably do not contain it and are skipped; false positives
+cost IO only (the pruned scan re-applies the exact predicate).
+
+Storage reuses the x114 bitmap convention: positions pack into signed
+BIGINT chunks (63 usable bits each), built with ONE scan as a
+(path, col, chunk)-keyed bit_or aggregate — the whole index is a
+DataFrame, mergeable and parquet-backed, ~m/63 longs per (file, col).
+
+Hash contract (the part that must be airtight): build and probe MUST
+produce identical positions. Both run the SAME Spark expressions —
+double hashing h1 + i*h2 (Kirsch-Mitzenmacher '06) over xxhash64 —
+and the probe casts its literal to the column's dtype RECORDED IN THE
+INDEX at build time (xxhash64 of int vs bigint differ; a probe with a
+python int against a string column would silently keep nothing).
+Files absent from the index are NEVER skipped (the zonemap staleness
+rule: absence of evidence keeps the file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# m = bit positions per (file, column) filter; k = probes per value.
+# Defaults size for ~100k distinct values/file at ~1% fpp:
+# fpp ~= (1 - e^(-k*n/m))^k -> m=2^20, k=5, n=1e5 => ~0.9%.
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 5
+
+_CHUNK = 63  # usable bits per signed BIGINT (the x114 convention)
+
+
+def _positions(col: F.Column, m_bits: int, k: int) -> list[F.Column]:
+    """The k Bloom positions of ``col`` as Columns — double hashing
+    over two independent xxhash64 seeds, reduced mod m BEFORE the
+    combine so the i*h2 product stays <= k*m and can never overflow
+    int64 under ANSI mode. NULL propagates (callers drop NULL rows:
+    SQL equality never matches NULL anyway)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One data scan -> (path, col, dtype, chunk, bits) Bloom rows.
+    Each value contributes its k positions; positions pack into
+    63-bit chunks via a (path, col, chunk) bit_or — map-side combine
+    collapses the explode before the shuffle, so the exchange carries
+    at most m/63 rows per (file, col), not row-scale data. Only
+    chunks with at least one set bit are stored (sparse filters stay
+    small); ``m_bits``/``k`` ride along so probes can never use
+    mismatched geometry."""
+    df = spark.read.parquet(table_path)
+    dtypes = dict(df.dtypes)
+    out = None
+    for c in cols:
+        pos = F.explode(F.array(*_positions(F.col(c), m_bits, k))).alias("pos")
+        part = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("path"), pos)
+            .groupBy(
+                "path", F.expr(f"CAST(pos DIV {_CHUNK} AS BIGINT)").alias("chunk")
+            )
+            .agg(
+                F.bit_or(
+                    # SQL shiftleft takes a Column bit count; the
+                    # python F.shiftleft insists on an int literal
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(pos % {_CHUNK} AS INT))"
+                    )
+                ).alias("bits")
+            )
+            .select(
+                "path",
+                F.lit(c).alias("col"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.lit(m_bits).cast("bigint").alias("m_bits"),
+                F.lit(k).cast("int").alias("k"),
+                "chunk",
+                "bits",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def write_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    index_path: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> None:
+    build_bloom_index(spark, table_path, cols, m_bits, k).write.mode(
+        "overwrite"
+    ).parquet(index_path)
+
+
+def bloom_pruned_files(
+    spark: SparkSession, index_path: str, col: str, value
+) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``col = value`` per the Bloom index:
+    a file survives iff every one of the value's k bits is set in its
+    filter. No false negatives by construction; false positives cost
+    IO in the caller's re-filter. Returns (kept_paths, indexed_files).
+
+    The probe hashes the literal through the SAME Spark expressions
+    as the build, cast to the column dtype the index recorded — one
+    1-row job, then a chunk-keyed semi-join evaluated index-side; the
+    only driver-side materialization is one row per FILE (the same
+    scale as Spark's file listing)."""
+    if value is None:
+        # xxhash64 SKIPS null inputs (returns the bare seed), so a
+        # NULL probe would silently match the seed's bit pattern
+        # instead of failing — and SQL equality never matches NULL
+        # anyway. Point callers at IS NULL semantics.
+        raise ValueError("bloom probe value must not be NULL (use IS NULL)")
+    idx = spark.read.parquet(index_path).filter(F.col("col") == col)
+    geom = idx.select("dtype", "m_bits", "k").first()
+    if geom is None:
+        raise ValueError(
+            f"bloom index at {index_path} has no rows for column {col!r} — "
+            f"build it with write_bloom_index"
+        )
+    dtype, m_bits, k = geom["dtype"], int(geom["m_bits"]), int(geom["k"])
+    lit = F.lit(value).cast(dtype)
+    pos_row = spark.range(1).select(*_positions(lit, m_bits, k)).first()
+    if any(p is None for p in pos_row):
+        # cast(dtype) turned the probe into NULL (e.g. a non-numeric
+        # string probed against a bigint column): provably matches
+        # nothing
+        return [], idx.select("path").distinct().count()
+    needed: dict[int, int] = {}
+    for p in pos_row:
+        needed[p // _CHUNK] = needed.get(p // _CHUNK, 0) | (1 << (p % _CHUNK))
+    total = idx.select("path").distinct()
+    # a file survives iff the number of DISTINCT needed chunks it
+    # fully covers equals the number needed (per-chunk masks must all
+    # be subsets of the stored bits)
+    per_chunk_ok = None
+    for chunk, mask in needed.items():
+        ok = (
+            F.max(
+                F.when(
+                    (F.col("chunk") == chunk)
+                    & (F.col("bits").bitwiseAND(F.lit(mask)) == F.lit(mask)),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        per_chunk_ok = ok if per_chunk_ok is None else (per_chunk_ok + ok)
+    kept_rows = (
+        idx.groupBy("path").agg(per_chunk_ok.alias("n_ok"))
+        .filter(F.col("n_ok") == len(needed))
+        .select("path")
+        .collect()
+    )
+    n_indexed = total.count()
+    return sorted(r["path"] for r in kept_rows), n_indexed
+
+
+def bloom_scan(
+    spark: SparkSession, table_path: str, index_path: str, col: str, value
+) -> DataFrame:
+    """Point-lookup scan with Bloom file skipping: read only the
+    files the index cannot rule out (plus any file the index has
+    never seen — the staleness guard), then re-apply the exact
+    equality — row-identical to the full filtered scan, IO
+    proportional to the files that might match."""
+    full = spark.read.parquet(table_path)
+    kept, _ = bloom_pruned_files(spark, index_path, col, value)
+    indexed = {
+        r["path"]
+        for r in spark.read.parquet(index_path)
+        .filter(F.col("col") == col)
+        .select("path")
+        .distinct()
+        .collect()
+    }
+    paths = sorted(set(kept) | (set(full.inputFiles()) - indexed))
+    if not paths:
+        return full.filter(F.col(col) == F.lit(value)).limit(0)
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*paths)
+        .filter(F.col(col) == F.lit(value))
+    )

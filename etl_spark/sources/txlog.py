@@ -388,6 +388,34 @@ class TxTable:
             df = snap.coalesce(target_files)
         return self._commit(df, action="overwrite", expect_version=base + 1)
 
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_live_dirs: int = 16,
+        target_files: int = 1,
+        cluster_by: list[str] | None = None,
+        bits: int = 6,
+    ) -> int | None:
+        """Threshold-triggered OPTIMIZE — the streaming-ingest
+        companion (r14): every append/append_once adds a data dir, so
+        a micro-batched table fragments linearly with batch count.
+        Call this after appends; it compacts ONLY when the live
+        snapshot spans more than ``max_live_dirs`` dirs, so the
+        amortized cost is one rewrite per ``max_live_dirs`` batches
+        (the small-file debt is repaid before the NEXT scan pays
+        interest on it, Delta's optimizeWrite/autoCompact shape).
+        Returns the new version, or None when below threshold or when
+        the CAS rewrite lost to a concurrent writer (both no-ops —
+        retry at the next batch)."""
+        if len(self.live_dirs()) <= max_live_dirs:
+            return None
+        return self.compact(
+            spark,
+            target_files=target_files,
+            cluster_by=cluster_by,
+            bits=bits,
+        )
+
     def vacuum(
         self, retain_versions: int = 1, grace_seconds: float = 3600.0
     ) -> list[str]:

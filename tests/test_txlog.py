@@ -329,3 +329,32 @@ def test_changes_cdf_between_versions(spark, tmp_path):
     # v_from=0: everything current is 'added'
     init = {r["k"]: r["change"] for r in t.changes(spark, ["k"], 0).collect()}
     assert init == {2: "added", 3: "added"}
+
+
+def test_maybe_compact_threshold(spark, tmp_path):
+    """maybe_compact: below the live-dir threshold it is a pure no-op
+    (no new version); past it, ONE compaction folds the fragmented
+    snapshot into target_files and the row set is unchanged — the
+    amortized auto-OPTIMIZE loop a micro-batched ingest runs after
+    each append."""
+    from etl_spark.sources.txlog import TxTable
+
+    t = TxTable.create(
+        str(tmp_path / "t"), spark.range(0, 100).selectExpr("id AS k")
+    )
+    for i in range(1, 5):
+        t.append(spark.range(100 * i, 100 * (i + 1)).selectExpr("id AS k"))
+        assert t.maybe_compact(spark, max_live_dirs=8) is None
+    pre = t.latest_version()
+    assert len(t.live_dirs()) == 5
+
+    for i in range(5, 10):
+        t.append(spark.range(100 * i, 100 * (i + 1)).selectExpr("id AS k"))
+    assert len(t.live_dirs()) == 10
+    v = t.maybe_compact(spark, max_live_dirs=8, target_files=2)
+    assert v == pre + 6
+    assert len(t.live_dirs()) == 1  # one overwrite commit
+    assert t.read(spark).count() == 1000
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(1000))
+    # next call: back under threshold
+    assert t.maybe_compact(spark, max_live_dirs=8) is None
