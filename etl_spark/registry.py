@@ -150,75 +150,68 @@ def _ensure_loaded() -> None:
 # never occupy a slot (their rows-only check is a permanent weak
 # signal — burning a hard-signal slot on them is waste, r5 lesson).
 #
-# Round-14 window (tools/rotate_window.py output + VERDICT r13 #1):
-#   1. the two r14 registrations (x139 clustered-embedding ANN recall
-#      — meaningful >=0.6 retrieval quality as the gated value,
-#      VERDICT r13 #3; x140 margin waterfall — the warehouse-KPI
-#      cadence, VERDICT r13 #7) are never-driver-checked and lead per
-#      policy rule 1;
-#   2. the ENTIRE 48-query r9-stale cohort fills the remaining slots,
-#      oldest-first in registration order (VERDICT r13 #1/nit 2: the
-#      dedup/ANN/sketch x-families, f01-f08, q01/q04-q07/q10/q18/q19,
-#      o02, t01, e09, set01) — after this round nothing registered is
-#      last-green before r10. 2 + 48 = 50 exactly; registration
-#      stopped at x140 for the round so no r9 entry is displaced past
-#      the driver's cutoff (the two r10-stale queries x72/x48 are the
-#      window's first runners-up and lead r15's rotation).
+# Round-15 window (tools/rotate_window.py output + VERDICT r14 #1):
+#   the ENTIRE 46-query r10-stale cohort (x72/x48 lead as the r14
+#   runners-up, then the media/curation/warehouse/graph/event rows,
+#   oldest-first in registration order) plus the round's new
+#   registrations, which are never-driver-checked and lead per policy
+#   rule 1 (they displace the 4 r11-stale dedup heads that pad the
+#   tail until the new queries land). After this round nothing
+#   registered is last-green before r11 (VERDICT r14 #1's done bar).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: the r14 registrations (policy rule 1)
-    "x139_ann_recall_clustered",
-    "x140_margin_waterfall",
-    # -- last green r9 (the r14 rotation cohort, registration order)
-    "x46_dedup_verdict",
-    "x89_substring_dup_coverage",
-    "x06_knn_bruteforce",
-    "x07_embedding_neardup",
-    "x08_ann_ivf_topk",
-    "x21_cosine_lsh_buckets",
-    "x44_incremental_embedding_neardup",
-    "x53_kmeans_update",
-    "x10_token_stats",
-    "x11_quality_score",
-    "x12_langid_heuristic",
-    "x13_fingerprint",
-    "x76_kmv_distinct_customers",
-    "x77_kmv_year_overlap",
-    "x78_bottomk_sample_quantiles",
-    "x79_token_heavy_hitters",
-    "x80_priority_sample_revenue",
-    "x81_countmin_token_freq",
-    "x82_cms_merge_estimates",
-    "x83_boolean_token_search",
-    "x85_pagerank_trade_graph",
-    "x88_incremental_dup_clusters",
-    "x86_fuzzy_name_match",
-    "x90_entity_clusters",
-    "x87_table_profile",
-    "x92_copurchase_lift",
-    "x93_rfm_segments",
-    "x94_mom_revenue_growth",
-    "e09_ewma_spike",
-    "x84_bloom_join_prune",
-    "x91_priority_history",
-    "o02_multikey_page",
-    "set01_union",
-    "f01_split_array_ops",
-    "f03_multiformat_dates",
-    "f04_date_format_parts",
-    "f06_hashes",
-    "f07_coalesce_fallback",
-    "f08_string_ops",
-    "q01_pricing_summary",
-    "q05_region_revenue",
-    "q06_shop_day_rollup",
-    "t01_dashboard_listing",
-    "q04_priority_exists",
-    "q10_returned_items",
-    "q07_nation_volume",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
+    # -- last green r10 (the r15 rotation cohort, registration order)
+    "x72_incremental_knn_join",
+    "x48_quality_gate_agreement",
+    "x107_bigram_pmi",
+    "x15_media_decode",
+    "x95_image_neardup",
+    "x104_image_dup_clusters",
+    "x101_incremental_image_neardup",
+    "x99_media_resize",
+    "x100_frame_stats",
+    "x16_binary_meta",
+    "x25_decontaminate",
+    "x45_split_token_budget",
+    "x47_curated_corpus",
+    "x49_multimodal_curated",
+    "x50_segment_dedup",
+    "x51_temperature_mix_sample",
+    "x52_training_order",
+    "x54_lm_quality_score",
+    "x55_split_leakage",
+    "x114_bitmap_distinct",
+    "x116_rolling_distinct",
+    "x106_bm25_search",
+    "x115_triangle_clustering",
+    "x117_bfs_levels",
+    "a07_rollup",
+    "a08_count_distinct",
+    "j08_range_join",
+    "f10_explode_unnest",
+    "w05_ntile_quartiles",
+    "w06_trailing_window",
+    "x96_cohort_ltv",
+    "x97_inventory_aging",
+    "x98_abc_pareto",
+    "x102_new_vs_returning",
+    "x103_interpurchase_gaps",
+    "x105_ship_sla_monthly",
+    "x118_peak_active_orders",
+    "e10_weekly_retention",
+    "e11_windowed_conversion",
+    "e12_time_to_convert",
+    "e14_dau_wau_stickiness",
+    "x108_revenue_trend",
+    "x110_corr_matrix",
+    "x112_mad_outliers",
+    "x119_price_histogram",
+    "x120_weighted_percentiles",
+    # -- r11-stale pads, displaced one-for-one by r15 registrations
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_signatures",
+    "x04_minhash_lsh_pairs",
 )
-
 # Queries whose SEMANTICS changed this round and therefore justify a
 # window slot even though their last driver row is recent (the r5
 # de-vacuification precedent). tests/test_window_rotation.py exempts
