@@ -123,9 +123,19 @@ def bloom_pruned_files(
 
     The probe hashes the literal through the SAME Spark expressions
     as the build, cast to the column dtype the index recorded — one
-    1-row job, then a chunk-keyed semi-join evaluated index-side; the
-    only driver-side materialization is one row per FILE (the same
-    scale as Spark's file listing)."""
+    1-row job per recorded dtype, then a chunk-keyed semi-join
+    evaluated index-side; the only driver-side materialization is one
+    row per FILE (the same scale as Spark's file listing).
+
+    A legacy index can hold rows from multiple build generations whose
+    recorded dtypes differ (the table's column type evolved between
+    bloom_refresh runs before refresh started rejecting that). Each
+    file's bits were computed by hashing ITS generation's physical
+    type, so the probe runs once per recorded (dtype, m_bits, k)
+    group, restricted to the files recorded under that group, and
+    unions the kept sets — casting the literal to a single dtype
+    would compute wrong bit positions for the other generation and
+    could skip a file that contains the value."""
     if value is None:
         # xxhash64 SKIPS null inputs (returns the bare seed), so a
         # NULL probe would silently match the seed's bit pattern
@@ -133,47 +143,53 @@ def bloom_pruned_files(
         # anyway. Point callers at IS NULL semantics.
         raise ValueError("bloom probe value must not be NULL (use IS NULL)")
     idx = spark.read.parquet(index_path).filter(F.col("col") == col)
-    geom = idx.select("dtype", "m_bits", "k").first()
-    if geom is None:
+    geoms = idx.select("dtype", "m_bits", "k").distinct().collect()
+    if not geoms:
         raise ValueError(
             f"bloom index at {index_path} has no rows for column {col!r} — "
             f"build it with write_bloom_index"
         )
-    dtype, m_bits, k = geom["dtype"], int(geom["m_bits"]), int(geom["k"])
-    lit = F.lit(value).cast(dtype)
-    pos_row = spark.range(1).select(*_positions(lit, m_bits, k)).first()
-    if any(p is None for p in pos_row):
-        # cast(dtype) turned the probe into NULL (e.g. a non-numeric
-        # string probed against a bigint column): provably matches
-        # nothing
-        return [], idx.select("path").distinct().count()
-    needed: dict[int, int] = {}
-    for p in pos_row:
-        needed[p // _CHUNK] = needed.get(p // _CHUNK, 0) | (1 << (p % _CHUNK))
-    total = idx.select("path").distinct()
-    # a file survives iff the number of DISTINCT needed chunks it
-    # fully covers equals the number needed (per-chunk masks must all
-    # be subsets of the stored bits)
-    per_chunk_ok = None
-    for chunk, mask in needed.items():
-        ok = (
-            F.max(
+    kept_paths: set[str] = set()
+    for geom in geoms:
+        dtype, m_bits, k = geom["dtype"], int(geom["m_bits"]), int(geom["k"])
+        sub = idx.filter(
+            (F.col("dtype") == dtype)
+            & (F.col("m_bits") == m_bits)
+            & (F.col("k") == k)
+        )
+        lit = F.lit(value).cast(dtype)
+        pos_row = spark.range(1).select(*_positions(lit, m_bits, k)).first()
+        if any(p is None for p in pos_row):
+            # cast(dtype) turned the probe into NULL (e.g. a
+            # non-numeric string probed against a bigint column):
+            # provably matches nothing in THIS generation's files
+            continue
+        needed: dict[int, int] = {}
+        for p in pos_row:
+            needed[p // _CHUNK] = needed.get(p // _CHUNK, 0) | (1 << (p % _CHUNK))
+        # a file survives iff the number of DISTINCT needed chunks it
+        # fully covers equals the number needed (per-chunk masks must
+        # all be subsets of the stored bits)
+        per_chunk_ok = None
+        for chunk, mask in needed.items():
+            ok = F.max(
                 F.when(
                     (F.col("chunk") == chunk)
                     & (F.col("bits").bitwiseAND(F.lit(mask)) == F.lit(mask)),
                     1,
                 ).otherwise(0)
             )
+            per_chunk_ok = ok if per_chunk_ok is None else (per_chunk_ok + ok)
+        kept_paths.update(
+            r["path"]
+            for r in sub.groupBy("path")
+            .agg(per_chunk_ok.alias("n_ok"))
+            .filter(F.col("n_ok") == len(needed))
+            .select("path")
+            .collect()
         )
-        per_chunk_ok = ok if per_chunk_ok is None else (per_chunk_ok + ok)
-    kept_rows = (
-        idx.groupBy("path").agg(per_chunk_ok.alias("n_ok"))
-        .filter(F.col("n_ok") == len(needed))
-        .select("path")
-        .collect()
-    )
-    n_indexed = total.count()
-    return sorted(r["path"] for r in kept_rows), n_indexed
+    n_indexed = idx.select("path").distinct().count()
+    return sorted(kept_paths), n_indexed
 
 
 def bloom_scan(
@@ -240,6 +256,29 @@ def bloom_refresh(
     if added:
         df = spark.read.option("basePath", table_path).parquet(*added)
         dtypes = dict(df.dtypes)
+        # dtype of retained rows wins the same way geometry does: the
+        # stored bits were computed by hashing the RECORDED physical
+        # type, so appending rows hashed under a different type would
+        # create a mixed-generation index (probe handles those found
+        # in the wild, but refresh must not manufacture one) — a
+        # column type change requires a rebuild.
+        retained_dtypes = {
+            (r["col"], r["dtype"])
+            for r in kept.select("col", "dtype").distinct().collect()
+        }
+        retained_cols = {c for c, _ in retained_dtypes}
+        changed = [
+            c
+            for c in cols
+            if c in retained_cols and (c, dtypes[c]) not in retained_dtypes
+        ]
+        if changed:
+            raise ValueError(
+                f"bloom_refresh: column dtype changed since the index was "
+                f"built for {changed} — rebuild with write_bloom_index "
+                f"(mixing hash generations in one refresh is refused, like "
+                f"an m_bits/k geometry change)"
+            )
         for c in cols:
             pos = F.explode(
                 F.array(*_positions(F.col(c), m_bits, k))

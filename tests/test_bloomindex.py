@@ -222,3 +222,62 @@ def test_bloom_no_false_negatives_hypothesis(spark, tmp_path):
             kept, _ = bloom_pruned_files(spark, idx, "v", v)
             kept_names = {p.rsplit("/", 1)[-1] for p in kept}
             assert homes[v] <= kept_names, (seed, v, homes[v], kept_names)
+
+
+def test_mixed_dtype_generations_probe_both(spark, tmp_path):
+    """ADVICE r14 (medium): a legacy index holding rows from two build
+    generations whose recorded dtypes differ (the table's column type
+    evolved between refreshes before refresh rejected that) must be
+    probed once PER recorded dtype — xxhash64 of int vs bigint differ,
+    so casting the literal to a single recorded dtype computes wrong
+    bit positions for the other generation and could skip a file that
+    contains the value. Both generations' home files must be kept."""
+    from etl_spark.sources.bloomindex import build_bloom_index
+
+    d32, d64 = tmp_path / "g32", tmp_path / "g64"
+    d32.mkdir(), d64.mkdir()
+    pq.write_table(
+        pa.table({"uid": pa.array([1, 2, 3, 777], pa.int32())}),
+        str(d32 / "old.parquet"),
+    )
+    pq.write_table(
+        pa.table({"uid": pa.array([777, 900, 901], pa.int64())}),
+        str(d64 / "new.parquet"),
+    )
+    merged = str(tmp_path / "merged_idx")
+    build_bloom_index(spark, str(d32), ["uid"]).unionByName(
+        build_bloom_index(spark, str(d64), ["uid"])
+    ).write.parquet(merged)
+    idx = spark.read.parquet(merged)
+    assert idx.select("dtype").distinct().count() == 2  # genuinely mixed
+    kept, total = bloom_pruned_files(spark, merged, "uid", 777)
+    names = {p.rsplit("/", 1)[-1] for p in kept}
+    assert total == 2
+    assert {"old.parquet", "new.parquet"} <= names, names
+    # a value present only in one generation keeps that home file
+    kept900, _ = bloom_pruned_files(spark, merged, "uid", 900)
+    assert any(p.endswith("new.parquet") for p in kept900)
+    kept3, _ = bloom_pruned_files(spark, merged, "uid", 3)
+    assert any(p.endswith("old.parquet") for p in kept3)
+
+
+def test_bloom_refresh_rejects_dtype_change(spark, tmp_path):
+    """bloom_refresh refuses to append rows hashed under a different
+    physical type than the retained rows (the geometry-change rule
+    applied to dtype) — a column type change requires a rebuild."""
+    from etl_spark.sources.bloomindex import bloom_refresh
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"uid": pa.array([1, 2, 3], pa.int64())}),
+        str(d / "f0.parquet"),
+    )
+    idx = str(tmp_path / "bidx")
+    bloom_refresh(spark, str(d), ["uid"], idx)
+    pq.write_table(
+        pa.table({"uid": pa.array([10, 11], pa.int32())}),
+        str(d / "f1.parquet"),
+    )
+    with pytest.raises(ValueError, match="dtype changed"):
+        bloom_refresh(spark, str(d), ["uid"], idx)
