@@ -364,7 +364,20 @@ def zorder_column(
     ids' bits interleaved MSB-first across columns. NULL buckets as 0
     (lowest cell — zone maps never prune on NULL anyway). Numeric
     columns only (cast timestamps to epoch micros first); raises on
-    anything approxQuantile cannot rank."""
+    anything approxQuantile cannot rank.
+
+    Interleaved positions must fit a signed BIGINT: ``bits * d <= 63``
+    or this raises (ADVICE r14 — shiftleft on an INT bucket masks the
+    shift count mod 32, so position 31 produced Integer.MIN_VALUE and
+    positions >=32 silently wrapped, garbling the clustering layout;
+    the shift now runs on a BIGINT bucket, whose mod-64 window the
+    guard keeps us inside)."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_column: bits*len(cols) = {bits * len(cols)} exceeds the "
+            f"63 interleaved positions a signed BIGINT holds — lower bits "
+            f"(e.g. bits={63 // len(cols)} for {len(cols)} columns)"
+        )
     nb = 1 << bits
     parts = []
     for j, c in enumerate(cols):
@@ -385,9 +398,10 @@ def zorder_column(
         # bit i of column j lands at interleaved position i*d + (d-1-j)
         # (higher columns earlier within each bit plane)
         d = len(cols)
+        bucket64 = bucket.cast("bigint")
         parts.extend(
             F.shiftleft(
-                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                F.shiftright(bucket64, i).bitwiseAND(F.lit(1)).cast("bigint"),
                 i * d + (d - 1 - j),
             )
             for i in range(bits)

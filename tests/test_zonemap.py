@@ -555,3 +555,57 @@ def test_compact_table_cluster_by(spark, tmp_path):
         compact_table(spark, ptbl, cluster_by=["a"])
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {ptbl}")
+
+
+def test_zorder_positions_past_31_no_int_wrap(spark):
+    """ADVICE r14: the interleave shift previously ran on an INT
+    bucket, so Java's mod-32 shift semantics made position 31 produce
+    Integer.MIN_VALUE and positions >=32 silently wrap — exactly the
+    default bits=6 with d>=6 columns (top position 35). z-values must
+    match the pure-Python interleave bit-for-bit, stay nonnegative,
+    and genuinely set bits past 2^31."""
+    from etl_spark.sources.zonemap import zorder_column
+
+    bits, d = 6, 6
+    cols = [f"c{j}" for j in range(d)]
+    rows = [
+        tuple(float((i * (3 + j)) % 97) for j in range(d)) + (i,)
+        for i in range(300)
+    ]
+    schema = ", ".join(f"{c} double" for c in cols) + ", rid long"
+    df = spark.createDataFrame(rows, schema)
+    z = df.select("rid", zorder_column(df, cols, bits=bits).alias("z"))
+    got = {r.rid: r.z for r in z.collect()}
+
+    nb = 1 << bits
+    probs = [k / nb for k in range(1, nb)]
+    splits = {c: df.approxQuantile(c, probs, 0.001) for c in cols}
+
+    def bucket(v, ss):
+        return sum(1 for s in ss if v > s)
+
+    for row in rows:
+        rid = row[-1]
+        zv = 0
+        for j, c in enumerate(cols):
+            bk = bucket(row[j], splits[c])
+            for i in range(bits):
+                zv += ((bk >> i) & 1) << (i * d + (d - 1 - j))
+        assert got[rid] == zv, (rid, got[rid], zv)
+        assert got[rid] >= 0
+    # at least one row genuinely exercises a position past bit 31
+    assert max(got.values()) >= (1 << 31), max(got.values())
+
+
+def test_zorder_raises_when_positions_exceed_bigint(spark):
+    """bits * d > 63 cannot fit a signed BIGINT's positions — raise
+    instead of silently wrapping mod 64."""
+    import pytest as _pytest
+
+    from etl_spark.sources.zonemap import zorder_column
+
+    df = spark.createDataFrame(
+        [(1.0,) * 7], ", ".join(f"c{i} double" for i in range(7))
+    )
+    with _pytest.raises(ValueError, match="63 interleaved"):
+        zorder_column(df, [f"c{i}" for i in range(7)], bits=10)
