@@ -320,22 +320,35 @@ def run_decon_ingest(
     restore step — contrast run_neardup_ingest). ``on_batch(batch_id,
     n_in, n_flagged)`` is the observability hook; it fires on EVERY
     delivered batch, including checkpoint-loss replays of an already
-    committed one — on that skip path the counts are read back from
-    the committed outputs (flagged is one row per id and kept is the
-    batch minus those ids, so n_in = kept rows + flagged rows), so a
-    monitor that sums the hook never undercounts what landed
-    (ADVICE r13)."""
+    committed one — on that skip path the counts are read back from a
+    tiny ``_MANIFEST.json`` written next to the batch's _SUCCESS (the
+    leading underscore keeps Spark's parquet reader from treating it
+    as data), recording the n_in COUNTED on the original delivery.
+    Deriving n_in from kept+flagged rows instead undercounts when a
+    flagged id spans multiple input rows — flagged is one row per id
+    while the anti-join drops every row of the id (ADVICE r13/r14);
+    the derivation survives only as the fallback for batches
+    committed before manifests existed (or a crash in the sliver
+    between the parquet commits and the manifest write)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import json
         import shutil
 
         out_dir = os.path.join(out_path, f"batch-{batch_id}")
         flag_dir = os.path.join(flagged_path, f"batch-{batch_id}")
+        manifest = os.path.join(out_dir, "_MANIFEST.json")
         if batch_committed(out_dir) and batch_committed(flag_dir):
             if on_batch is not None:
                 spark = batch_df.sparkSession
                 n_flagged = spark.read.parquet(flag_dir).count()
-                n_in = spark.read.parquet(out_dir).count() + n_flagged
+                if os.path.exists(manifest):
+                    with open(manifest) as fh:
+                        n_in = int(json.load(fh)["n_in"])
+                else:
+                    # legacy pre-manifest batch: best-effort derivation
+                    # (exact iff each flagged id had one input row)
+                    n_in = spark.read.parquet(out_dir).count() + n_flagged
                 on_batch(batch_id, n_in, n_flagged)
             return
         for d in (out_dir, flag_dir):
@@ -350,6 +363,8 @@ def run_decon_ingest(
         kept.write.mode("overwrite").parquet(out_dir)
         flagged.write.mode("overwrite").parquet(flag_dir)
         flagged.unpersist()
+        with open(manifest, "w") as fh:
+            json.dump({"batch_id": batch_id, "n_in": n_in}, fh)
         if on_batch is not None:
             on_batch(batch_id, n_in, n_flagged)
 
