@@ -281,6 +281,8 @@ def test_production_curation_pipeline_shared_cc(spark, tmp_path):
     files. The unit identity (write_curated_corpus vs x47) lives in
     test_r13; this exercises the composed streaming+batch run through
     the shared-pair path with an upstream exclusion."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -327,6 +329,9 @@ def test_production_curation_pipeline_shared_cc(spark, tmp_path):
             ),
             str(src / f"part-{i}.parquet"),
         )
+        # pin strictly increasing mtimes: FileStreamSource orders by
+        # mtime and back-to-back writes can tie under host load
+        os.utime(str(src / f"part-{i}.parquet"), (1000000000 + i * 100,) * 2)
     stream = (
         spark.readStream.schema("doc_id bigint, embedding array<double>")
         .option("maxFilesPerTrigger", 1)

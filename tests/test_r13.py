@@ -188,6 +188,8 @@ def test_streaming_decon_matches_batch_x136(spark, sf_dir, tmp_path):
     doc set with identical evidence (the eval index is static, so
     batching cannot change candidates), and kept + flagged partitions
     the input."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -223,6 +225,9 @@ def test_streaming_decon_matches_batch_x136(spark, sf_dir, tmp_path):
             ),
             str(src / f"part-{i}.parquet"),
         )
+        # pin strictly increasing mtimes: FileStreamSource orders by
+        # mtime and back-to-back writes can tie under host load
+        os.utime(str(src / f"part-{i}.parquet"), (1000000000 + i * 100,) * 2)
 
     seen = []
     stream = (

@@ -1727,6 +1727,14 @@ def test_streaming_neardup_drops_image_neardup_across_batches(spark, tmp_path):
 
     _write("a.parquet", [(1, base)])
     _write("b.parquet", [(2, neardup), (3, other)])
+    # FileStreamSource orders by modification time; back-to-back
+    # writes can TIE under host load and deliver b before a (judge
+    # r14 observed exactly that: doc 1 then correctly dropped as the
+    # later near-dup). Pin strictly increasing mtimes.
+    import os as _os
+
+    _os.utime(src_dir / "a.parquet", (1000000000, 1000000000))
+    _os.utime(src_dir / "b.parquet", (1000000100, 1000000100))
 
     accepted, batches = _drain_neardup(
         spark,
