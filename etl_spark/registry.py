@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
     import etl_spark.operators.scalar_functions  # noqa: F401
     import etl_spark.operators.analytics  # noqa: F401
     import etl_spark.operators.skew  # noqa: F401
+    import etl_spark.sources.skipquery  # noqa: F401  (registers x141)
 
 
 # The driver's correctness snapshot covers only the FIRST 50 registered
@@ -206,8 +207,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x112_mad_outliers",
     "x119_price_histogram",
     "x120_weighted_percentiles",
+    # -- r15 registrations (never driver-checked, policy rule 1)
+    "x141_skip_scan",
     # -- r11-stale pads, displaced one-for-one by r15 registrations
-    "x01_dedup_exact",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_signatures",
     "x04_minhash_lsh_pairs",
