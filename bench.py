@@ -252,6 +252,10 @@ HEADLINE = [
     # monthly margin waterfall
     "x139_ann_recall_clustered",
     "x140_margin_waterfall",
+    # r15: Bloom + zonemap file-skipping identity over the z-ordered
+    # layout (the per-query row times the PRUNED scans; the pruning
+    # fractions themselves land in the payload's skip_stats section)
+    "x141_skip_scan",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the
@@ -422,6 +426,38 @@ def _etl_bench(spark, sf_dir: str) -> dict[str, float]:
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return out
+
+
+def _skip_stats_bench(spark, sf_dir: str) -> dict[str, int]:
+    """Files-read vs files-total for both x141 skipping paths
+    (VERDICT r14 #3's bench row): how many of the z-ordered layout's
+    files each index actually let through for the registered probes.
+    Pure metadata work — the scans themselves are timed in x141's
+    HEADLINE row."""
+    from etl_spark.sources.bloomindex import bloom_pruned_files
+    from etl_spark.sources.skipquery import (
+        PRICE_HI,
+        PRICE_LO,
+        ensure_skip_layout,
+    )
+    from etl_spark.sources.zonemap import pruned_files
+    from etl_spark.tables import load as load_table
+    from pyspark.sql import functions as F
+
+    table, bloom, zmap = ensure_skip_layout(spark, sf_dir)
+    ck = int(
+        load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0]
+    )
+    kept_b, total_b = bloom_pruned_files(spark, bloom, "o_custkey", ck)
+    kept_z, total_z = pruned_files(
+        spark, zmap, "o_totalprice", PRICE_LO, PRICE_HI
+    )
+    return {
+        "bloom_files_kept": len(kept_b),
+        "bloom_files_total": total_b,
+        "zonemap_files_kept": len(kept_z),
+        "zonemap_files_total": total_z,
+    }
 
 
 def _cc_shared_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -673,6 +709,10 @@ def main() -> None:
     # 10x to 20x; superlinear blow-ups show up as a steeper slope
     scale10 = _dedup_scale_bench(spark, sf_dir, replicas=10)
     scale20 = _dedup_scale_bench(spark, sf_dir, replicas=20)
+    try:
+        skip_stats = _skip_stats_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — fault-isolate like queries
+        skip_stats = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     # Key order is deliberate: the driver's record keeps only the TAIL
     # of this one-line JSON when it grows long (r5 lost the entire
     # headline section that way — VERDICT r5 "What's wrong" #4). The
@@ -707,6 +747,7 @@ def main() -> None:
             ).hexdigest()[:8],
         ),
         "sf": sf_val,
+        "skip_stats": skip_stats,
         "scale10x": scale10,
         "scale20x": scale20,
         **({"errors": errors} if errors else {}),
