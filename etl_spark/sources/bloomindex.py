@@ -65,7 +65,15 @@ def build_bloom_index(
     chunks with at least one set bit are stored (sparse filters stay
     small); ``m_bits``/``k`` ride along so probes can never use
     mismatched geometry."""
-    df = spark.read.parquet(table_path)
+    return _bloom_rows_of(spark.read.parquet(table_path), cols, m_bits, k)
+
+
+def _bloom_rows_of(
+    df: DataFrame, cols: list[str], m_bits: int, k: int
+) -> DataFrame:
+    """The Bloom rows of an already-constructed scan frame — shared
+    by the full build and the refresh's added-files pass (one body,
+    so build and refresh can never hash differently)."""
     dtypes = dict(df.dtypes)
     out = None
     for c in cols:
@@ -227,6 +235,7 @@ def bloom_refresh(
     index_path: str,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    files: list[str] | None = None,
 ) -> tuple[int, int]:
     """Incremental index maintenance (the zonemap_refresh twin):
     SCAN only files not yet indexed, drop rows for files that left
@@ -236,16 +245,36 @@ def bloom_refresh(
     (n_files_added, n_files_removed); falls back to a full build when
     no index exists. Geometry (m_bits, k) of retained rows wins over
     the arguments — mixing geometries in one index would corrupt
-    probes, so a geometry change requires a rebuild."""
+    probes, so a geometry change requires a rebuild.
+
+    ``files`` overrides the table scan's file listing with an
+    explicit live set — the hook TRANSACTIONAL tables need: a
+    TxTable's root holds every version's data dirs, so a plain
+    recursive listing would index dead files forever and never drop
+    compacted ones. Pass ``TxTable.read(spark).inputFiles()`` (one
+    snapshot resolution) and the index tracks exactly the live
+    snapshot across appends, compaction, and vacuum."""
     import os
     import shutil
 
     from etl_spark.sources.zonemap import _heal_tmp
 
-    current = set(spark.read.parquet(table_path).inputFiles())
+    current = (
+        set(files)
+        if files is not None
+        else set(spark.read.parquet(table_path).inputFiles())
+    )
     _heal_tmp(index_path)
     if not os.path.isdir(index_path):
-        write_bloom_index(spark, table_path, cols, index_path, m_bits, k)
+        if files is None:
+            write_bloom_index(spark, table_path, cols, index_path, m_bits, k)
+        else:
+            _bloom_rows_of(
+                spark.read.option("basePath", table_path).parquet(*sorted(current)),
+                cols,
+                m_bits,
+                k,
+            ).write.mode("overwrite").parquet(index_path)
         return len(current), 0
     idx = spark.read.parquet(index_path)
     geom = idx.select("m_bits", "k").first()
@@ -279,36 +308,7 @@ def bloom_refresh(
                 f"(mixing hash generations in one refresh is refused, like "
                 f"an m_bits/k geometry change)"
             )
-        for c in cols:
-            pos = F.explode(
-                F.array(*_positions(F.col(c), m_bits, k))
-            ).alias("pos")
-            part = (
-                df.filter(F.col(c).isNotNull())
-                .select(F.input_file_name().alias("path"), pos)
-                .groupBy(
-                    "path",
-                    F.expr(f"CAST(pos DIV {_CHUNK} AS BIGINT)").alias("chunk"),
-                )
-                .agg(
-                    F.bit_or(
-                        F.expr(
-                            f"shiftleft(CAST(1 AS BIGINT),"
-                            f" CAST(pos % {_CHUNK} AS INT))"
-                        )
-                    ).alias("bits")
-                )
-                .select(
-                    "path",
-                    F.lit(c).alias("col"),
-                    F.lit(dtypes[c]).alias("dtype"),
-                    F.lit(m_bits).cast("bigint").alias("m_bits"),
-                    F.lit(k).cast("int").alias("k"),
-                    "chunk",
-                    "bits",
-                )
-            )
-            kept = kept.unionByName(part)
+        kept = kept.unionByName(_bloom_rows_of(df, cols, m_bits, k))
     tmp = index_path.rstrip("/") + ".tmp"
     bak = index_path.rstrip("/") + ".bak"
     kept.write.mode("overwrite").parquet(tmp)

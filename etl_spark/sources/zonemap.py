@@ -225,20 +225,42 @@ def write_clustered(
 
 
 def zonemap_refresh(
-    spark: SparkSession, table_path: str, cols: list[str], zonemap_path: str
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    zonemap_path: str,
+    files: list[str] | None = None,
 ) -> tuple[int, int]:
     """Incremental zone-map maintenance: footers are read ONLY for
     files not yet in the map, and rows for files that left the table
     (compaction, vacuum) are dropped — so keeping the map current
     costs metadata IO proportional to the CHANGE, not the table.
     Returns (n_files_added, n_files_removed). Falls back to a full
-    build when no map exists."""
+    build when no map exists.
+
+    ``files`` overrides the table scan's file listing with an
+    explicit live set (the bloom_refresh twin of the same hook): a
+    TxTable's root holds every version's data dirs, so pass
+    ``TxTable.read(spark).inputFiles()`` and the map tracks exactly
+    the live snapshot across appends, compaction, and vacuum."""
     import os
 
-    current = set(spark.read.parquet(table_path).inputFiles())
+    current = (
+        set(files)
+        if files is not None
+        else set(spark.read.parquet(table_path).inputFiles())
+    )
     _heal_tmp(zonemap_path)
     if not os.path.isdir(zonemap_path):
-        write_zonemap(spark, table_path, cols, zonemap_path)
+        if files is None:
+            write_zonemap(spark, table_path, cols, zonemap_path)
+        else:
+            fdf = spark.createDataFrame(
+                [(f,) for f in sorted(current)], "path string"
+            )
+            _footer_stats(fdf, cols).write.mode("overwrite").parquet(
+                zonemap_path
+            )
         return len(current), 0
     zm = spark.read.parquet(zonemap_path)
     known = {r["path"] for r in zm.select("path").distinct().collect()}

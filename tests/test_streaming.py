@@ -1747,3 +1747,131 @@ def test_streaming_neardup_drops_image_neardup_across_batches(spark, tmp_path):
     )
     assert accepted == {1, 3}, (accepted, batches)
     assert sorted(batches) == [(0, 1, 1), (1, 2, 1)]
+
+
+def test_streaming_ingest_autocompact_heals_skipping_indexes(spark, tmp_path):
+    """VERDICT r14 #5 — the maintenance loop COMPOSED: N micro-batches
+    append into a TxTable via append_once, the threshold auto-compact
+    (maybe_compact) fires mid-stream, and bloom_refresh /
+    zonemap_refresh (pointed at the LIVE snapshot's file set) heal the
+    skipping indexes after every batch. The probes must stay exact
+    across the compaction boundary: pruned reads == snapshot-filtered
+    reads byte-for-byte, and the indexes must track exactly the live
+    files (no dead pre-compact entries, no unindexed live files)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_spark.sources.bloomindex import bloom_pruned_files, bloom_refresh
+    from etl_spark.sources.txlog import TxTable
+    from etl_spark.sources.zonemap import pruned_files, zonemap_refresh
+
+    n_batches, per = 6, 100
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(n_batches):
+        uids = list(range(i * per, (i + 1) * per))
+        pq.write_table(
+            pa.table(
+                {
+                    "uid": pa.array(uids, pa.int64()),
+                    "val": pa.array([float(u * 2) for u in uids]),
+                }
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+        os.utime(str(src / f"b{i}.parquet"), (1000000000 + i * 100,) * 2)
+
+    tbl_path = str(tmp_path / "tx")
+    bloom_idx = str(tmp_path / "bloom_idx")
+    zmap = str(tmp_path / "zmap")
+    holder: dict = {}
+    compactions: list[tuple[int, int]] = []
+    mid_parity: list[tuple[int, int, int]] = []
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if "t" not in holder:
+            holder["t"] = (
+                TxTable(tbl_path)
+                if os.path.isdir(os.path.join(tbl_path, "_txlog"))
+                else TxTable.create(tbl_path, batch_df)
+            )
+            if holder["t"].latest_version() > 1:
+                return  # replay of an already-ingested creation batch
+        else:
+            holder["t"].append_once(batch_df, batch_id)
+        t = holder["t"]
+        v = t.maybe_compact(s, max_live_dirs=3, target_files=2)
+        if v is not None:
+            compactions.append((batch_id, v))
+        live = t.read(s).inputFiles()
+        bloom_refresh(s, tbl_path, ["uid"], bloom_idx, files=live)
+        zonemap_refresh(s, tbl_path, ["uid"], zmap, files=live)
+        # mid-stream probe parity on a value from the FIRST batch —
+        # exercised before AND after the compaction boundary
+        kept, _ = bloom_pruned_files(s, bloom_idx, "uid", 42)
+        n_pruned = (
+            s.read.parquet(*kept).filter(F.col("uid") == 42).count()
+            if kept
+            else 0
+        )
+        n_full = t.read(s).filter(F.col("uid") == 42).count()
+        mid_parity.append((batch_id, n_pruned, n_full))
+
+    q = (
+        spark.readStream.schema("uid bigint, val double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    t = holder["t"]
+    # the threshold compact genuinely fired mid-stream
+    assert compactions, "maybe_compact never fired — raise n_batches"
+    # every delivered batch found uid=42 through the pruned path,
+    # including those after the compaction rewrote every live file
+    assert mid_parity and all(p == f == 1 for _, p, f in mid_parity), mid_parity
+    assert any(b > compactions[0][0] for b, _, _ in mid_parity)
+
+    # indexes track EXACTLY the live snapshot (dead files dropped,
+    # every live file present)
+    live = set(t.read(spark).inputFiles())
+    idx_files = {
+        r["path"]
+        for r in spark.read.parquet(bloom_idx).select("path").distinct().collect()
+    }
+    zm_files = {
+        r["path"]
+        for r in spark.read.parquet(zmap).select("path").distinct().collect()
+    }
+    assert idx_files == live, (idx_files ^ live)
+    assert zm_files == live, (zm_files ^ live)
+
+    # byte-level probe parity on the final state: equality via Bloom,
+    # range via zone map, plus an absent value
+    snap = t.read(spark)
+    for v in (0, 42, 299, 599, 999_999):
+        kept, _ = bloom_pruned_files(spark, bloom_idx, "uid", v)
+        got = (
+            sorted(
+                map(tuple, spark.read.parquet(*kept).filter(F.col("uid") == v).collect())
+            )
+            if kept
+            else []
+        )
+        want = sorted(map(tuple, snap.filter(F.col("uid") == v).collect()))
+        assert got == want, (v, got, want)
+    kept_r, total = pruned_files(spark, zmap, "uid", 120.0, 280.0)
+    got_r = sorted(
+        map(tuple, spark.read.parquet(*kept_r).filter(F.col("uid").between(120, 280)).collect())
+    )
+    want_r = sorted(map(tuple, snap.filter(F.col("uid").between(120, 280)).collect()))
+    assert got_r == want_r and len(got_r) == 161
+    assert total == len(live)
