@@ -256,6 +256,11 @@ HEADLINE = [
     # layout (the per-query row times the PRUNED scans; the pruning
     # fractions themselves land in the payload's skip_stats section)
     "x141_skip_scan",
+    # r15: inventory turns, backlog aging, supplier lead-time
+    # percentiles (the x140 warehouse cadence, VERDICT r14 #8)
+    "x142_inventory_turns",
+    "x143_backlog_aging",
+    "x144_supplier_leadtime",
 ]
 
 # r4→r5 note on e01_funnel_steps (VERDICT r4 "What's wrong" #2): the

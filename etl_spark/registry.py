@@ -209,10 +209,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "x120_weighted_percentiles",
     # -- r15 registrations (never driver-checked, policy rule 1)
     "x141_skip_scan",
-    # -- r11-stale pads, displaced one-for-one by r15 registrations
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_signatures",
-    "x04_minhash_lsh_pairs",
+    "x142_inventory_turns",
+    "x143_backlog_aging",
+    "x144_supplier_leadtime",
 )
 # Queries whose SEMANTICS changed this round and therefore justify a
 # window slot even though their last driver row is recent (the r5
