@@ -542,9 +542,9 @@ def x29_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     Algorithm: hash-to-min label propagation — label(v) starts as v,
     each round becomes min(label(v), min label over neighbors), until
-    a round changes nothing. Per round: one shuffle keyed on the edge
-    dst (neighbor-min aggregate) + one on doc_id (label join) — both
-    tiny relative to the corpus since only docs IN a dup pair
+    a round changes nothing. The edge list carries self-loops, so each
+    round is ONE join + one MIN aggregate keyed on the edge dst — tiny
+    relative to the corpus since only docs IN a dup pair
     participate. Convergence needs diameter rounds (2-3 for dup
     near-cliques; alternating star contractions give O(log n) on
     adversarial chains — Kiveris et al. '14 — not needed here).

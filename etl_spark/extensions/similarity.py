@@ -1289,17 +1289,22 @@ def _ivf_topk(
     cand = probe.join(assign, "cid")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    # per-row norms computed once per side, not once per candidate
+    # pair (r15, guide §4); sqrt(qq) * sqrt(cc) is evaluated in the
+    # same order as before, so cosines are bit-identical
+    corpus_n = corpus.withColumn("cn", F.sqrt(dot_pd("emb_d", "emb_d")))
+    q_n = q.withColumn("qn", F.sqrt(dot_pd("qe", "qe")))
     scored = (
         cand.select("qid", "vec_id")
-        .join(corpus, "vec_id")
-        .join(q, "qid")
+        .join(corpus_n, "vec_id")
+        .join(q_n, "qid")
         .select(
             "qid",
             "vec_id",
             F.round(
                 F.try_divide(
                     dot_pd("emb_d", "qe"),
-                    F.sqrt(dot_pd("qe", "qe")) * F.sqrt(dot_pd("emb_d", "emb_d")),
+                    F.col("qn") * F.col("cn"),
                 ),
                 4,
             ).alias("cosine"),
@@ -2613,10 +2618,14 @@ def _ivfpq_plan(
     import math
 
     spark = corpus_emb.sparkSession
-    n = corpus_emb.count()
+    # ONE action for both scalars (r15, guide §5: the count and the
+    # dim probe were two separate jobs over the same frame; min(size)
+    # equals the first row's length on the uniform-dim fixtures and
+    # still trips the divisibility guard on malformed input)
+    n, dim = corpus_emb.agg(
+        F.count(F.lit(1)), F.min(F.size("embedding"))
+    ).first()
     nlist = int(math.ceil(math.sqrt(n)))
-    first = corpus_emb.orderBy("vec_id").select("embedding").first()
-    dim = len(first[0])
     if dim % PQ_M != 0:
         raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
     centroids = _seed_centroids(corpus_emb, nlist)
@@ -2688,19 +2697,23 @@ def _ivfpq_plan(
         .select("qid", "vec_id")
     )
     dot_pd = _dot_udf()
+    # self-dots are per-ROW constants — compute them once per corpus
+    # row / per query before the pair join instead of once per PAIR
+    # (r15, guide §4: 3x fewer Arrow-UDF evaluations; the d2
+    # expression tree (qq - 2*cross) + cc is unchanged, so the
+    # doubles are bit-identical)
     corpus = corpus_emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
-    )
+    ).withColumn("cc2", dot_pd("emb_d", "emb_d"))
+    qq = q.withColumn("qq2", dot_pd("qe", "qe"))
     refined = (
         shortlist.join(corpus, "vec_id")
-        .join(q, "qid")
+        .join(qq, "qid")
         .select(
             "qid",
             "vec_id",
             F.round(
-                dot_pd("qe", "qe")
-                - 2 * dot_pd("emb_d", "qe")
-                + dot_pd("emb_d", "emb_d"),
+                F.col("qq2") - 2 * dot_pd("emb_d", "qe") + F.col("cc2"),
                 6,
             ).alias("d2"),
         )
@@ -3206,6 +3219,14 @@ def _ann_recall_plan(emb: DataFrame) -> DataFrame:
     over the SAME (vec_id, embedding) frame, counted per query."""
     from pyspark.sql import Window
 
+    # the embedding frame feeds the index derivation (several eager
+    # actions in _ivfpq_plan), the probe AND the brute-force ground
+    # truth — persist it so the source transform (for x139, the
+    # clustered zip_with view) is computed once, not once per pass
+    # (r15, guide §5; the bench/oracle still compute it from parquet
+    # on every invocation — the persist lives and dies inside one
+    # query's plan)
+    emb = emb.persist()
     seen = emb.filter(F.col("vec_id") % 2 == 0)
     q = emb.filter(
         (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < X72_BATCH_MAX_ID)
@@ -3218,19 +3239,21 @@ def _ann_recall_plan(emb: DataFrame) -> DataFrame:
         residual=True, exclude_self=False,
     ).select("qid", "vec_id", F.lit(1).alias("hit"))
     dot_pd = _dot_udf()
+    # per-row self-dots once per side, not once per (corpus x query)
+    # pair (r15, guide §4): the d2 tree (qq - 2*cross) + cc is
+    # unchanged, so doubles are bit-identical
     corpus = seen.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
-    )
+    ).withColumn("cc2", dot_pd("emb_d", "emb_d"))
+    qx = q.withColumn("qq2", dot_pd("qe", "qe"))
     w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
     exact = (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(qx))
         .select(
             "qid",
             "vec_id",
             F.round(
-                dot_pd("qe", "qe")
-                - 2 * dot_pd("emb_d", "qe")
-                + dot_pd("emb_d", "emb_d"),
+                F.col("qq2") - 2 * dot_pd("emb_d", "qe") + F.col("cc2"),
                 6,
             ).alias("d2"),
         )
