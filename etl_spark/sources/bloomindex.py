@@ -121,19 +121,19 @@ def write_bloom_index(
     ).parquet(index_path)
 
 
-def bloom_pruned_files(
+def _bloom_probe(
     spark: SparkSession, index_path: str, col: str, value
-) -> tuple[list[str], int]:
-    """Files that MIGHT contain ``col = value`` per the Bloom index:
-    a file survives iff every one of the value's k bits is set in its
-    filter. No false negatives by construction; false positives cost
-    IO in the caller's re-filter. Returns (kept_paths, indexed_files).
-
-    The probe hashes the literal through the SAME Spark expressions
-    as the build, cast to the column dtype the index recorded — one
-    1-row job per recorded dtype, then a chunk-keyed semi-join
-    evaluated index-side; the only driver-side materialization is one
-    row per FILE (the same scale as Spark's file listing).
+) -> tuple[set[str], set[str]]:
+    """Core probe shared by ``bloom_pruned_files`` and ``bloom_scan``:
+    returns (kept_paths, indexed_paths). One geometry-listing job, one
+    1-row hashing job covering EVERY recorded (dtype, m_bits, k)
+    generation at once, then one per-geometry (path)-keyed aggregate
+    whose collect is one row per FILE — kept/indexed are split
+    driver-side from the same rows, so the scan wrapper no longer
+    pays a separate distinct-paths job (r15, guide §5: the probe went
+    from 4-5 index jobs to 3 with identical verdicts; the driver-side
+    bound stays one row per file, the same scale as Spark's own file
+    listing).
 
     A legacy index can hold rows from multiple build generations whose
     recorded dtypes differ (the table's column type evolved between
@@ -157,23 +157,38 @@ def bloom_pruned_files(
             f"bloom index at {index_path} has no rows for column {col!r} — "
             f"build it with write_bloom_index"
         )
+    # ONE 1-row job hashes the literal for every recorded geometry
+    pos_exprs = []
+    for gi, geom in enumerate(geoms):
+        dtype, m_bits, k = geom["dtype"], int(geom["m_bits"]), int(geom["k"])
+        lit = F.lit(value).cast(dtype)
+        pos_exprs.extend(
+            p.alias(f"g{gi}_{i}")
+            for i, p in enumerate(_positions(lit, m_bits, k))
+        )
+    pos_row = spark.range(1).select(*pos_exprs).first()
     kept_paths: set[str] = set()
-    for geom in geoms:
+    indexed_paths: set[str] = set()
+    for gi, geom in enumerate(geoms):
         dtype, m_bits, k = geom["dtype"], int(geom["m_bits"]), int(geom["k"])
         sub = idx.filter(
             (F.col("dtype") == dtype)
             & (F.col("m_bits") == m_bits)
             & (F.col("k") == k)
         )
-        lit = F.lit(value).cast(dtype)
-        pos_row = spark.range(1).select(*_positions(lit, m_bits, k)).first()
-        if any(p is None for p in pos_row):
+        positions = [pos_row[f"g{gi}_{i}"] for i in range(k)]
+        if any(p is None for p in positions):
             # cast(dtype) turned the probe into NULL (e.g. a
             # non-numeric string probed against a bigint column):
-            # provably matches nothing in THIS generation's files
+            # provably matches nothing in THIS generation's files —
+            # but its files are still INDEXED (never-skipped guard
+            # applies only to files absent from the index)
+            indexed_paths.update(
+                r["path"] for r in sub.select("path").distinct().collect()
+            )
             continue
         needed: dict[int, int] = {}
-        for p in pos_row:
+        for p in positions:
             needed[p // _CHUNK] = needed.get(p // _CHUNK, 0) | (1 << (p % _CHUNK))
         # a file survives iff the number of DISTINCT needed chunks it
         # fully covers equals the number needed (per-chunk masks must
@@ -188,16 +203,26 @@ def bloom_pruned_files(
                 ).otherwise(0)
             )
             per_chunk_ok = ok if per_chunk_ok is None else (per_chunk_ok + ok)
-        kept_paths.update(
-            r["path"]
-            for r in sub.groupBy("path")
-            .agg(per_chunk_ok.alias("n_ok"))
-            .filter(F.col("n_ok") == len(needed))
-            .select("path")
-            .collect()
-        )
-    n_indexed = idx.select("path").distinct().count()
-    return sorted(kept_paths), n_indexed
+        for r in (
+            sub.groupBy("path").agg(per_chunk_ok.alias("n_ok")).collect()
+        ):
+            indexed_paths.add(r["path"])
+            if r["n_ok"] == len(needed):
+                kept_paths.add(r["path"])
+    return kept_paths, indexed_paths
+
+
+def bloom_pruned_files(
+    spark: SparkSession, index_path: str, col: str, value
+) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``col = value`` per the Bloom index:
+    a file survives iff every one of the value's k bits is set in its
+    filter. No false negatives by construction; false positives cost
+    IO in the caller's re-filter. Returns (kept_paths, indexed_files).
+    See ``_bloom_probe`` for the job shape and the multi-generation
+    dtype rule."""
+    kept, indexed = _bloom_probe(spark, index_path, col, value)
+    return sorted(kept), len(indexed)
 
 
 def bloom_scan(
@@ -209,16 +234,11 @@ def bloom_scan(
     equality — row-identical to the full filtered scan, IO
     proportional to the files that might match."""
     full = spark.read.parquet(table_path)
-    kept, _ = bloom_pruned_files(spark, index_path, col, value)
-    indexed = {
-        r["path"]
-        for r in spark.read.parquet(index_path)
-        .filter(F.col("col") == col)
-        .select("path")
-        .distinct()
-        .collect()
-    }
-    paths = sorted(set(kept) | (set(full.inputFiles()) - indexed))
+    # one probe yields BOTH the kept set and the indexed set — the
+    # separate distinct-paths job this wrapper used to run is gone
+    # (r15, guide §5)
+    kept, indexed = _bloom_probe(spark, index_path, col, value)
+    paths = sorted(kept | (set(full.inputFiles()) - indexed))
     if not paths:
         return full.filter(F.col(col) == F.lit(value)).limit(0)
     return (
