@@ -51,9 +51,50 @@ def events_ts_physical_type(path: str) -> str:
     return str(pq.read_schema(p).field("ts").type)
 
 
+# Resolved-scan memo: (session UUID, path, layout fingerprint) → the
+# plain scan DataFrame. Re-running spark.read.parquet for every load()
+# re-pays DataSource resolution + footer schema inference on the
+# driver — measured 130–520 ms PER CALL at sf0.1 vs ~0 for reusing the
+# resolved plan (r15 optimization, guide §5 driver discipline). This
+# memoizes METADATA ONLY (a lazy scan node, exactly what a catalog
+# table registration holds): no rows are computed or persisted, every
+# query still plans its own filters/pruning on top of the shared scan
+# and executes from parquet. The fingerprint folds the file (or the
+# directory entries') mtime_ns, so an overwritten table self-
+# invalidates — the _TABLE_BYTES_CACHE convention (ADVICE r4); the
+# session UUID keys out stopped/parallel sessions.
+_SCAN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - non-JVM session backends
+        return str(id(spark))
+
+
+def _layout_fingerprint(path: str) -> int:
+    """mtime-based change marker for a parquet file OR directory —
+    for directories the top-level entry (name, mtime) set is hashed,
+    so an in-place rewrite of a part-file invalidates even though the
+    directory's own mtime does not change."""
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return st.st_mtime_ns
+    with os.scandir(path) as it:
+        return hash(
+            (st.st_mtime_ns,)
+            + tuple(sorted((e.name, e.stat().st_mtime_ns) for e in it))
+        )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Plain parquet scan; no caching — each
-    query owns its plan so pushdown stays visible.
+    """Read one fixture table. Plain parquet scan; the RESOLVED scan
+    (metadata only) is memoized per session+layout so repeated loads
+    skip driver-side re-resolution — each query still owns the plan
+    built on top, so pushdown stays visible.
 
     ``events.ts`` is normalized to TIMESTAMP_NTZ whatever the on-disk
     encoding:
@@ -71,6 +112,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+    key = (_session_key(spark), path, _layout_fingerprint(path))
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -80,17 +125,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # epoch + exact DECIMAL seconds => TIMESTAMP_NTZ, no
             # session-tz dependence (make_dt_interval's seconds arg is
             # DECIMAL-exact to the microsecond)
-            return spark.read.parquet(path).withColumn(
+            df = spark.read.parquet(path).withColumn(
                 "ts",
                 F.expr(
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
                     "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000)"
                 ),
             )
-        return spark.read.parquet(path).withColumn(
-            "ts", F.col("ts").cast("timestamp_ntz")
-        )
-    return spark.read.parquet(path)
+        else:
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp_ntz")
+            )
+    else:
+        df = spark.read.parquet(path)
+    # one live entry per path, current session only: drop superseded
+    # fingerprints AND other (stopped) sessions' entries so dead plan
+    # handles never accumulate across test sessions
+    for k in [k for k in _SCAN_CACHE if k[0] != key[0] or (k[1] == path and k != key)]:
+        del _SCAN_CACHE[k]
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
