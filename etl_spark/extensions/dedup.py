@@ -605,6 +605,27 @@ def connected_components(
     # durable branch therefore persists each round first (and
     # unpersists the previous round once superseded), keeping the
     # one-materialization property on the cluster path too (ADVICE r4).
+    # Scope spark.sql.adaptive.coalescePartitions.parallelismFirst=
+    # false to the fixpoint: every per-round shuffle here is label-
+    # table-sized, and with the default (true) AQE spreads each one
+    # across all cores as sliver partitions — per-round task count,
+    # not data, dominates the loop. false makes AQE honor
+    # advisoryPartitionSizeInBytes (the setting Spark's own docs
+    # recommend for production), collapsing each round to few fat
+    # partitions at ANY scale. Measured r15 (interleaved A/B, full
+    # family): 0.82–0.99 per-query ratio, -4% family total, labels
+    # bit-identical. Restored in the finally so surrounding plans
+    # keep the session default.
+    spark = pairs.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        prior_pf = spark.conf.get(_PF)
+    except Exception:  # pragma: no cover - host-specific
+        prior_pf = None
+    try:
+        spark.conf.set(_PF, "false")
+    except Exception:  # pragma: no cover - host-specific
+        pass
     sc = pairs.sparkSession.sparkContext
     round_cache: list[DataFrame] = []
     if checkpoint_dir is not None:
@@ -692,6 +713,17 @@ def connected_components(
     # they back the returned (lazily checkpointed) labels frame.
     if checkpoint_dir is not None and prior_dir is not None:
         sc.setCheckpointDir(prior_dir)
+    # restore the caller's AQE parallelism mode: the returned labels
+    # are already materialized (the last convergence aggregate), so
+    # downstream consumers plan under the session default again. An
+    # exception path skips this, but every registered query re-pins
+    # the default via _SESSION_PINS, so a crash cannot leak the conf
+    # into later queries.
+    if prior_pf is not None:
+        try:
+            spark.conf.set(_PF, prior_pf)
+        except Exception:  # pragma: no cover - host-specific
+            pass
     return labels
 
 

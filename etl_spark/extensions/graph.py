@@ -150,6 +150,18 @@ def x85_pagerank_trade_graph(spark: SparkSession, sf: str) -> DataFrame:
     orientations exploded from a single pass, persisted once and
     reused by all three rounds; per-round work is one skinny
     (node, share) shuffle join plus a |V|-row aggregate."""
+    # The unrolled 3-round plan is ~70 static Exchanges of small
+    # (node, share) rows — shuffle COUNT, not bytes, dominates. Run it
+    # under AQE advisory-size coalescing (parallelismFirst=false, the
+    # Spark-docs-recommended production mode) so each round lands in
+    # few fat partitions; the conf must stick through the caller's
+    # collect, so it is set here (not scoped) and every registered
+    # query re-pins the session default via _SESSION_PINS
+    # (registry.py). Measured r15 interleaved A/B: 0.72–0.91 ratio,
+    # identical rows.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     pairs = (

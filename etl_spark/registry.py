@@ -34,6 +34,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _SESSION_PINS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "true",
+    # AQE partition-coalescing mode: the session default (true =
+    # maximize parallelism) is re-pinned per query because a few
+    # operators deliberately run under false (honor advisory partition
+    # size — the Spark-docs-recommended production mode) for
+    # shuffle-count-dominated plans: the CC fixpoint scopes+restores
+    # it itself (dedup.connected_components), and x85's unrolled
+    # 3-round PageRank pins it for its own collect (r15 optimization,
+    # guide §2.2 fewer/larger reduce partitions; measured interleaved
+    # A/B 0.72–0.91 ratio on x85, results identical). This pin is what
+    # guarantees the next query always starts from the default.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
 }
 
 
