@@ -579,6 +579,17 @@ def dup_clusters_from_pairs(
     )
 
 
+# Fixpoint shuffle sizing (guide §2.2): each round's join/aggregate
+# shuffles are edge/label-table-sized, so the loop pins an explicit
+# partition count derived from the MEASURED edge count — never from
+# the core count — targeting fat production-sized reduce partitions.
+# ~48 bytes covers an in-flight (src, dst) shuffle row with codegen /
+# serialization overhead; the exact constant only moves the partition
+# boundary, not correctness.
+_CC_TARGET_PART_BYTES = 64 * 1024 * 1024
+_CC_EDGE_BYTES = 48
+
+
 def connected_components(
     pairs: DataFrame, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -595,38 +606,34 @@ def connected_components(
     durable path (HDFS/S3): the iteration then uses reliable
     ``checkpoint()`` through ``setCheckpointDir``, so a lost executor
     recovers the current round from storage instead of recomputing the
-    whole label history."""
-    # Lazy checkpoints: the convergence aggregate right after each
-    # round is the materializing action anyway, so an eager checkpoint
-    # would run every round's plan TWICE (measured ~20% of loop time).
-    # localCheckpoint is persist-backed, so lazy alone suffices there;
-    # reliable checkpoint() writes the RDD in a SEPARATE job after the
-    # first action and would re-run the unpersisted plan for it — the
-    # durable branch therefore persists each round first (and
-    # unpersists the previous round once superseded), keeping the
-    # one-materialization property on the cluster path too (ADVICE r4).
-    # Scope spark.sql.adaptive.coalescePartitions.parallelismFirst=
-    # false to the fixpoint: every per-round shuffle here is label-
-    # table-sized, and with the default (true) AQE spreads each one
-    # across all cores as sliver partitions — per-round task count,
-    # not data, dominates the loop. false makes AQE honor
-    # advisoryPartitionSizeInBytes (the setting Spark's own docs
-    # recommend for production), collapsing each round to few fat
-    # partitions at ANY scale. Measured r15 (interleaved A/B, full
-    # family): 0.82–0.99 per-query ratio, -4% family total, labels
-    # bit-identical. Restored in the finally so surrounding plans
-    # keep the session default.
+    whole label history.
+
+    Round structure (r16, guide §1.4/§2.2/§2.4 — kills the per-round
+    FIXED cost that made the family anti-scale with core count):
+
+    - the edge list is hash-partitioned by ``dst`` ONCE into
+      ``n_parts`` partitions sized from the measured edge count
+      (never from the core count) and cached; every round's label
+      table comes out of its MIN-aggregate hash-partitioned by
+      ``doc_id`` with the same ``n_parts`` (checkpoint preserves the
+      physical partitioning), so the per-round join is co-partitioned
+      — ONE exchange per round (the aggregate's), however many cores.
+    - AQE is disabled INSIDE the loop (restored in the finally): the
+      plan is fully determined by the pinned partition count, so
+      adaptive re-planning would only add per-stage scheduling
+      latency — at sf0.1 that fixed latency, not data, dominated the
+      loop (0.45–0.9 s/round on ~10.7k pairs, 8c/32c ratio 0.34).
+      The upstream pair pipeline still materializes under the
+      caller's AQE (the count job below runs BEFORE the scope).
+    - the convergence label-sum rides the round's own materializing
+      action as an ``observe()`` metric over a noop sink (guide
+      §1.4) instead of a separate aggregate subtree — one job per
+      round with no extra exchange to a 1-row partition.
+    """
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
-    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    try:
-        prior_pf = spark.conf.get(_PF)
-    except Exception:  # pragma: no cover - host-specific
-        prior_pf = None
-    try:
-        spark.conf.set(_PF, "false")
-    except Exception:  # pragma: no cover - host-specific
-        pass
-    sc = pairs.sparkSession.sparkContext
+    sc = spark.sparkContext
     round_cache: list[DataFrame] = []
     if checkpoint_dir is not None:
         prior_ckpt_dir = sc._jsc.sc().getCheckpointDir()  # scala Option
@@ -634,6 +641,11 @@ def connected_components(
         sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
+            # Lazy checkpoints: the noop-sink round action materializes
+            # the persist; reliable checkpoint() then writes the RDD in
+            # its own job without re-running the (now cached) plan —
+            # the one-materialization property on the cluster path too
+            # (ADVICE r4). Superseded rounds unpersist as they age out.
             out = df.persist().checkpoint(eager=False)
             while len(round_cache) > 1:  # keep current + newest only
                 round_cache.pop(0).unpersist()
@@ -658,7 +670,7 @@ def connected_components(
     # loop at identical labels and round count). Self-loops repeat per
     # pair occurrence of a vertex; MIN is insensitive to duplicates,
     # so no distinct is paid.
-    edges = (
+    edges_raw = (
         pairs.select(
             F.explode(
                 F.array(
@@ -680,50 +692,92 @@ def connected_components(
         .select("e.src", "e.dst")
         .persist()
     )
+    # Materialize the edge cache under the CALLER's confs (the pair
+    # pipeline upstream wants AQE's broadcast/skew handling) and size
+    # the loop's partitioning from the measured count — scale-adaptive
+    # by construction: 1 fat partition at fixture scale, ~edge-bytes /
+    # 64 MB partitions at cluster scale.
+    n_edges = edges_raw.count()
+    n_parts = max(1, -(-(n_edges * _CC_EDGE_BYTES) // _CC_TARGET_PART_BYTES))
 
-    # initialize at ROUND 1's output, not at label=self: the vertex
-    # set needs a groupBy over edges anyway, and with self-loops the
-    # plain MIN(dst) aggregate IS min(self, neighbors) — exactly what
-    # the first loop iteration would compute from a self-labeled
-    # start — so one whole round (a shuffle + a convergence collect)
-    # is saved on every run (x29/x46/x47/x49 all embed this loop)
-    labels = _ckpt(
-        edges.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.min("dst").alias("lbl"))
-    )
-    prev_sum = labels.agg(
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(MAX_CC_ITERS):
-        labels = _ckpt(
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
-    # setCheckpointDir mutates global SparkContext state; put back
-    # whatever was there before so callers' checkpoint config survives
-    # this function (ADVICE r4). The final rounds stay persisted —
-    # they back the returned (lazily checkpointed) labels frame.
-    if checkpoint_dir is not None and prior_dir is not None:
-        sc.setCheckpointDir(prior_dir)
-    # restore the caller's AQE parallelism mode: the returned labels
-    # are already materialized (the last convergence aggregate), so
-    # downstream consumers plan under the session default again. An
-    # exception path skips this, but every registered query re-pins
-    # the default via _SESSION_PINS, so a crash cannot leak the conf
-    # into later queries.
-    if prior_pf is not None:
+    _SCOPED = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n_parts),
+    }
+    prior_conf: dict[str, str | None] = {}
+    for k in _SCOPED:
         try:
-            spark.conf.set(_PF, prior_pf)
+            prior_conf[k] = spark.conf.get(k)
         except Exception:  # pragma: no cover - host-specific
-            pass
+            prior_conf[k] = None
+    edges = None
+    try:
+        for k, v in _SCOPED.items():
+            spark.conf.set(k, v)
+        # loop-invariant hoist (guide §2.4): partition edges by the
+        # join key ONCE; every round then reuses the cached layout
+        # instead of re-shuffling the edge list per round
+        edges = edges_raw.repartition(n_parts, "dst").persist()
+
+        def _round(df: DataFrame):
+            """Materialize one round (checkpoint-backed) and return
+            (frame, decimal label sum) from ONE noop-sink job."""
+            ck = _ckpt(df)
+            obs = Observation()
+            (
+                ck.observe(
+                    obs, F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            return ck, obs.get["s"]
+
+        # initialize at ROUND 1's output, not at label=self: the vertex
+        # set needs a groupBy over edges anyway, and with self-loops the
+        # plain MIN(dst) aggregate IS min(self, neighbors) — exactly what
+        # the first loop iteration would compute from a self-labeled
+        # start — so one whole round is saved on every run
+        labels, prev_sum = _round(
+            edges.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("dst").alias("lbl"))
+        )
+        edges_raw.unpersist()  # superseded by the dst-partitioned cache
+        for _ in range(MAX_CC_ITERS):
+            # build the per-partition hash table on the (smaller)
+            # label side; the co-partitioned layout means neither side
+            # re-shuffles, and SHJ skips the per-round sorts SMJ would
+            # insert (guide §3.1)
+            lab = labels.hint("SHUFFLE_HASH")
+            labels_next, cur_sum = _round(
+                edges.join(lab, edges.dst == lab.doc_id)
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            labels = labels_next
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        # restore the caller's confs even if a round raises (ADVICE
+        # r15): the returned labels are already materialized, so
+        # downstream consumers plan under the caller's session state.
+        for k, v in prior_conf.items():
+            if v is not None:
+                try:
+                    spark.conf.set(k, v)
+                except Exception:  # pragma: no cover - host-specific
+                    pass
+        edges_raw.unpersist()  # no-op if already unpersisted above
+        if edges is not None:
+            edges.unpersist()
+        # setCheckpointDir mutates global SparkContext state; put back
+        # whatever was there before so callers' checkpoint config
+        # survives this function (ADVICE r4). The final rounds stay
+        # persisted — they back the returned labels frame.
+        if checkpoint_dir is not None and prior_dir is not None:
+            sc.setCheckpointDir(prior_dir)
     return labels
 
 

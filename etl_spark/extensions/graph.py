@@ -149,7 +149,16 @@ def x85_pagerank_trade_graph(spark: SparkSession, sf: str) -> DataFrame:
     Edges are one distinct aggregate over lineitem⋈orders, both
     orientations exploded from a single pass, persisted once and
     reused by all three rounds; per-round work is one skinny
-    (node, share) shuffle join plus a |V|-row aggregate."""
+    (node, share) shuffle join plus a |V|-row aggregate.
+
+    CONF SIDE EFFECT (documented per ADVICE r15): this function sets
+    ``spark.sql.adaptive.coalescePartitions.parallelismFirst=false``
+    and deliberately does NOT restore it — the conf must still be in
+    force when the CALLER collects the returned lazy frame. Inside
+    the registry/bench every registered query's entry re-pins the
+    session default (``_SESSION_PINS``); direct library callers that
+    need the default afterwards must reset it themselves after
+    consuming the result."""
     # The unrolled 3-round plan is ~70 static Exchanges of small
     # (node, share) rows — shuffle COUNT, not bytes, dominates. Run it
     # under AQE advisory-size coalescing (parallelismFirst=false, the

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.registry import register
-from etl_spark.tables import load, load_parallel
+from etl_spark.tables import load, load_parallel, scan_parquet
 
 # dot(a, b) over DOUBLE with a strict left-to-right fold — the same
 # accumulation order DuckDB's list_dot_product uses, so results are
@@ -1604,7 +1604,7 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     crows = [
         (r[0], r[1])
-        for r in spark.read.parquet(f"{path}/centroids").collect()
+        for r in scan_parquet(spark, f"{path}/centroids").collect()
     ]
     assign_cell, _, _ = _ivf_udfs(spark, crows, nprobe=1)
     (
@@ -1629,11 +1629,11 @@ def build_ivf_index(
             raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
         # encode from the written cell store (emb_d carries the cast,
         # cid rides along) so code and cell tiers can never disagree
-        cells = spark.read.parquet(f"{path}/cells")
+        cells = scan_parquet(spark, f"{path}/cells")
         if pq_residual:
             # IVFADC: quantize v − centroid(cell(v)); codebooks skip
             # the seed rows (zero residuals — see _pq_codebooks)
-            centdf = spark.read.parquet(f"{path}/centroids")
+            centdf = scan_parquet(spark, f"{path}/centroids")
             src = _residual_frame(cells, centdf)
             cb = _pq_codebooks(src, dim, skip=nlist)
         else:
@@ -1674,7 +1674,7 @@ def _load_codebooks(spark, path: str):
     the PQ kernels take."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    rows = scan_parquet(spark, f"{path}/codebooks").collect()
     M = max(r["m"] for r in rows) + 1
     K = max(r["k"] for r in rows) + 1
     CB = np.zeros((M, K, len(rows[0]["cvec"])), dtype=np.float64)
@@ -1711,8 +1711,8 @@ def _tier_store(spark, path: str, tier: str) -> DataFrame:
     basePath gymnastics and loses nothing here)."""
     import functools
 
-    frames = [spark.read.parquet(f"{path}/{tier}")]
-    frames += [spark.read.parquet(d) for d in _committed_delta_dirs(path, tier)]
+    frames = [scan_parquet(spark, f"{path}/{tier}")]
+    frames += [scan_parquet(spark, d) for d in _committed_delta_dirs(path, tier)]
     return functools.reduce(DataFrame.unionByName, frames)
 
 
@@ -1739,7 +1739,7 @@ def ivf_index_append(batch_df: DataFrame, path: str, name: str) -> int:
     if os.path.exists(os.path.join(root, "cells", "_SUCCESS")):
         return 0
     crows = [
-        (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
+        (r[0], r[1]) for r in scan_parquet(spark, f"{path}/centroids").collect()
     ]
     assign_cell, _, _ = _ivf_udfs(spark, crows, nprobe=1)
     base = batch_df.select(
@@ -1751,7 +1751,7 @@ def ivf_index_append(batch_df: DataFrame, path: str, name: str) -> int:
     if os.path.isdir(f"{path}/codebooks"):
         if _pq_meta(path).get("residual"):
             src = _residual_frame(
-                base, spark.read.parquet(f"{path}/centroids")
+                base, scan_parquet(spark, f"{path}/centroids")
             )
         else:
             src = base.select(
@@ -1818,7 +1818,7 @@ def ivf_index_probe(
     retrievable without a rebuild."""
     spark = batch_df.sparkSession
     crows = [
-        (r[0], r[1]) for r in spark.read.parquet(f"{path}/centroids").collect()
+        (r[0], r[1]) for r in scan_parquet(spark, f"{path}/centroids").collect()
     ]
     _, probe_cells, dot_pd = _ivf_udfs(spark, crows, nprobe)
     q = batch_df.select(
@@ -1876,7 +1876,7 @@ def ivfpq_index_probe(
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    centdf = spark.read.parquet(f"{path}/centroids")
+    centdf = scan_parquet(spark, f"{path}/centroids")
     crows = [(r[0], r[1]) for r in centdf.collect()]
     _, probe_cells, _ = _ivf_udfs(spark, crows, nprobe)
     cb = _load_codebooks(spark, path)

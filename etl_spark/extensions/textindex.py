@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.extensions.sketches import _TOKENS_DUCK, _TOKENS_SPARK
 from etl_spark.registry import register
-from etl_spark.tables import load
+from etl_spark.tables import load, scan_parquet
 
 # fixed demo query for the registered/oracle-checked form: three
 # mid-selectivity corpus tokens (AND of the three matches ~28% of
@@ -157,7 +157,7 @@ def token_index_probe(
     full postings."""
     buckets = sorted({token_bucket(t) for t in tokens})
     idx = (
-        spark.read.parquet(path)
+        scan_parquet(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .select("token", "doc_id", "tf")
     )
@@ -363,10 +363,10 @@ def bm25_index_probe(
     the same corpus (asserted in tests/test_textindex.py)."""
     buckets = sorted({token_bucket(t) for t in tokens})
     post = (
-        spark.read.parquet(f"{path}/postings")
+        scan_parquet(spark, f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
         .select("token", "doc_id", "tf")
     )
-    dl = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats")
+    dl = scan_parquet(spark, f"{path}/doclen")
+    stats = scan_parquet(spark, f"{path}/stats")
     return bm25_search(post, dl, stats, tokens=tokens, top_k=top_k)

@@ -234,7 +234,7 @@ def e04_value_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     DOUBLE casts of the exact decimal sums — dividing the DECIMALs
     directly truncates Spark's quotient to a fixed scale while DuckDB
     keeps more digits, which broke 9-sig-fig parity at sf0.1 (the
-    decimal-division rule in .claude/skills/verify)."""
+    decimal-division parity rule — cast to DOUBLE before dividing)."""
     per_user = (
         load(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")

@@ -48,14 +48,41 @@ _SESSION_PINS: dict[str, str] = {
 }
 
 
-def _pin_session(fn: QueryFn) -> QueryFn:
+# Per-query override for shuffle-COUNT-dominated plans (guide §2.2
+# "fewer, larger reduce partitions"): honor
+# advisoryPartitionSizeInBytes instead of spreading every tiny shuffle
+# across all cores as sliver partitions. This is the Spark-docs-
+# recommended production mode, so it is the 100 TB-correct setting for
+# queries whose reduce sides are SKETCH-sized (KMV registers, CMS
+# rows, bottom-k heaps, posting aggregates) — bounded state that never
+# grows with the corpus. PERF_r15 measured those queries running
+# 1.7–3.7x FASTER at 8 cores than 32 under the default
+# (parallelismFirst=true): per-core task overhead exceeded their
+# compute. The override must stick through the driver's collect() on
+# the returned lazy frame, so it is applied at query ENTRY and the
+# next registered query's _SESSION_PINS restores the default — the
+# exact x85 mechanism (r15), now shared.
+ADVISORY_COALESCE: dict[str, str] = {
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+}
+
+
+def _pin_session(
+    fn: QueryFn, session_confs: dict[str, str] | None = None
+) -> QueryFn:
     """Wrap a query fn so every invocation re-pins the session confs
-    in ``_SESSION_PINS`` on the caller-supplied session."""
+    in ``_SESSION_PINS`` (plus the spec's per-query ``session_confs``
+    overrides, applied after) on the caller-supplied session."""
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf: str) -> DataFrame:
-        for k, v in _SESSION_PINS.items():
-            # defensive: both keys are runtime-settable on stock Spark,
+        pins = (
+            {**_SESSION_PINS, **session_confs}
+            if session_confs
+            else _SESSION_PINS
+        )
+        for k, v in pins.items():
+            # defensive: the keys are runtime-settable on stock Spark,
             # but if a host session ever rejects one, degrade to the
             # un-pinned (r10) behavior for that key rather than failing
             # every registered query on the set() itself
@@ -85,6 +112,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    session_confs: dict[str, str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name``.
 
@@ -104,7 +132,7 @@ def register(
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
             name=name,
-            fn=_pin_session(fn),
+            fn=_pin_session(fn, session_confs),
             oracle=oracle,
             tags=tuple(tags),
             doc=doc or (fn.__doc__ or ""),

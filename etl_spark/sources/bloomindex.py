@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.tables import scan_parquet
+
 # m = bit positions per (file, column) filter; k = probes per value.
 # Defaults size for ~100k distinct values/file at ~1% fpp:
 # fpp ~= (1 - e^(-k*n/m))^k -> m=2^20, k=5, n=1e5 => ~0.9%.
@@ -150,7 +152,7 @@ def _bloom_probe(
         # instead of failing — and SQL equality never matches NULL
         # anyway. Point callers at IS NULL semantics.
         raise ValueError("bloom probe value must not be NULL (use IS NULL)")
-    idx = spark.read.parquet(index_path).filter(F.col("col") == col)
+    idx = scan_parquet(spark, index_path).filter(F.col("col") == col)
     geoms = idx.select("dtype", "m_bits", "k").distinct().collect()
     if not geoms:
         raise ValueError(
@@ -233,7 +235,7 @@ def bloom_scan(
     never seen — the staleness guard), then re-apply the exact
     equality — row-identical to the full filtered scan, IO
     proportional to the files that might match."""
-    full = spark.read.parquet(table_path)
+    full = scan_parquet(spark, table_path)
     # one probe yields BOTH the kept set and the indexed set — the
     # separate distinct-paths job this wrapper used to run is gone
     # (r15, guide §5)

@@ -63,7 +63,28 @@ def ensure_skip_layout(spark: SparkSession, sf: str) -> tuple[str, str, str]:
     bloom = os.path.join(root, "bloom_idx")
     zmap = os.path.join(root, "zonemap")
     marker = os.path.join(root, "_LAYOUT_OK")
-    if not os.path.exists(marker):
+    # pre-r16 markers hold the bare string "ok" (no build_sec); treat
+    # them as unbuilt ONCE so the rebuild records the cost the bench
+    # must disclose (VERDICT r15 #8) — the marker path is mtime-keyed
+    # per fixture generation, so this is a one-time migration
+    rebuild = True
+    if os.path.exists(marker):
+        import json as _json
+
+        try:
+            with open(marker) as fh:
+                rebuild = "build_sec" not in _json.load(fh)
+        except Exception:
+            rebuild = True
+    if rebuild:
+        import json
+        import shutil
+        import time
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+        t0 = time.perf_counter()
         orders = load(spark, sf, "orders")
         write_zordered(
             orders, table, ["o_custkey", "o_totalprice"],
@@ -74,8 +95,30 @@ def ensure_skip_layout(spark: SparkSession, sf: str) -> tuple[str, str, str]:
         write_bloom_index(spark, table, ["o_custkey"], bloom, m_bits=1 << 19)
         write_zonemap(spark, table, ["o_custkey", "o_totalprice"], zmap)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            # build cost is recorded so the bench can DISCLOSE it
+            # (VERDICT r15 #8): x141's row times the pruned scans only
+            # — layout+index build is declared maintenance, paid once
+            # per fixture generation, reported via skip_stats
+            json.dump(
+                {"ok": True,
+                 "build_sec": round(time.perf_counter() - t0, 3)},
+                fh,
+            )
     return table, bloom, zmap
+
+
+def layout_build_sec(sf: str) -> float | None:
+    """The one-time z-order+index build cost recorded by
+    ``ensure_skip_layout`` for this fixture generation (None when the
+    layout predates the marker format or is unbuilt)."""
+    import json
+
+    marker = os.path.join(_layout_root(sf), "_LAYOUT_OK")
+    try:
+        with open(marker) as fh:
+            return json.load(fh).get("build_sec")
+    except Exception:
+        return None
 
 
 def _path_agg(df: DataFrame, kind: str) -> DataFrame:

@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.tables import scan_parquet
+
 _ZM_SCHEMA = (
     "path string, col string, min_num double, max_num double, "
     "min_str string, max_str string, n_nulls long, n_rows long, has_stats boolean"
@@ -166,7 +168,7 @@ def pruned_files(
 
     lo, hi = _bound(lo), _bound(hi)
     _heal_tmp(zonemap_path)
-    zm = spark.read.parquet(zonemap_path).filter(F.col("col") == col)
+    zm = scan_parquet(spark, zonemap_path).filter(F.col("col") == col)
     is_str = isinstance(lo, str) or isinstance(hi, str)
     mn = F.col("min_str") if is_str else F.col("min_num")
     mx = F.col("max_str") if is_str else F.col("max_num")
@@ -329,13 +331,13 @@ def zonemap_scan_multi(
     directory partitioning outright). Unmapped files are kept
     unconditionally (the staleness guard), and the exact conjunction
     re-applies after the read."""
-    full = spark.read.parquet(table_path)
+    full = scan_parquet(spark, table_path)
     if not predicates:
         return full  # no predicate = no pruning, never an empty scan
     _heal_tmp(zonemap_path)  # BEFORE any map read (the crash window)
     mapped = {
         r["path"]
-        for r in spark.read.parquet(zonemap_path).select("path").distinct().collect()
+        for r in scan_parquet(spark, zonemap_path).select("path").distinct().collect()
     }
     kept: set[str] | None = None
     for col, lo, hi in predicates:

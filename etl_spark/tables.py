@@ -51,19 +51,26 @@ def events_ts_physical_type(path: str) -> str:
     return str(pq.read_schema(p).field("ts").type)
 
 
-# Resolved-scan memo: (session UUID, path, layout fingerprint) → the
-# plain scan DataFrame. Re-running spark.read.parquet for every load()
-# re-pays DataSource resolution + footer schema inference on the
-# driver — measured 130–520 ms PER CALL at sf0.1 vs ~0 for reusing the
-# resolved plan (r15 optimization, guide §5 driver discipline). This
-# memoizes METADATA ONLY (a lazy scan node, exactly what a catalog
-# table registration holds): no rows are computed or persisted, every
-# query still plans its own filters/pruning on top of the shared scan
-# and executes from parquet. The fingerprint folds the file (or the
-# directory entries') mtime_ns, so an overwritten table self-
-# invalidates — the _TABLE_BYTES_CACHE convention (ADVICE r4); the
-# session UUID keys out stopped/parallel sessions.
-_SCAN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+# Resolved-scan memo: (session UUID, path, layout fingerprint,
+# analysis-state marker) → the plain scan DataFrame. Re-running
+# spark.read.parquet for every load() re-pays DataSource resolution +
+# footer schema inference on the driver — measured 130–520 ms PER CALL
+# at sf0.1 vs ~0 for reusing the resolved plan (r15 optimization,
+# guide §5 driver discipline). This memoizes METADATA ONLY (a lazy
+# scan node, exactly what a catalog table registration holds): no rows
+# are computed or persisted, every query still plans its own
+# filters/pruning on top of the shared scan and executes from parquet.
+# The fingerprint folds the file (or the directory entries') mtime_ns
+# and size, so an overwritten table self-invalidates — the
+# _TABLE_BYTES_CACHE convention (ADVICE r4); the session UUID keys out
+# stopped/parallel sessions. The analysis-state marker is "" for every
+# plain scan and the (session timeZone, nanosAsLong) pair for events:
+# its ts normalization resolves those confs at ANALYSIS time
+# (Catalyst's ResolveTimeZone — the r10 bug class _SESSION_PINS
+# exists for), so a frame analyzed under a different timeZone must
+# never be served to a pinned query (ADVICE r15).
+_SCAN_CACHE: dict[tuple[str, str, int, str], DataFrame] = {}
+_SCAN_CACHE_MAX = 64  # tables × a few sessions; evict oldest beyond this
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -74,19 +81,30 @@ def _session_key(spark: SparkSession) -> str:
 
 
 def _layout_fingerprint(path: str) -> int:
-    """mtime-based change marker for a parquet file OR directory —
-    for directories the top-level entry (name, mtime) set is hashed,
-    so an in-place rewrite of a part-file invalidates even though the
-    directory's own mtime does not change."""
+    """(mtime, size)-based change marker for a parquet file OR
+    directory. For directories the TOP-LEVEL entry (name, mtime, size)
+    set is hashed — a FLAT layout assumption (ADVICE r15): the fixture
+    tables are single files or one-level part-file dirs, so a rewrite
+    of any part invalidates. A rewrite hidden inside a nested
+    (hive-partitioned) subdirectory would only be caught by that
+    subdir's own mtime bump (rename/replace does bump it; an in-place
+    append inside it with a preserved mtime would not). Sizes are
+    folded so an mtime-preserving copy (cp -p) with different bytes
+    still invalidates."""
     import os
 
     st = os.stat(path)
     if not os.path.isdir(path):
-        return st.st_mtime_ns
+        return hash((st.st_mtime_ns, st.st_size))
     with os.scandir(path) as it:
         return hash(
             (st.st_mtime_ns,)
-            + tuple(sorted((e.name, e.stat().st_mtime_ns) for e in it))
+            + tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                )
+            )
         )
 
 
@@ -112,7 +130,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    key = (_session_key(spark), path, _layout_fingerprint(path))
+    # events resolves session TZ / nanosAsLong at analysis time, so
+    # those confs join the key; every other table's scan is conf-free
+    if name == "events":
+        try:
+            analysis_state = "%s|%s" % (
+                spark.conf.get("spark.sql.session.timeZone"),
+                spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong", "false"
+                ),
+            )
+        except Exception:  # pragma: no cover - host-specific
+            analysis_state = "?"
+    else:
+        analysis_state = ""
+    key = (_session_key(spark), path, _layout_fingerprint(path), analysis_state)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -138,12 +170,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     else:
         df = spark.read.parquet(path)
-    # one live entry per path, current session only: drop superseded
-    # fingerprints AND other (stopped) sessions' entries so dead plan
-    # handles never accumulate across test sessions
-    for k in [k for k in _SCAN_CACHE if k[0] != key[0] or (k[1] == path and k != key)]:
+    _memo_put(key, df)
+    return df
+
+
+def _memo_put(key: tuple[str, str, int, str], df: DataFrame) -> None:
+    """Insert + eviction (ADVICE r15 — do NOT wipe other LIVE
+    sessions' entries wholesale; two alternating sessions would evict
+    each other on every miss): drop only (a) superseded entries for
+    THIS path — a stale fingerprint reflects bytes no longer on disk,
+    dead weight whichever session owns it — then (b) oldest-inserted
+    entries past the size cap so stopped sessions' handles can never
+    accumulate unboundedly."""
+    path = key[1]
+    for k in [k for k in _SCAN_CACHE if k[1] == path and k[2] != key[2]]:
         del _SCAN_CACHE[k]
+    while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+        del _SCAN_CACHE[next(iter(_SCAN_CACHE))]
     _SCAN_CACHE[key] = df
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized plain parquet scan of an arbitrary stored path — the
+    stored-index readers' twin of ``load()`` (VERDICT r15 #6: the
+    zonemap/bloom/posting/IVF index readers re-paid 130–520 ms of
+    driver-side DataSource resolution per read on paths the fixture
+    memo could not hit). Metadata only, same self-invalidation (the
+    layout fingerprint folds entry mtimes+sizes, so index refresh /
+    compaction / overwrite at the same path misses the memo) and the
+    same bounded eviction as ``load``."""
+    key = (_session_key(spark), path, _layout_fingerprint(path), "")
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
+    _memo_put(key, df)
     return df
 
 

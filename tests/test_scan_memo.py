@@ -65,6 +65,38 @@ def test_pushdown_survives_memoized_scan(spark, sf_dir):
     assert "n_nationkey" in plan
 
 
+def test_events_memo_keys_on_session_timezone(spark, sf_dir):
+    # events' ts normalization resolves the session TZ at ANALYSIS
+    # time, so a frame analyzed under one TZ must not be served under
+    # another (ADVICE r15). Same conf state → same handle.
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = load(spark, sf_dir, "events")
+        assert a is load(spark, sf_dir, "events")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        b = load(spark, sf_dir, "events")
+        assert b is not a
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert load(spark, sf_dir, "events") is a
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_parallel_sessions_do_not_evict_each_other(spark, sf_dir):
+    # two live sessions alternating loads must BOTH stay memoized
+    # (the r15 eviction dropped every foreign-session entry on miss)
+    other = spark.newSession()
+    a1 = load(spark, sf_dir, "nation")
+    b1 = load(other, sf_dir, "nation")
+    a2 = load(spark, sf_dir, "region")
+    b2 = load(other, sf_dir, "region")
+    assert load(spark, sf_dir, "nation") is a1
+    assert load(other, sf_dir, "nation") is b1
+    assert load(spark, sf_dir, "region") is a2
+    assert load(other, sf_dir, "region") is b2
+
+
 def test_memo_bounded_one_entry_per_path(spark, sf_dir, tmp_path):
     d = tmp_path / "sfZ"
     d.mkdir()
