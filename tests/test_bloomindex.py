@@ -190,6 +190,7 @@ def test_bloom_refresh_incremental(spark, tmp_path):
     assert got == [333]
 
 
+@pytest.mark.slow
 def test_bloom_no_false_negatives_hypothesis(spark, tmp_path):
     """Property: for RANDOM corpora (ids, strings, dup values across
     files, tiny m to force collisions) every present value's home

@@ -41,3 +41,18 @@ def test_session_pins_reset_covers_x85_pin(spark, sf_dir):
     # ...and ANY registered query's entry re-pins the default
     specs["q01_pricing_summary"].fn(spark, sf_dir)
     assert spark.conf.get(PF) == "true"
+
+
+def test_sketch_family_advisory_override(spark, sf_dir):
+    """r16: sketch-family queries enter under advisory-size AQE
+    coalescing (registry.ADVISORY_COALESCE); the next registered
+    query's _SESSION_PINS restores the default — the x85 mechanism,
+    now shared via register(session_confs=...)."""
+    specs = all_specs()
+    specs["x76_kmv_distinct_customers"].fn(spark, sf_dir)
+    assert spark.conf.get(PF) == "false"
+    specs["q01_pricing_summary"].fn(spark, sf_dir)
+    assert spark.conf.get(PF) == "true"
+    # queries the A/B rejected stay on the default
+    specs["x89_substring_dup_coverage"].fn(spark, sf_dir)
+    assert spark.conf.get(PF) == "true"

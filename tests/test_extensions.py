@@ -306,6 +306,7 @@ def test_salted_join_deterministic_on_events(spark, sf_dir):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(edges):
     """Property: on arbitrary small graphs (self-loops, parallel
     edges, many components), the distributed hash-to-min labels must
@@ -577,6 +578,7 @@ _DOC = st.lists(_WORDS, min_size=1, max_size=13).map(" ".join)
 
 @given(st.lists(_DOC, min_size=1, max_size=6))
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_segment_dedup_matches_reference(texts):
     """Property: on arbitrary tiny corpora (tiny vocab forces heavy
     cross-doc segment collisions; doc lengths straddle the segment
@@ -1285,6 +1287,7 @@ def test_quality_lr_step_descends(spark, sf_dir):
     assert loss(w_new) < loss(list(_LR_W0)), "gradient step did not descend"
 
 
+@pytest.mark.slow
 def test_train_quality_lr_learns_the_target(spark, sf_dir):
     """The x67 loop end-to-end: (a) step 1 of the trajectory equals
     the registered x67 query's w_new column (shared derivation); (b)
@@ -1758,6 +1761,7 @@ def test_ivfpq_index_probe_matches_inplan(spark, sf_dir, tmp_path):
     assert len(pf) >= 2, f"codes+cells scans not both cid-pruned: {pf}"
 
 
+@pytest.mark.slow
 def test_ivf_index_append_and_compact(spark, sf_dir, tmp_path):
     """The streaming-refresh primitives (r8 verdict #3): an appended
     batch becomes retrievable by BOTH probe tiers without a rebuild,
@@ -1823,6 +1827,7 @@ def test_ivf_index_append_and_compact(spark, sf_dir, tmp_path):
     assert got2_pq and got2_pq[0].vec_id == 9_000_001 and got2_pq[0].rk == 1
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_raw_and_stored_parity(spark, tmp_path):
     """Residual encoding (IVFADC — the x74 docstring's named
     deployment upgrade, r8 verdict stretch item): quantizing
@@ -1968,6 +1973,7 @@ def test_pq_adc_approximates_exact_l2(spark):
     assert rho >= 0.9, f"cluster-level ADC rank correlation {rho:.3f} < 0.9"
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_clustered(spark):
     """The composed IVF-PQ (x74) stacks two approximations — cell
     pruning AND code quantization — so its recall floor is the

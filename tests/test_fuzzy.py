@@ -66,6 +66,7 @@ def test_adversarial_shapes_lossless():
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_lossless_vs_bruteforce_random(names):
     # tiny alphabet forces collisions, repeats, and near-misses
     assert _run(names) == _brute(names, MAX_DIST)

@@ -120,6 +120,7 @@ def test_cc_merge_from_empty_state(spark):
     ),
     st.integers(0, 2**31),
 )
+@pytest.mark.slow
 def test_cc_merge_equals_batch_random(edges, seed):
     spark = _spark()
     edges = [tuple(sorted(e)) for e in edges]

@@ -20,6 +20,24 @@ ORACLE_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is not None)
 ROWS_ONLY_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is None)
 
 
+def _tiered(names):
+    """Fast tier keeps a DETERMINISTIC ~25% sample of a sweep (sha1 of
+    the query name — stable across runs/hosts, no time or RNG); the
+    rest carries the `slow` marker and runs under
+    SPARK_GRAFT_FULL_TESTS=1 (recorded before every round seal). The
+    driver's own CORRECTNESS gate checks its whole 50-query window
+    regardless, so the sample only needs to keep LOCAL regression
+    signal alive between full runs (VERDICT r15 #2: the full suite
+    outgrew the driver's pytest window)."""
+    import hashlib as _h
+
+    out = []
+    for n in names:
+        keep = int(_h.sha1(n.encode()).hexdigest(), 16) % 4 == 0
+        out.append(n if keep else pytest.param(n, marks=pytest.mark.slow))
+    return out
+
+
 def _duck(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
@@ -71,7 +89,7 @@ def _assert_parity(spark, sf_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
+@pytest.mark.parametrize("name", _tiered(ORACLE_SPECS))
 def test_oracle_parity(spark, sf_dir, name):
     _assert_parity(spark, sf_dir, name)
 
@@ -173,7 +191,7 @@ def _assert_type_parity(
     )
 
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
+@pytest.mark.parametrize("name", _tiered(ORACLE_SPECS))
 def test_oracle_type_parity(spark, sf_dir, name):
     spec = SPECS[name]
     con = _duck(sf_dir)
@@ -255,7 +273,7 @@ def test_registry_pins_session_confs(spark, sf_dir):
 _EMPTY_OK_AT_SF0001 = {"q11_important_stock"}
 
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
+@pytest.mark.parametrize("name", _tiered(ORACLE_SPECS))
 def test_oracle_not_vacuous(sf_dir, name):
     if sf_dir.rstrip("/").endswith("sf0.001") and name in _EMPTY_OK_AT_SF0001:
         pytest.skip("threshold query legitimately empty at sf0.001 only")

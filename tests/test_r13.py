@@ -7,6 +7,8 @@ ANN recall@5 registered query (VERDICT r12 #7).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_spark.registry import all_specs
@@ -19,6 +21,7 @@ def _rowset(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_injected_cc_forms_match_registered(spark, sf_dir):
     """dup_clusters_from_pairs / dedup_verdict_frame /
     curated_corpus_frame / multimodal_curated_frame with ONE persisted

@@ -293,6 +293,7 @@ def test_merge_sink_upserts_per_batch_and_replays_idempotently(
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+@pytest.mark.slow
 def test_interval_join_matches_batch_equivalent(spark, sf_dir, event_dir, tmp_path):
     """Stream-stream interval join drained with availableNow equals
     the identical batch join (same condition, same frames)."""
@@ -1749,6 +1750,7 @@ def test_streaming_neardup_drops_image_neardup_across_batches(spark, tmp_path):
     assert sorted(batches) == [(0, 1, 1), (1, 2, 1)]
 
 
+@pytest.mark.slow
 def test_streaming_ingest_autocompact_heals_skipping_indexes(spark, tmp_path):
     """VERDICT r14 #5 — the maintenance loop COMPOSED: N micro-batches
     append into a TxTable via append_once, the threshold auto-compact
